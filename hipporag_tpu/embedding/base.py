@@ -1,0 +1,96 @@
+"""Embedding model base class.
+
+Contract parity with the reference (embedding_model/base.py:189-218):
+``batch_encode(texts, instruction=..., norm=...) -> np.ndarray [N, D]``.
+Instruction-prefixed query encoding is how query-vs-document asymmetry is
+expressed (reference: NVEmbedV2.py / GritLM.py instruction handling).
+
+Embeddings are optionally cached in the shared SQLite KV cache keyed by
+(model, instruction, text) — the checkpoint/resume behavior of the
+reference's ``make_cache_embed`` (embedding_model/base.py:112-187).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import List, Optional, Union
+
+import numpy as np
+
+from ..config import BaseConfig
+from ..storage.kv_cache import SqliteKVCache, hash_key
+
+
+def l2_normalize(x: np.ndarray, axis: int = -1, eps: float = 1e-12) -> np.ndarray:
+    norm = np.linalg.norm(x, axis=axis, keepdims=True)
+    return x / np.maximum(norm, eps)
+
+
+class BaseEmbeddingModel(ABC):
+    def __init__(self, global_config: Optional[BaseConfig] = None):
+        self.global_config = global_config or BaseConfig()
+        self.embedding_model_name = self.global_config.embedding_model_name
+        self.embedding_dim: Optional[int] = None
+        self._cache: Optional[SqliteKVCache] = None
+
+    def attach_cache(self, cache_path: str):
+        self._cache = SqliteKVCache(cache_path, table="embeddings")
+
+    @abstractmethod
+    def _encode_batch(self, texts: List[str]) -> np.ndarray:
+        """Encode a list of (already instruction-prefixed) texts to [N, D]."""
+
+    def format_with_instruction(self, text: str, instruction: str) -> str:
+        """How instructions wrap input text; backends may override."""
+        if not instruction:
+            return text
+        return f"Instruct: {instruction}\nQuery: {text}"
+
+    def batch_encode(
+        self,
+        texts: Union[str, List[str]],
+        instruction: str = "",
+        norm: Optional[bool] = None,
+    ) -> np.ndarray:
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        if norm is None:
+            norm = self.global_config.embedding_return_as_normalized
+
+        prefixed = [self.format_with_instruction(t, instruction) for t in texts]
+
+        results: List[Optional[np.ndarray]] = [None] * len(prefixed)
+        to_compute: List[int] = []
+        if self._cache is not None:
+            for i, p in enumerate(prefixed):
+                key = hash_key("emb", self.embedding_model_name, p)
+                hit = self._cache.get(key)
+                if hit is not None:
+                    results[i] = np.asarray(hit[0], dtype=np.float32)
+                else:
+                    to_compute.append(i)
+        else:
+            to_compute = list(range(len(prefixed)))
+
+        if to_compute:
+            bs = max(1, self.global_config.embedding_batch_size)
+            computed = []
+            for s in range(0, len(to_compute), bs):
+                batch_idx = to_compute[s : s + bs]
+                computed.append(
+                    np.asarray(self._encode_batch([prefixed[i] for i in batch_idx]))
+                )
+            computed_arr = np.concatenate(computed, axis=0)
+            for j, i in enumerate(to_compute):
+                results[i] = computed_arr[j].astype(np.float32)
+                if self._cache is not None:
+                    key = hash_key("emb", self.embedding_model_name, prefixed[i])
+                    self._cache.put(key, results[i].tolist())
+
+        out = np.stack(results).astype(np.float32)
+        if norm:
+            out = l2_normalize(out)
+        if self.embedding_dim is None and out.size:
+            self.embedding_dim = out.shape[-1]
+        return out[0] if single else out

@@ -1,0 +1,228 @@
+"""Content-addressed text + embedding stores.
+
+Functional parity with the reference store contract
+(reference: src/hipporag/embedding_store.py:18-254): MD5 content addressing
+per namespace, insert-if-missing, delete, bulk row/embedding fetch with
+order preservation, and persistence across reloads.
+
+TPU-first difference: ``get_embeddings_matrix`` returns one contiguous,
+row-aligned ``np.ndarray`` ready for a single host→device transfer, instead
+of a Python list of vectors — the retrieval pipeline keeps the full matrix
+resident in HBM.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Set
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from ..utils.misc import compute_mdhash_id
+
+logger = get_logger(__name__)
+
+
+class BaseEmbeddingStore(ABC):
+    """Abstract store interface shared by all backends."""
+
+    namespace: str
+    embedding_model: Any
+    batch_size: int
+    text_to_hash_id: Dict[str, str]
+
+    def get_missing_string_hash_ids(self, texts: List[str]) -> Dict[str, Dict]:
+        existing = set(self.get_all_ids())
+        result = {}
+        for text in texts:
+            h = compute_mdhash_id(text, prefix=self.namespace + "-")
+            if h not in existing:
+                result[h] = {"hash_id": h, "content": text}
+        return result
+
+    def get_hash_id(self, text: str) -> str:
+        return self.text_to_hash_id[text]
+
+    @abstractmethod
+    def insert_strings(self, texts: List[str]) -> None: ...
+
+    @abstractmethod
+    def delete(self, hash_ids: List[str]) -> None: ...
+
+    @abstractmethod
+    def get_row(self, hash_id: str) -> Dict: ...
+
+    @abstractmethod
+    def get_rows(self, hash_ids: List[str]) -> Dict[str, Dict]: ...
+
+    @abstractmethod
+    def get_all_ids(self) -> List[str]: ...
+
+    @abstractmethod
+    def get_all_id_to_rows(self) -> Dict[str, Dict]: ...
+
+    @abstractmethod
+    def get_all_texts(self) -> Set[str]: ...
+
+    @abstractmethod
+    def get_embedding(self, hash_id: str, dtype=np.float32) -> np.ndarray: ...
+
+    @abstractmethod
+    def get_embeddings(self, hash_ids: List[str], dtype=np.float32) -> List[np.ndarray]: ...
+
+    def get_embeddings_matrix(
+        self, hash_ids: List[str], dtype=np.float32
+    ) -> np.ndarray:
+        """Contiguous [len(hash_ids), D] matrix, row-aligned with hash_ids."""
+        embs = self.get_embeddings(hash_ids, dtype=dtype)
+        if len(embs) == 0:
+            return np.zeros((0, 0), dtype=dtype)
+        return np.ascontiguousarray(np.stack(embs).astype(dtype))
+
+    def close(self) -> None:
+        """Release held resources. No-op by default."""
+
+
+class InMemoryEmbeddingStore(BaseEmbeddingStore):
+    """Volatile dict-backed store (tests and ephemeral sessions)."""
+
+    def __init__(self, embedding_model, batch_size: int, namespace: str):
+        self.embedding_model = embedding_model
+        self.batch_size = batch_size
+        self.namespace = namespace
+        self._rows: Dict[str, Dict] = {}
+        self._embeddings: Dict[str, np.ndarray] = {}
+        self.text_to_hash_id: Dict[str, str] = {}
+
+    def insert_strings(self, texts: List[str]) -> None:
+        missing = self.get_missing_string_hash_ids(texts)
+        if not missing:
+            return
+        ids = list(missing.keys())
+        contents = [missing[h]["content"] for h in ids]
+        embeddings = self._encode(contents)
+        for h, text, emb in zip(ids, contents, embeddings):
+            self._rows[h] = {"hash_id": h, "content": text}
+            self._embeddings[h] = np.asarray(emb, dtype=np.float32)
+            self.text_to_hash_id[text] = h
+
+    def _encode(self, contents: List[str]) -> np.ndarray:
+        out = []
+        for i in range(0, len(contents), self.batch_size):
+            out.append(
+                np.asarray(
+                    self.embedding_model.batch_encode(contents[i : i + self.batch_size])
+                )
+            )
+        return np.concatenate(out, axis=0) if out else np.zeros((0, 0))
+
+    def delete(self, hash_ids: List[str]) -> None:
+        for h in hash_ids:
+            row = self._rows.pop(h, None)
+            self._embeddings.pop(h, None)
+            if row is not None:
+                self.text_to_hash_id.pop(row["content"], None)
+
+    def get_row(self, hash_id: str) -> Dict:
+        return self._rows[hash_id]
+
+    def get_rows(self, hash_ids: List[str]) -> Dict[str, Dict]:
+        return {h: self._rows[h] for h in hash_ids if h in self._rows}
+
+    def get_all_ids(self) -> List[str]:
+        return list(self._rows.keys())
+
+    def get_all_id_to_rows(self) -> Dict[str, Dict]:
+        return dict(self._rows)
+
+    def get_all_texts(self) -> Set[str]:
+        return {row["content"] for row in self._rows.values()}
+
+    def get_embedding(self, hash_id: str, dtype=np.float32) -> np.ndarray:
+        return self._embeddings[hash_id].astype(dtype)
+
+    def get_embeddings(self, hash_ids: List[str], dtype=np.float32) -> List[np.ndarray]:
+        return [self._embeddings[h].astype(dtype) for h in hash_ids]
+
+
+class ParquetEmbeddingStore(InMemoryEmbeddingStore):
+    """Default durable backend: one Parquet file per namespace.
+
+    Keeps the full store in memory (like the reference) and persists the
+    complete table after every mutation, so reloads restore identical state.
+    """
+
+    def __init__(self, embedding_model, db_dirname: str, batch_size: int, namespace: str):
+        super().__init__(embedding_model, batch_size, namespace)
+        os.makedirs(db_dirname, exist_ok=True)
+        self.filename = os.path.join(db_dirname, f"vdb_{namespace}.parquet")
+        self._load()
+
+    def _load(self):
+        if not os.path.exists(self.filename):
+            return
+        import pandas as pd
+
+        df = pd.read_parquet(self.filename)
+        for h, text, emb in zip(df["hash_id"], df["content"], df["embedding"]):
+            self._rows[h] = {"hash_id": h, "content": text}
+            self._embeddings[h] = np.asarray(emb, dtype=np.float32)
+            self.text_to_hash_id[text] = h
+        logger.info("Loaded %d rows from %s", len(self._rows), self.filename)
+
+    def _persist(self):
+        import pandas as pd
+
+        ids = list(self._rows.keys())
+        df = pd.DataFrame(
+            {
+                "hash_id": ids,
+                "content": [self._rows[h]["content"] for h in ids],
+                "embedding": [self._embeddings[h].tolist() for h in ids],
+            }
+        )
+        tmp = self.filename + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, self.filename)
+
+    def insert_strings(self, texts: List[str]) -> None:
+        before = len(self._rows)
+        super().insert_strings(texts)
+        if len(self._rows) != before:
+            self._persist()
+
+    def delete(self, hash_ids: List[str]) -> None:
+        before = len(self._rows)
+        super().delete(hash_ids)
+        if len(self._rows) != before:
+            self._persist()
+
+
+def get_embedding_store(
+    embedding_model,
+    db_dirname: str,
+    batch_size: int,
+    namespace: str,
+    config=None,
+) -> BaseEmbeddingStore:
+    """Factory over store backends (reference: embedding_store.py:224-254)."""
+    store_type = getattr(config, "vector_store_type", "parquet") if config else "parquet"
+    if store_type == "memory":
+        return InMemoryEmbeddingStore(embedding_model, batch_size, namespace)
+    if store_type == "parquet":
+        return ParquetEmbeddingStore(embedding_model, db_dirname, batch_size, namespace)
+    if store_type == "qdrant":
+        from .vector_stores.qdrant_store import QdrantEmbeddingStore
+
+        return QdrantEmbeddingStore(embedding_model, db_dirname, batch_size, namespace, config)
+    if store_type == "chroma":
+        from .vector_stores.chroma_store import ChromaEmbeddingStore
+
+        return ChromaEmbeddingStore(embedding_model, db_dirname, batch_size, namespace, config)
+    if store_type == "milvus":
+        from .vector_stores.milvus_store import MilvusEmbeddingStore
+
+        return MilvusEmbeddingStore(embedding_model, db_dirname, batch_size, namespace, config)
+    raise ValueError(f"Unknown vector_store_type: {store_type}")

@@ -1,0 +1,186 @@
+"""Foundation-layer tests: utils, eval metrics, stores, prompts, mocks."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hipporag_tpu.config import BaseConfig
+from hipporag_tpu.embedding.mock import MockEmbeddingModel
+from hipporag_tpu.evaluation import QAExactMatch, QAF1Score, RetrievalRecall, normalize_answer
+from hipporag_tpu.llm.mock import MockLLM
+from hipporag_tpu.prompts import PromptTemplateManager, get_query_instruction
+from hipporag_tpu.storage import ParquetEmbeddingStore, SqliteKVCache, hash_key
+from hipporag_tpu.utils.llm_json import (
+    extract_named_entities,
+    extract_triples,
+    repair_truncated_json,
+)
+from hipporag_tpu.utils.misc import (
+    compute_mdhash_id,
+    filter_invalid_triples,
+    flatten_facts,
+    min_max_normalize,
+    text_processing,
+)
+
+
+def test_compute_mdhash_id():
+    h = compute_mdhash_id("hello", prefix="entity-")
+    assert h.startswith("entity-") and len(h) == len("entity-") + 32
+    assert h == compute_mdhash_id("hello", prefix="entity-")
+
+
+def test_text_processing():
+    assert text_processing("Héllo, World! 42") == "h llo  world  42"
+    assert text_processing(["A-B", "c.d"]) == ["a b", "c d"]
+
+
+def test_min_max_normalize():
+    out = min_max_normalize(np.array([1.0, 3.0, 2.0]))
+    assert np.allclose(out, [0.0, 1.0, 0.5])
+    assert np.allclose(min_max_normalize(np.array([2.0, 2.0])), [1.0, 1.0])
+
+
+def test_filter_invalid_triples():
+    triples = [["a", "b", "c"], ["a", "b"], ["a", "b", "c"], [1, 2, 3]]
+    assert filter_invalid_triples(triples) == [["a", "b", "c"], ["1", "2", "3"]]
+
+
+def test_flatten_facts_dedup():
+    facts = flatten_facts([[("a", "r", "b")], [("a", "r", "b"), ("c", "r", "d")]])
+    assert facts == [("a", "r", "b"), ("c", "r", "d")]
+
+
+def test_json_repair():
+    broken = '{"triples": [["a", "b", "c"], ["d", "e"'
+    fixed = repair_truncated_json(broken)
+    parsed = json.loads(fixed)["triples"]
+    assert parsed[0] == ["a", "b", "c"]  # complete triples always survive
+    # already-valid JSON passes through untouched
+    ok = '{"x": [1, 2]}'
+    assert repair_truncated_json(ok) == ok
+
+
+def test_extract_entities_and_triples_safe():
+    text = 'noise {"named_entities": ["X", "Y"]} tail'
+    assert extract_named_entities(text) == ["X", "Y"]
+    text2 = 'prefix {"triples": [["a","r","b"]]} suffix'
+    assert extract_triples(text2) == [["a", "r", "b"]]
+    # eval() injection must NOT execute
+    evil = '{"named_entities": "__import__(\'os\')"}'
+    assert extract_named_entities(evil) == []
+
+
+def test_normalize_answer():
+    assert normalize_answer("The  Quick, Brown Fox!") == "quick brown fox"
+    assert normalize_answer("An apple") == "apple"
+
+
+def test_recall_at_k():
+    metric = RetrievalRecall()
+    pooled, per_ex = metric.calculate_metric_scores(
+        gold_docs=[["d1", "d2"]], retrieved_docs=[["d1", "x", "d2"]], k_list=[1, 2, 5]
+    )
+    assert pooled == {"Recall@1": 0.5, "Recall@2": 0.5, "Recall@5": 1.0}
+
+
+def test_qa_metrics():
+    em, _ = QAExactMatch().calculate_metric_scores([["Paris", "paris!"]], ["the Paris"])
+    assert em["ExactMatch"] == 1.0
+    f1, _ = QAF1Score().calculate_metric_scores([["Paris France"]], ["Paris"])
+    assert 0 < f1["F1"] < 1
+
+
+def test_kv_cache(tmp_path):
+    cache = SqliteKVCache(str(tmp_path / "c.sqlite"))
+    key = hash_key("a", {"b": 1})
+    assert cache.get(key) is None
+    cache.put(key, "value", {"m": 2})
+    assert cache.get(key) == ("value", {"m": 2})
+    assert len(cache) == 1
+
+
+def test_parquet_store_roundtrip(tmp_path):
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=32))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="entity")
+    store.insert_strings(["alpha", "beta", "gamma"])
+    assert len(store.get_all_ids()) == 3
+    # idempotent re-insert
+    store.insert_strings(["alpha", "delta"])
+    assert len(store.get_all_ids()) == 4
+
+    ids = store.get_all_ids()
+    mat = store.get_embeddings_matrix(ids)
+    assert mat.shape == (4, 32)
+
+    # reload from disk
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="entity")
+    assert set(store2.get_all_ids()) == set(ids)
+    np.testing.assert_allclose(store2.get_embeddings_matrix(ids), mat, atol=1e-6)
+
+    # delete
+    h = compute_mdhash_id("alpha", prefix="entity-")
+    store2.delete([h])
+    assert h not in store2.get_all_ids()
+    store3 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="entity")
+    assert h not in store3.get_all_ids()
+
+
+def test_mock_embedder_similarity():
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=64))
+    v = model.batch_encode(["Erik Hort was born in Montebello", "Montebello is in Rockland County", "bananas are yellow"])
+    sim_related = float(v[0] @ v[1])
+    sim_unrelated = float(v[0] @ v[2])
+    assert sim_related > sim_unrelated
+    # determinism
+    v2 = model.batch_encode("Erik Hort was born in Montebello")
+    np.testing.assert_allclose(v[0], v2, atol=1e-6)
+
+
+def test_prompt_manager_renders():
+    ptm = PromptTemplateManager()
+    names = ptm.list_template_names()
+    for required in ["ner", "ner_query", "triple_extraction", "rag_qa", "rag_qa_musique", "ircot_musique"]:
+        assert required in names, names
+    msgs = ptm.render("ner", passage="Some passage about Paris.")
+    assert msgs[-1]["content"] == "Some passage about Paris."
+    re_msgs = ptm.render("triple_extraction", passage="P", named_entity_json='{"named_entities": []}')
+    assert "P" in re_msgs[-1]["content"]
+
+
+def test_query_instruction():
+    assert "triplet" in get_query_instruction("query_to_fact")
+    assert get_query_instruction("nope") == get_query_instruction("query_to_passage")
+
+
+def test_mock_llm_ner_and_triples():
+    llm = MockLLM()
+    ptm = PromptTemplateManager()
+    passage = "Erik Hort was born in Montebello. Montebello is part of Rockland County."
+    resp, meta, _ = llm.infer(ptm.render("ner", passage=passage))
+    ents = json.loads(resp)["named_entities"]
+    assert "Erik Hort" in ents and "Montebello" in ents
+    assert meta["finish_reason"] == "stop"
+
+    re_resp, _, _ = llm.infer(
+        ptm.render(
+            "triple_extraction",
+            passage=passage,
+            named_entity_json=json.dumps({"named_entities": ents}),
+        )
+    )
+    triples = json.loads(re_resp)["triples"]
+    assert any(t[0] == "Erik Hort" and t[2] == "Montebello" for t in triples)
+
+
+def test_mock_llm_filter():
+    llm = MockLLM()
+    user = (
+        "[[ ## question ## ]]\nWhere was Erik Hort born?\n\n"
+        '[[ ## fact_before_filter ## ]]\n{"fact": [["erik hort", "born in", "montebello"], ["bananas", "are", "yellow"]]}\n\n'
+        "Respond with the corresponding output fields."
+    )
+    resp, _, _ = llm.infer([{"role": "user", "content": user}])
+    assert "[[ ## fact_after_filter ## ]]" in resp
+    assert "erik hort" in resp and "bananas" not in resp
