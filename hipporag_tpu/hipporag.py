@@ -1,0 +1,886 @@
+"""HippoRAG orchestrator: index / retrieve / rag_qa / delete lifecycle.
+
+API parity with the reference orchestrator (HippoRAG.py:45-1749) on a
+TPU-native execution model:
+
+- **Indexing** (ref index(), HippoRAG.py:262-335): chunks → OpenIE (host,
+  thread fan-out) → entity/fact stores → graph builder (host dict) →
+  synonymy kNN (device streaming top-k) → padded device graph compile.
+- **Retrieval** (ref retrieve(), HippoRAG.py:413-499): the per-query Python
+  loop becomes a batched device pipeline — all query fact/passage scores in
+  two matmuls, recognition-memory reranking fanned out across queries, then
+  ONE jitted graph-search (seed construction + batched PPR) for the whole
+  batch (models/retrieval.py). Queries are padded to fixed batch buckets so
+  executables are reused across calls.
+- **Deletion** (ref delete(), HippoRAG.py:337-411): refcount-based removal
+  of unreferenced facts/entities, graph vertex deletion, store deletes.
+- **Checkpoint/resume** (ref §5 of SURVEY.md): content-addressed stores,
+  OpenIE results JSON (same resume protocol incl. offline two-phase mode),
+  graph-builder pickle, and SQLite LLM/embedding caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Set, Tuple, Union
+
+import numpy as np
+
+from .config import BaseConfig
+from .embedding import get_embedding_model
+from .evaluation import QAExactMatch, QAF1Score, RetrievalRecall
+from .graph import GraphBuilder, compile_device_graph, pick_capacity
+from .llm import get_llm
+from .openie import LLMOpenIE
+from .preprocessing import get_preprocessor
+from .prompts import PromptTemplateManager, get_query_instruction
+from .rerank import RecognitionMemoryFilter
+from .storage import get_embedding_store
+from .utils.logging import get_logger
+from .utils.misc import (
+    Chunk,
+    QuerySolution,
+    RetrievalResult,
+    compute_mdhash_id,
+    extract_entity_nodes,
+    filter_invalid_triples,
+    flatten_facts,
+    text_processing,
+)
+from .utils.timing import StageTimers
+
+logger = get_logger(__name__)
+
+RETRIEVAL_K_LIST = [1, 2, 5, 10, 20, 30, 50, 100, 150, 200]
+
+
+def _fact_text(triple: Tuple[str, str, str]) -> str:
+    """Canonical stored form of a fact (JSON, not Python repr — safe parse)."""
+    return json.dumps(list(triple))
+
+
+def _parse_fact_text(text: str) -> Tuple[str, str, str]:
+    return tuple(json.loads(text))
+
+
+class HippoRAG:
+    """Graph-based RAG with TPU-batched retrieval."""
+
+    def __init__(
+        self,
+        global_config: Optional[BaseConfig] = None,
+        save_dir: Optional[str] = None,
+        llm_model_name: Optional[str] = None,
+        llm_base_url: Optional[str] = None,
+        embedding_model_name: Optional[str] = None,
+        embedding_base_url: Optional[str] = None,
+        azure_endpoint: Optional[str] = None,
+        azure_embedding_endpoint: Optional[str] = None,
+        **kwargs,
+    ):
+        if global_config is None:
+            global_config = BaseConfig()
+        # ctor kwargs override config fields (ref HippoRAG.py:94-119)
+        overrides = {
+            "save_dir": save_dir,
+            "llm_name": llm_model_name,
+            "llm_base_url": llm_base_url,
+            "embedding_model_name": embedding_model_name,
+            "embedding_base_url": embedding_base_url,
+            "azure_endpoint": azure_endpoint,
+            "azure_embedding_endpoint": azure_embedding_endpoint,
+        }
+        for key, value in {**overrides, **kwargs}.items():
+            if value is not None:
+                if not hasattr(global_config, key):
+                    raise ValueError(f"Unknown config field: {key}")
+                setattr(global_config, key, value)
+        self.global_config = global_config
+
+        # working dir namespaced by model pair (ref HippoRAG.py:125-131)
+        llm_label = self.global_config.llm_name.replace("/", "_")
+        emb_label = self.global_config.embedding_model_name.replace("/", "_")
+        self.working_dir = os.path.join(
+            self.global_config.save_dir, f"{llm_label}_{emb_label}"
+        )
+        os.makedirs(self.working_dir, exist_ok=True)
+
+        self.llm = get_llm(self.global_config)
+        self.extraction_llm = self.llm  # alias kept for reference API parity
+        self.qa_llm = self.llm
+        self.embedding_model = get_embedding_model(self.global_config)
+        emb_cache = os.path.join(self.working_dir, "embedding_cache.sqlite")
+        if hasattr(self.embedding_model, "attach_cache"):
+            self.embedding_model.attach_cache(emb_cache)
+
+        self.openie = LLMOpenIE(self.llm)
+        self.prompt_template_manager = PromptTemplateManager()
+        self.rerank_filter = RecognitionMemoryFilter(
+            self.llm, self.global_config.rerank_dspy_file_path
+        )
+        self.preprocessor = get_preprocessor(self.global_config)
+
+        batch = self.global_config.embedding_batch_size
+        self.chunk_embedding_store = get_embedding_store(
+            self.embedding_model, self.working_dir, batch, "chunk", self.global_config
+        )
+        self.entity_embedding_store = get_embedding_store(
+            self.embedding_model, self.working_dir, batch, "entity", self.global_config
+        )
+        self.fact_embedding_store = get_embedding_store(
+            self.embedding_model, self.working_dir, batch, "fact", self.global_config
+        )
+
+        # Graph builder persistence (replaces the igraph pickle,
+        # ref HippoRAG.py:210-241)
+        self._graph_path = os.path.join(self.working_dir, "kg_builder.pickle")
+        if self.global_config.force_index_from_scratch:
+            self.graph = GraphBuilder()
+        else:
+            self.graph = GraphBuilder.load(self._graph_path)
+
+        self.openie_results_path = os.path.join(self.working_dir, "openie_results.json")
+        self._chunk_metadata_path = os.path.join(self.working_dir, "chunk_metadata.json")
+        self.chunk_metadata: Dict[str, Dict] = {}
+        if os.path.exists(self._chunk_metadata_path):
+            with open(self._chunk_metadata_path) as f:
+                self.chunk_metadata = json.load(f)
+
+        self.timers = StageTimers()
+        self.ready_to_retrieve = False
+        self.query_to_embedding: Dict[str, Dict[str, np.ndarray]] = {
+            "triple": {},
+            "passage": {},
+        }
+        # device-side state filled by prepare_retrieval_objects
+        self._index_state = None
+        self._capacities: Dict[str, Optional[int]] = {
+            "node": None,
+            "edge": None,
+            "fact": None,
+            "passage": None,
+        }
+        # legacy-style accumulators (ref HippoRAG.py:184-186)
+        self.all_retrieval_time = 0.0
+        self.rerank_time = 0.0
+        self.ppr_time = 0.0
+
+    # ==================================================================
+    # Indexing
+    # ==================================================================
+    def _preprocess_docs(self, docs: List[Union[str, Chunk]]) -> List[Chunk]:
+        return self.preprocessor.preprocess(docs)
+
+    def pre_openie(self, docs: List[Union[str, Chunk]]):
+        """Offline two-phase OpenIE checkpoint (ref HippoRAG.py:243-260)."""
+        chunks = self._preprocess_docs(docs)
+        missing = self.chunk_embedding_store.get_missing_string_hash_ids(
+            [c.content for c in chunks]
+        )
+        all_openie_info, keys_to_process = self.load_existing_openie(missing.keys())
+        new_rows = {k: missing[k] for k in keys_to_process}
+        if new_rows:
+            ner_dict, triple_dict = self.openie.batch_openie(new_rows)
+            self.merge_openie_results(all_openie_info, new_rows, ner_dict, triple_dict)
+        if self.global_config.save_openie:
+            self.save_openie_results(all_openie_info)
+        raise RuntimeError(
+            "Offline OpenIE completed. Run indexing again with openie_mode='online' "
+            "to build the graph."
+        )
+
+    def index(self, docs: List[Union[str, Chunk]]):
+        logger.info("Indexing %d documents", len(docs))
+        chunks = self._preprocess_docs(docs)
+        chunk_texts = [c.content for c in chunks]
+
+        if self.global_config.openie_mode == "offline":
+            self.pre_openie(chunks)
+
+        with self.timers.track("index/embed_chunks"):
+            self.chunk_embedding_store.insert_strings(chunk_texts)
+        for chunk in chunks:
+            chunk_id = self.chunk_embedding_store.get_hash_id(chunk.content)
+            metadata = dict(chunk.metadata)
+            if chunk.source_id is not None:
+                metadata["source_id"] = chunk.source_id
+            self.chunk_metadata[chunk_id] = metadata
+        self._save_chunk_metadata()
+
+        chunk_to_rows = self.chunk_embedding_store.get_all_id_to_rows()
+        all_openie_info, keys_to_process = self.load_existing_openie(chunk_to_rows.keys())
+        new_rows = {k: chunk_to_rows[k] for k in keys_to_process}
+        if new_rows:
+            with self.timers.track("index/openie"):
+                ner_dict, triple_dict = self.openie.batch_openie(new_rows)
+            self.merge_openie_results(all_openie_info, new_rows, ner_dict, triple_dict)
+        if self.global_config.save_openie:
+            self.save_openie_results(all_openie_info)
+
+        triples_by_chunk = {
+            row["idx"]: filter_invalid_triples(row["extracted_triples"])
+            for row in all_openie_info
+        }
+        chunk_ids = list(chunk_to_rows.keys())
+        chunk_triples = [
+            [tuple(text_processing(t)) for t in triples_by_chunk.get(cid, [])]
+            for cid in chunk_ids
+        ]
+        entity_nodes, chunk_triple_entities = extract_entity_nodes(chunk_triples)
+        facts = flatten_facts(chunk_triples)
+
+        with self.timers.track("index/embed_entities"):
+            self.entity_embedding_store.insert_strings(entity_nodes)
+        with self.timers.track("index/embed_facts"):
+            self.fact_embedding_store.insert_strings([_fact_text(f) for f in facts])
+
+        if self.global_config.skip_graph:
+            return
+
+        with self.timers.track("index/graph_build"):
+            self.graph.add_fact_edges(chunk_ids, chunk_triples)
+            num_new_chunks = self.graph.add_passage_edges(chunk_ids, chunk_triple_entities)
+            if num_new_chunks > 0:
+                self._add_synonymy_edges()
+                # register all store nodes (entities first, passages second)
+                self.graph.register_nodes(self.entity_embedding_store.get_all_ids())
+                self.graph.register_nodes(chunk_ids)
+                self.graph.mark_chunks_indexed(chunk_ids)
+                self.graph.save(self._graph_path)
+                logger.info("Graph: %s", self.get_graph_info())
+
+        self.ready_to_retrieve = False
+
+    def _add_synonymy_edges(self):
+        """Device kNN over entity embeddings → similarity edges
+        (ref HippoRAG.py:959-1020, utils/embed_utils.py:6-94)."""
+        from .ops.knn import retrieve_knn
+
+        cfg = self.global_config
+        entity_ids = self.entity_embedding_store.get_all_ids()
+        if not entity_ids:
+            return
+        rows = self.entity_embedding_store.get_all_id_to_rows()
+        contents = {eid: rows[eid]["content"] for eid in entity_ids}
+        embs = self.entity_embedding_store.get_embeddings_matrix(entity_ids)
+        with self.timers.track("index/synonymy_knn"):
+            knn = retrieve_knn(
+                entity_ids,
+                entity_ids,
+                embs,
+                embs,
+                k=cfg.synonymy_edge_topk,
+                query_batch_size=cfg.synonymy_edge_query_batch_size,
+                key_batch_size=cfg.synonymy_edge_key_batch_size,
+            )
+        idx_of = {eid: i for i, eid in enumerate(entity_ids)}
+        knn_indices = [[idx_of[n] for n in knn[eid][0]] for eid in entity_ids]
+        knn_scores = [knn[eid][1] for eid in entity_ids]
+        num = self.graph.add_synonymy_edges(
+            entity_ids,
+            contents,
+            knn_indices,
+            knn_scores,
+            sim_threshold=cfg.synonymy_edge_sim_threshold,
+            max_neighbors=cfg.synonymy_edge_max_neighbors,
+        )
+        logger.info("Added %d synonymy edges", num)
+
+    # ------------------------------------------------------------------
+    # OpenIE results persistence (format-compatible with the reference:
+    # {"docs": [{idx, passage, extracted_entities, extracted_triples}], ...})
+    # ------------------------------------------------------------------
+    def load_existing_openie(self, chunk_keys) -> Tuple[List[dict], Set[str]]:
+        keys_to_process: Set[str] = set()
+        if not self.global_config.force_openie_from_scratch and os.path.isfile(
+            self.openie_results_path
+        ):
+            with open(self.openie_results_path, encoding="utf-8") as f:
+                all_info = json.load(f).get("docs", [])
+            for info in all_info:
+                info["idx"] = compute_mdhash_id(info["passage"], "chunk-")
+            existing = {info["idx"] for info in all_info}
+            keys_to_process = {k for k in chunk_keys if k not in existing}
+        else:
+            all_info = []
+            keys_to_process = set(chunk_keys)
+        return all_info, keys_to_process
+
+    def merge_openie_results(self, all_openie_info, chunks_to_save, ner_dict, triple_dict):
+        for chunk_key, row in chunks_to_save.items():
+            ner = ner_dict.get(chunk_key)
+            triples = triple_dict.get(chunk_key)
+            all_openie_info.append(
+                {
+                    "idx": chunk_key,
+                    "passage": row["content"],
+                    "extracted_entities": ner.unique_entities if ner else [],
+                    "extracted_triples": triples.triples if triples else [],
+                }
+            )
+        return all_openie_info
+
+    def save_openie_results(self, all_openie_info: List[dict]):
+        chars = sum(len(e) for c in all_openie_info for e in c["extracted_entities"])
+        words = sum(len(e.split()) for c in all_openie_info for e in c["extracted_entities"])
+        n = sum(len(c["extracted_entities"]) for c in all_openie_info)
+        payload = {
+            "docs": all_openie_info,
+            "avg_ent_chars": round(chars / n, 4) if n else 0,
+            "avg_ent_words": round(words / n, 4) if n else 0,
+        }
+        tmp = self.openie_results_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self.openie_results_path)
+
+    def _save_chunk_metadata(self):
+        tmp = self._chunk_metadata_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.chunk_metadata, f)
+        os.replace(tmp, self._chunk_metadata_path)
+
+    def get_graph_info(self) -> Dict[str, int]:
+        """Graph health stats (ref HippoRAG.py:1232-1285)."""
+        num_phrase = len(set(self.entity_embedding_store.get_all_ids()))
+        num_passage = len(set(self.chunk_embedding_store.get_all_ids()))
+        passage_set = set(self.chunk_embedding_store.get_all_ids())
+        num_with_passage = sum(
+            1
+            for (a, b) in self.graph.edge_weights
+            if a in passage_set or b in passage_set
+        )
+        num_extracted = len(self.fact_embedding_store.get_all_ids())
+        total = self.graph.num_edges
+        return {
+            "num_phrase_nodes": num_phrase,
+            "num_passage_nodes": num_passage,
+            "num_total_nodes": num_phrase + num_passage,
+            "num_extracted_triples": num_extracted,
+            "num_triples_with_passage_node": num_with_passage,
+            "num_synonymy_triples": max(0, total - 2 * num_extracted - num_with_passage),
+            "num_total_triples": total,
+        }
+
+    # ==================================================================
+    # Deletion (ref HippoRAG.py:337-411)
+    # ==================================================================
+    def delete(self, docs_to_delete: List[str]):
+        if not self.ready_to_retrieve:
+            self.prepare_retrieval_objects()
+
+        current = set(self.chunk_embedding_store.get_all_texts())
+        docs_to_delete = [d for d in docs_to_delete if d in current]
+        chunk_ids_to_delete = {
+            self.chunk_embedding_store.text_to_hash_id[d] for d in docs_to_delete
+        }
+        if not chunk_ids_to_delete:
+            return
+
+        all_openie_info, _ = self.load_existing_openie([])
+        triples_to_delete, remaining = [], []
+        triples_by_chunk: Dict[str, List] = {}
+        for doc in all_openie_info:
+            proc = [
+                tuple(text_processing(t))
+                for t in filter_invalid_triples(doc["extracted_triples"])
+            ]
+            triples_by_chunk[doc["idx"]] = proc
+            if doc["idx"] in chunk_ids_to_delete:
+                triples_to_delete.append(proc)
+            else:
+                remaining.append(doc)
+
+        affected = set(flatten_facts(triples_to_delete))
+        # a triple is unreferenced when no remaining chunk contains it
+        still_referenced: Set[Tuple] = set()
+        for doc in remaining:
+            still_referenced.update(triples_by_chunk.get(doc["idx"], []))
+        unreferenced_triples = [t for t in affected if t not in still_referenced]
+
+        # entity refcounts
+        orphaned_entities, _ = self.graph.remove_chunk_refs(
+            chunk_ids_to_delete,
+            {cid: triples_by_chunk.get(cid, []) for cid in chunk_ids_to_delete},
+        )
+
+        fact_ids = []
+        for t in unreferenced_triples:
+            fid = self.fact_embedding_store.text_to_hash_id.get(_fact_text(t))
+            if fid:
+                fact_ids.append(fid)
+
+        logger.info(
+            "Deleting %d chunks, %d facts, %d entities",
+            len(chunk_ids_to_delete),
+            len(fact_ids),
+            len(orphaned_entities),
+        )
+
+        self.save_openie_results(remaining)
+        self.entity_embedding_store.delete(list(orphaned_entities))
+        self.fact_embedding_store.delete(fact_ids)
+        self.chunk_embedding_store.delete(list(chunk_ids_to_delete))
+        for cid in chunk_ids_to_delete:
+            self.chunk_metadata.pop(cid, None)
+        self._save_chunk_metadata()
+
+        self.graph.delete_vertices(orphaned_entities | chunk_ids_to_delete)
+        self.graph.save(self._graph_path)
+        self.ready_to_retrieve = False
+
+    # ==================================================================
+    # Retrieval preparation (ref prepare_retrieval_objects, 1287-1389)
+    # ==================================================================
+    def prepare_retrieval_objects(self):
+        import jax
+
+        from .models.retrieval import RetrievalIndex
+
+        logger.info("Preparing retrieval objects")
+        cfg = self.global_config
+
+        self.entity_node_keys = list(self.entity_embedding_store.get_all_ids())
+        self.passage_node_keys = list(self.chunk_embedding_store.get_all_ids())
+        self.fact_node_keys = list(self.fact_embedding_store.get_all_ids())
+
+        # self-heal: make sure every store node exists in the graph
+        self.graph.register_nodes(self.entity_node_keys)
+        self.graph.register_nodes(self.passage_node_keys)
+
+        # rebuild entity→chunk refcounts + triple→docs map from OpenIE JSON
+        all_openie_info, _ = self.load_existing_openie([])
+        self.proc_triples_to_docs: Dict[str, Set[str]] = {}
+        if all_openie_info and not self.graph.ent_node_to_chunk_ids:
+            chunk_ids = [d["idx"] for d in all_openie_info]
+            chunk_triples = [
+                [tuple(text_processing(t)) for t in filter_invalid_triples(d["extracted_triples"])]
+                for d in all_openie_info
+            ]
+            self.graph.add_fact_edges(chunk_ids, chunk_triples)
+        for doc in all_openie_info:
+            for t in flatten_facts([filter_invalid_triples(doc["extracted_triples"])]):
+                key = _fact_text(tuple(text_processing(list(t))))
+                self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
+
+        # ---------------- device graph ----------------
+        graph_np, node_cap, edge_cap = compile_device_graph(
+            self.graph,
+            node_capacity=self._capacities["node"],
+            edge_capacity=self._capacities["edge"],
+            capacity_factor=cfg.graph_capacity_factor,
+        )
+        self._capacities["node"], self._capacities["edge"] = node_cap, edge_cap
+
+        fact_cap = pick_capacity(
+            len(self.fact_node_keys), self._capacities["fact"], cfg.graph_capacity_factor, 128
+        )
+        passage_cap = pick_capacity(
+            len(self.passage_node_keys), self._capacities["passage"], cfg.graph_capacity_factor, 128
+        )
+        self._capacities["fact"], self._capacities["passage"] = fact_cap, passage_cap
+
+        dim = None
+        pad_slot = node_cap - 1
+
+        def padded_matrix(store, keys, cap):
+            nonlocal dim
+            mat = store.get_embeddings_matrix(keys)
+            if mat.size:
+                dim = mat.shape[1]
+            d = dim or cfg.embedding_dim
+            out = np.zeros((cap, d), dtype=np.float32)
+            if mat.size:
+                out[: mat.shape[0]] = mat
+            return out
+
+        self.fact_embeddings = padded_matrix(self.fact_embedding_store, self.fact_node_keys, fact_cap)
+        self.passage_embeddings = padded_matrix(
+            self.chunk_embedding_store, self.passage_node_keys, passage_cap
+        )
+        self.entity_embeddings = self.entity_embedding_store.get_embeddings_matrix(
+            self.entity_node_keys
+        )
+
+        # fact endpoint nodes + validity
+        fact_subj = np.full(fact_cap, pad_slot, dtype=np.int32)
+        fact_obj = np.full(fact_cap, pad_slot, dtype=np.int32)
+        fact_valid = np.zeros(fact_cap, dtype=np.float32)
+        rows = self.fact_embedding_store.get_rows(self.fact_node_keys)
+        self._fact_tuples: List[Tuple[str, str, str]] = []
+        for i, fid in enumerate(self.fact_node_keys):
+            triple = _parse_fact_text(rows[fid]["content"])
+            self._fact_tuples.append(triple)
+            subj_key = compute_mdhash_id(triple[0], prefix="entity-")
+            obj_key = compute_mdhash_id(triple[2], prefix="entity-")
+            si = self.graph.node_to_idx.get(subj_key)
+            oi = self.graph.node_to_idx.get(obj_key)
+            fact_subj[i] = si if si is not None else pad_slot
+            fact_obj[i] = oi if oi is not None else pad_slot
+            fact_valid[i] = 1.0
+
+        node_chunk_counts = np.zeros(node_cap, dtype=np.float32)
+        for ent, chunks in self.graph.ent_node_to_chunk_ids.items():
+            idx = self.graph.node_to_idx.get(ent)
+            if idx is not None:
+                node_chunk_counts[idx] = len(chunks)
+
+        passage_node_ids = np.full(passage_cap, pad_slot, dtype=np.int32)
+        for i, pid in enumerate(self.passage_node_keys):
+            passage_node_ids[i] = self.graph.node_to_idx[pid]
+
+        device_put = jax.device_put
+        self._index_state = RetrievalIndex(
+            graph=jax.tree.map(device_put, graph_np),
+            fact_subj_node=device_put(fact_subj),
+            fact_obj_node=device_put(fact_obj),
+            fact_valid=device_put(fact_valid),
+            node_chunk_counts=device_put(node_chunk_counts),
+            passage_node_ids=device_put(passage_node_ids),
+            num_facts=device_put(np.asarray(len(self.fact_node_keys), np.int32)),
+            num_passages=device_put(np.asarray(len(self.passage_node_keys), np.int32)),
+        )
+        self._fact_emb_dev = device_put(self.fact_embeddings)
+        self._passage_emb_dev = device_put(self.passage_embeddings)
+        self.ready_to_retrieve = True
+
+    # ==================================================================
+    # Query encoding (ref get_query_embeddings, 1391-1425)
+    # ==================================================================
+    def get_query_embeddings(self, queries: List[str]):
+        todo = [
+            q
+            for q in queries
+            if q not in self.query_to_embedding["triple"]
+            or q not in self.query_to_embedding["passage"]
+        ]
+        if not todo:
+            return
+        fact_embs = self.embedding_model.batch_encode(
+            todo, instruction=get_query_instruction("query_to_fact"), norm=True
+        )
+        passage_embs = self.embedding_model.batch_encode(
+            todo, instruction=get_query_instruction("query_to_passage"), norm=True
+        )
+        if fact_embs.ndim == 1:
+            fact_embs, passage_embs = fact_embs[None], passage_embs[None]
+        for q, fe, pe in zip(todo, fact_embs, passage_embs):
+            self.query_to_embedding["triple"][q] = fe
+            self.query_to_embedding["passage"][q] = pe
+
+    # ==================================================================
+    # Retrieval (batched)
+    # ==================================================================
+    def retrieve(
+        self,
+        queries: List[str],
+        num_to_retrieve: Optional[int] = None,
+        gold_docs: Optional[List[List[str]]] = None,
+    ):
+        import jax.numpy as jnp
+
+        from .models.retrieval import graph_search_batch, rank_documents
+        from .ops.scoring import batched_scores, score_and_topk
+
+        cfg = self.global_config
+        if num_to_retrieve is None:
+            num_to_retrieve = cfg.retrieval_top_k
+        if not self.ready_to_retrieve:
+            self.prepare_retrieval_objects()
+        retrieve_start = time.time()
+
+        self.get_query_embeddings(queries)
+        num_facts = len(self.fact_node_keys)
+        num_passages = len(self.passage_node_keys)
+        link_top_k = cfg.linking_top_k
+
+        results: List[QuerySolution] = []
+        bucket = max(1, cfg.ppr_batch_size)
+        for start in range(0, len(queries), bucket):
+            batch_queries = queries[start : start + bucket]
+            b_real = len(batch_queries)
+            b_pad = bucket  # fixed bucket => stable executable
+
+            qf = np.zeros((b_pad, self.fact_embeddings.shape[1]), dtype=np.float32)
+            qp = np.zeros_like(qf)
+            for i, q in enumerate(batch_queries):
+                qf[i] = self.query_to_embedding["triple"][q]
+                qp[i] = self.query_to_embedding["passage"][q]
+
+            # -------- fact scoring + candidate top-k (device) --------
+            if num_facts > 0:
+                fact_scores_dev, cand_vals, cand_idx = score_and_topk(
+                    jnp.asarray(qf),
+                    self._fact_emb_dev,
+                    jnp.asarray(num_facts, dtype=jnp.int32),
+                    min(link_top_k, max(num_facts, 1)),
+                    cfg.compute_dtype,
+                )
+                fact_scores = np.asarray(fact_scores_dev)
+                cand_idx = np.asarray(cand_idx)
+                cand_vals = np.asarray(cand_vals)
+            else:
+                fact_scores = np.zeros((b_pad, 0), dtype=np.float32)
+                cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
+                cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
+
+            # -------- recognition memory (host LLM, fanned out) --------
+            rerank_start = time.time()
+            top_idx = np.zeros((b_pad, link_top_k), dtype=np.int32)
+            top_mask = np.zeros((b_pad, link_top_k), dtype=np.float32)
+            batch_top_facts: List[List[Tuple]] = [[] for _ in range(b_pad)]
+            if num_facts > 0:
+                rerank_inputs = []
+                for i, q in enumerate(batch_queries):
+                    cands = [int(j) for j, v in zip(cand_idx[i], cand_vals[i]) if v > -np.inf]
+                    items = [self._fact_tuples[j] for j in cands]
+                    rerank_inputs.append((q, items, cands))
+
+                def _rerank(args):
+                    q, items, cands = args
+                    return self.rerank_filter.rerank(q, items, cands, link_top_k)
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                if len(rerank_inputs) > 1:
+                    with ThreadPoolExecutor(max_workers=16) as pool:
+                        reranked = list(pool.map(_rerank, rerank_inputs))
+                else:
+                    reranked = [_rerank(r) for r in rerank_inputs]
+
+                for i, (sorted_idx, sorted_items, _) in enumerate(reranked):
+                    batch_top_facts[i] = sorted_items
+                    for k, fact_row in enumerate(sorted_idx[:link_top_k]):
+                        top_idx[i, k] = fact_row
+                        top_mask[i, k] = 1.0
+            self.rerank_time += time.time() - rerank_start
+
+            # -------- graph search: seeds + batched PPR (device) --------
+            ppr_start = time.time()
+            dpr_scores = batched_scores(
+                jnp.asarray(qp), self._passage_emb_dev, cfg.compute_dtype
+            )
+            if num_facts > 0 and self.graph.num_edges > 0:
+                doc_scores = graph_search_batch(
+                    self._index_state,
+                    jnp.asarray(fact_scores),
+                    jnp.asarray(top_idx),
+                    jnp.asarray(top_mask),
+                    dpr_scores,
+                    link_top_k=link_top_k,
+                    passage_node_weight=cfg.passage_node_weight,
+                    damping=cfg.damping,
+                    ppr_max_iters=cfg.ppr_max_iters,
+                    ppr_tol=cfg.ppr_tol,
+                )
+            else:
+                from .ops.scoring import min_max_normalize as mmn
+
+                pcol = np.arange(dpr_scores.shape[1])[None, :]
+                doc_scores = jnp.where(
+                    jnp.asarray(pcol < num_passages), mmn(dpr_scores), -jnp.inf
+                )
+            order_dev, sorted_dev = rank_documents(doc_scores)
+            order = np.asarray(order_dev)
+            sorted_scores = np.asarray(sorted_dev)
+            self.ppr_time += time.time() - ppr_start
+
+            for i in range(b_real):
+                top_n = [
+                    j for j in order[i] if j < num_passages
+                ][:num_to_retrieve]
+                result = self._build_result(
+                    batch_queries[i],
+                    top_n,
+                    sorted_scores[i][: len(top_n)],
+                    batch_top_facts[i],
+                )
+                results.append(result)
+
+        self.all_retrieval_time += time.time() - retrieve_start
+        logger.info(
+            "Retrieval: total %.2fs, rerank %.2fs, graph-search %.2fs",
+            self.all_retrieval_time,
+            self.rerank_time,
+            self.ppr_time,
+        )
+
+        if gold_docs is not None:
+            evaluator = RetrievalRecall(self.global_config)
+            overall, _ = evaluator.calculate_metric_scores(
+                gold_docs, [r.docs for r in results], RETRIEVAL_K_LIST
+            )
+            logger.info("Retrieval eval: %s", overall)
+            return results, overall
+        return results
+
+    def _build_result(self, query, doc_indices, doc_scores, graph_seeds) -> QuerySolution:
+        keys = [self.passage_node_keys[j] for j in doc_indices]
+        docs = [self.chunk_embedding_store.get_row(k)["content"] for k in keys]
+        metadata = [dict(self.chunk_metadata.get(k, {})) for k in keys]
+        return QuerySolution(
+            question=query,
+            docs=docs,
+            doc_scores=np.asarray(doc_scores, dtype=np.float64),
+            doc_metadata=metadata,
+            graph_seeds=list(graph_seeds),
+        )
+
+    def dense_passage_retrieval(self, query: str):
+        """Pure DPR scores for one query (ref HippoRAG.py:1467-1502)."""
+        import jax.numpy as jnp
+
+        from .ops.scoring import batched_normalized_scores
+
+        if not self.ready_to_retrieve:
+            self.prepare_retrieval_objects()
+        self.get_query_embeddings([query])
+        qp = self.query_to_embedding["passage"][query][None]
+        scores = np.asarray(
+            batched_normalized_scores(
+                jnp.asarray(qp),
+                self._passage_emb_dev,
+                jnp.asarray(len(self.passage_node_keys), dtype=jnp.int32),
+                self.global_config.compute_dtype,
+            )
+        )[0][: len(self.passage_node_keys)]
+        order = np.argsort(-scores)
+        return order, scores[order]
+
+    # ==================================================================
+    # QA (ref HippoRAG.py:808-865) and rag_qa (591-663)
+    # ==================================================================
+    def qa(self, queries: List[QuerySolution]):
+        cfg = self.global_config
+        all_messages = []
+        for qs in queries:
+            passages = qs.docs[: cfg.qa_top_k]
+            prompt_user = ""
+            for passage in passages:
+                prompt_user += f"Wikipedia Title: {passage}\n\n"
+            prompt_user += "Question: " + qs.question + "\nThought: "
+            name = f"rag_qa_{cfg.dataset}"
+            if not self.prompt_template_manager.is_template_name_valid(name):
+                name = "rag_qa"
+            all_messages.append(
+                self.prompt_template_manager.render(name, prompt_user=prompt_user)
+            )
+
+        qa_results = self.qa_llm.batch_infer(all_messages, response_format=None)
+        responses = [r[0] for r in qa_results]
+        metadata = [r[1] for r in qa_results]
+
+        solutions = []
+        for qs, response in zip(queries, responses):
+            if "Answer:" in response:
+                qs.answer = response.split("Answer:")[1].strip()
+            else:
+                qs.answer = response.strip()
+            solutions.append(qs)
+        return solutions, responses, metadata
+
+    def rag_qa(
+        self,
+        queries: Union[List[str], List[QuerySolution]],
+        gold_docs: Optional[List[List[str]]] = None,
+        gold_answers: Optional[List[List[str]]] = None,
+    ):
+        overall_retrieval_result = None
+        if not isinstance(queries[0], QuerySolution):
+            if gold_docs is not None:
+                queries, overall_retrieval_result = self.retrieve(queries, gold_docs=gold_docs)
+            else:
+                queries = self.retrieve(queries)
+
+        solutions, responses, metadata = self.qa(queries)
+
+        if gold_answers is not None:
+            em, _ = QAExactMatch(self.global_config).calculate_metric_scores(
+                gold_answers, [s.answer for s in solutions], np.max
+            )
+            f1, _ = QAF1Score(self.global_config).calculate_metric_scores(
+                gold_answers, [s.answer for s in solutions], np.max
+            )
+            overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
+            logger.info("QA eval: %s", overall)
+            for i, s in enumerate(solutions):
+                s.gold_answers = list(gold_answers[i])
+                if gold_docs is not None:
+                    s.gold_docs = gold_docs[i]
+            return solutions, responses, metadata, overall_retrieval_result, overall
+        return solutions, responses, metadata
+
+    # ==================================================================
+    # IRCoT iterative retrieval (ref HippoRAG.py:509-589)
+    # ==================================================================
+    def retrieve_ircot(
+        self,
+        queries: List[str],
+        max_qa_steps: int,
+        num_to_retrieve: Optional[int] = None,
+        gold_docs: Optional[List[List[str]]] = None,
+    ):
+        from .utils.qa_utils import reason_step
+
+        if max_qa_steps < 1:
+            raise ValueError("max_qa_steps must be at least 1.")
+        cfg = self.global_config
+        if num_to_retrieve is None:
+            num_to_retrieve = cfg.retrieval_top_k
+
+        results = []
+        for query in queries:
+            step = self.retrieve([query], num_to_retrieve=num_to_retrieve)[0]
+            merged_scores = dict(zip(step.docs, step.doc_scores.tolist()))
+            merged_meta = dict(zip(step.docs, step.doc_metadata or []))
+            thoughts: List[str] = []
+            for _ in range(1, max_qa_steps):
+                ranked = sorted(merged_scores, key=merged_scores.get, reverse=True)
+                thought = reason_step(
+                    cfg.dataset,
+                    self.prompt_template_manager,
+                    query,
+                    ranked[:num_to_retrieve],
+                    thoughts,
+                    self.qa_llm,
+                )
+                thoughts.append(thought)
+                if "So the answer is:" in thought:
+                    break
+                step = self.retrieve([thought], num_to_retrieve=num_to_retrieve)[0]
+                for doc, score in zip(step.docs, step.doc_scores.tolist()):
+                    merged_scores[doc] = max(merged_scores.get(doc, float("-inf")), score)
+                merged_meta.update(dict(zip(step.docs, step.doc_metadata or [])))
+
+            ranked_items = sorted(merged_scores.items(), key=lambda kv: kv[1], reverse=True)
+            results.append(
+                QuerySolution(
+                    question=query,
+                    docs=[d for d, _ in ranked_items],
+                    doc_scores=np.asarray([s for _, s in ranked_items]),
+                    thoughts=thoughts,
+                    doc_metadata=[merged_meta.get(d, {}) for d, _ in ranked_items],
+                )
+            )
+
+        if gold_docs is None:
+            return results
+        evaluator = RetrievalRecall(self.global_config)
+        overall, _ = evaluator.calculate_metric_scores(
+            gold_docs, [r.docs for r in results], RETRIEVAL_K_LIST
+        )
+        return results, overall
+
+    def answer_with_ircot(
+        self,
+        queries: List[str],
+        gold_docs=None,
+        gold_answers=None,
+        max_qa_steps: int = 2,
+    ):
+        retrieved = self.retrieve_ircot(queries, max_qa_steps=max_qa_steps, gold_docs=gold_docs)
+        if gold_docs is not None:
+            retrieved, _ = retrieved
+        return self.rag_qa(retrieved, gold_docs=gold_docs, gold_answers=gold_answers)

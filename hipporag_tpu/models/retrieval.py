@@ -1,0 +1,136 @@
+"""Flagship model: batched graph retrieval pipeline.
+
+The reference processes queries one at a time through Python
+(HippoRAG.py:459-480: fact scoring → seed-weight construction → igraph PPR).
+Here the whole query batch advances through ONE jitted function operating on
+[B, ...] arrays: seed construction is scatter-based, PPR is the batched
+power iteration from ops/pagerank.py, and the final passage ranking comes
+out as a [B, P] score matrix. This is the structural TPU win called out in
+SURVEY.md §3 ("batching step 3's reset vectors").
+
+Score semantics are kept exactly (HippoRAG.py:1544-1656):
+- each top fact contributes ``fact_score / |chunks containing endpoint|`` to
+  both endpoint phrases; per-phrase weights are averaged over the number of
+  contributions;
+- only the ``link_top_k`` highest phrases keep weight (ties broken by lower
+  node index, like the reference's stable sort over insertion order);
+- passage seeds are min-max-normalized DPR scores × passage_node_weight;
+- queries with no surviving facts fall back to pure DPR ranking
+  (HippoRAG.py:467-469).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pagerank import COOGraph, batched_ppr
+from ..ops.scoring import min_max_normalize
+
+Array = jax.Array
+
+
+class RetrievalIndex(NamedTuple):
+    """Device-resident retrieval state (all padded to stable capacities).
+
+    fact_* arrays are aligned with the fact-embedding matrix rows; node ids
+    refer to the padded graph. Invalid/padded entries carry node id = N_pad-1
+    and mask 0.
+    """
+
+    graph: COOGraph
+    fact_subj_node: Array  # [F_pad] int32
+    fact_obj_node: Array  # [F_pad] int32
+    fact_valid: Array  # [F_pad] float32 (1.0 = real fact row)
+    node_chunk_counts: Array  # [N_pad] float32 (>=0; divisor clamped to 1)
+    passage_node_ids: Array  # [P_pad] int32
+    num_facts: Array  # [] int32
+    num_passages: Array  # [] int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("link_top_k", "ppr_max_iters")
+)
+def graph_search_batch(
+    index: RetrievalIndex,
+    fact_scores: Array,  # [B, F_pad] normalized fact scores
+    top_fact_idx: Array,  # [B, K] post-rerank fact rows (any value where mask=0)
+    top_fact_mask: Array,  # [B, K] float32 1.0 = real selected fact
+    dpr_scores: Array,  # [B, P_pad] raw passage similarity scores
+    link_top_k: int = 5,
+    passage_node_weight: float = 0.05,
+    damping: float = 0.5,
+    ppr_max_iters: int = 64,
+    ppr_tol: float = 1.0e-8,
+) -> Array:
+    """Return [B, P_pad] final document scores (padded cols = -inf)."""
+    b, k = top_fact_idx.shape
+    p_pad = index.passage_node_ids.shape[0]
+
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # ------------------------------------------------------------------
+    # Phrase seed weights from selected facts.
+    # ------------------------------------------------------------------
+    sel_scores = jnp.take_along_axis(fact_scores, top_fact_idx, axis=1)  # [B, K]
+    subj = index.fact_subj_node[top_fact_idx]  # [B, K]
+    obj = index.fact_obj_node[top_fact_idx]
+    endpoints = jnp.concatenate([subj, obj], axis=1)  # [B, 2K]
+    ep_scores = jnp.concatenate([sel_scores, sel_scores], axis=1)
+    ep_mask = jnp.concatenate([top_fact_mask, top_fact_mask], axis=1)
+    # also mask endpoints that point at the padding node
+    ep_valid = ep_mask * (endpoints < index.graph.num_nodes)
+
+    divisor = jnp.maximum(index.node_chunk_counts[endpoints], 1.0)
+    contrib = ep_scores / divisor * ep_valid
+
+    # route masked endpoints to the padding slot so they never touch a real node
+    pad_slot = jnp.int32(index.node_chunk_counts.shape[0] - 1)
+    safe_endpoints = jnp.where(ep_valid > 0, endpoints, pad_slot)
+
+    zeros = jnp.zeros((b, index.node_chunk_counts.shape[0]), dtype=jnp.float32)
+    weight_sum = zeros.at[rows, safe_endpoints].add(contrib)
+    occurs = zeros.at[rows, safe_endpoints].add(ep_valid)
+    phrase_weights = jnp.where(occurs > 0, weight_sum / jnp.maximum(occurs, 1.0), 0.0)
+    phrase_weights = phrase_weights.at[:, pad_slot].set(0.0)
+
+    # keep only the top-`link_top_k` phrases per query (ref get_top_k_weights)
+    top_vals, top_idx = jax.lax.top_k(phrase_weights, link_top_k)
+    kept = jnp.zeros_like(phrase_weights).at[rows, top_idx].set(
+        jnp.where(top_vals > 0, top_vals, 0.0)
+    )
+
+    # ------------------------------------------------------------------
+    # Passage seed weights from dense retrieval.
+    # ------------------------------------------------------------------
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
+    p_valid = pcol < index.num_passages
+    dpr_norm = min_max_normalize(dpr_scores, where=p_valid)
+    passage_weights = jnp.zeros_like(phrase_weights).at[
+        rows, index.passage_node_ids[None, :].repeat(b, axis=0)
+    ].add(dpr_norm * passage_node_weight * p_valid)
+
+    reset = kept + passage_weights
+
+    # ------------------------------------------------------------------
+    # Batched PPR and passage extraction.
+    # ------------------------------------------------------------------
+    ppr = batched_ppr(
+        index.graph, reset, damping=damping, max_iters=ppr_max_iters, tol=ppr_tol
+    )
+    ppr_doc_scores = ppr[:, index.passage_node_ids]  # [B, P_pad]
+
+    # DPR fallback for queries whose fact set is empty after reranking.
+    has_facts = jnp.sum(top_fact_mask, axis=1, keepdims=True) > 0
+    doc_scores = jnp.where(has_facts, ppr_doc_scores, dpr_norm)
+    return jnp.where(p_valid, doc_scores, -jnp.inf)
+
+
+@jax.jit
+def rank_documents(doc_scores: Array):
+    """Descending argsort of [B, P] scores -> (sorted_idx, sorted_scores)."""
+    order = jnp.argsort(-doc_scores, axis=1)
+    return order, jnp.take_along_axis(doc_scores, order, axis=1)

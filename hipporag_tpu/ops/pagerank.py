@@ -1,0 +1,152 @@
+"""Batched Personalized PageRank on TPU.
+
+Replaces igraph's C++ ``prpack`` solver (reference: HippoRAG.py:1736-1743,
+one serial solve per query) with a *batched* power iteration: all queries'
+reset vectors advance together through one sparse transition operator, so
+the whole query batch costs one SpMV sequence instead of Q solver calls.
+
+Semantics match ``igraph.personalized_pagerank(damping, directed=False,
+weights, reset, implementation='prpack')``:
+
+- The graph is weighted and undirected. A random step from node ``u`` moves
+  to neighbor ``v`` with probability ``w(u,v) / strength(u)``.
+- With probability ``1 - damping`` (and from zero-strength dangling nodes,
+  with their full mass) the walker teleports to the reset distribution.
+- The reset vector is L1-normalized; NaN/negative entries are zeroed by the
+  caller (HippoRAG.py:1733).
+
+Fixed point: ``p = (1-d) r + d (T p + (dangling . p) r)``.
+
+The SpMV is expressed as gather + ``segment_sum`` over a COO edge list
+sorted by destination — XLA lowers this to efficient TPU sorted-segment
+reductions — with the batch dimension as the trailing (lane) axis:
+``p_T[N, B]`` gathered to ``[E, B]`` then segment-summed back to ``[N, B]``.
+Padded edges carry weight 0 and padded nodes have zero reset, so padding is
+a numerical no-op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class COOGraph(NamedTuple):
+    """Device-resident normalized transition operator in COO form.
+
+    Attributes:
+      src: [E] int32 source node per directed edge (padded with 0).
+      dst: [E] int32 destination node per directed edge, sorted ascending.
+      w_norm: [E] float32 ``w(src,dst)/strength(src)`` (0 for padding).
+      dangling: [N] float32 mask, 1.0 where strength == 0 (real nodes only).
+      num_nodes: [] int32 count of real (unpadded) nodes.
+    """
+
+    src: Array
+    dst: Array
+    w_norm: Array
+    dangling: Array
+    num_nodes: Array
+
+
+def _spmv_T(graph: COOGraph, p_T: Array) -> Array:
+    """y_T[N, B] = T @ p for all batch columns: y[dst] += w_norm * p[src]."""
+    gathered = p_T[graph.src] * graph.w_norm[:, None]  # [E, B]
+    return jax.ops.segment_sum(
+        gathered,
+        graph.dst,
+        num_segments=p_T.shape[0],
+        indices_are_sorted=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def batched_ppr(
+    graph: COOGraph,
+    reset: Array,
+    damping: float | Array = 0.5,
+    max_iters: int = 64,
+    tol: float | Array = 1.0e-8,
+) -> Array:
+    """Run PPR for a batch of reset vectors.
+
+    Args:
+      graph: COOGraph with N (padded) nodes.
+      reset: [B, N] nonnegative seed weights (not necessarily normalized).
+      damping: continuation probability d.
+      max_iters: static iteration cap (d=0.5 converges ~2^-k).
+      tol: early-exit L-inf threshold on the batched residual.
+
+    Returns:
+      [B, N] stationary probabilities (rows sum to ~1 over real nodes).
+    """
+    reset = jnp.maximum(reset, 0.0)
+    reset = jnp.where(jnp.isnan(reset), 0.0, reset)
+    row_sum = jnp.sum(reset, axis=1, keepdims=True)
+    # Zero reset rows fall back to uniform over real nodes (igraph uses the
+    # uniform distribution when no reset is given; an all-zero reset row is
+    # degenerate either way and never produced by the orchestrator).
+    n_real = jnp.maximum(graph.num_nodes, 1).astype(reset.dtype)
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (1, reset.shape[1]), 1)
+    uniform = jnp.where(node_ids < graph.num_nodes, 1.0 / n_real, 0.0)
+    r = jnp.where(row_sum > 0, reset / jnp.where(row_sum > 0, row_sum, 1.0), uniform)
+
+    r_T = r.T  # [N, B]
+    d = jnp.asarray(damping, dtype=r_T.dtype)
+
+    def cond(state):
+        _, err, it = state
+        return jnp.logical_and(err > tol, it < max_iters)
+
+    def body(state):
+        p_T, _, it = state
+        y_T = _spmv_T(graph, p_T)
+        dangling_mass = jnp.sum(p_T * graph.dangling[:, None], axis=0, keepdims=True)
+        p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
+        err = jnp.max(jnp.abs(p_next - p_T))
+        return p_next, err, it + 1
+
+    p_T, _, _ = jax.lax.while_loop(cond, body, (r_T, jnp.asarray(jnp.inf, r_T.dtype), 0))
+    return p_T.T
+
+
+def ppr_numpy_reference(
+    num_nodes: int,
+    edges,  # iterable of (u, v, w) undirected entries, already symmetric-expanded
+    reset,  # [B, N]
+    damping: float = 0.5,
+    iters: int = 200,
+):
+    """Trusted dense NumPy implementation for parity tests (host-side).
+
+    Builds the dense symmetric adjacency, normalizes rows, and iterates the
+    same fixed point. Used to validate the TPU kernel in the absence of
+    igraph in this environment; the semantics documented above are those of
+    igraph/prpack for weighted undirected graphs.
+    """
+    import numpy as np
+
+    A = np.zeros((num_nodes, num_nodes), dtype=np.float64)
+    for u, v, w in edges:
+        A[u, v] += w
+    strength = A.sum(axis=1)
+    dangling = (strength == 0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        T = np.where(strength[:, None] > 0, A / np.maximum(strength, 1e-300)[:, None], 0.0)
+
+    reset = np.asarray(reset, dtype=np.float64)
+    reset = np.where(np.isnan(reset) | (reset < 0), 0.0, reset)
+    rs = reset.sum(axis=1, keepdims=True)
+    r = np.where(rs > 0, reset / np.where(rs > 0, rs, 1.0), 1.0 / num_nodes)
+
+    p = r.copy()
+    for _ in range(iters):
+        y = p @ T  # y[b, v] = sum_u p[b, u] T[u, v]
+        dm = (p * dangling).sum(axis=1, keepdims=True)
+        p = (1 - damping) * r + damping * (y + dm * r)
+    return p

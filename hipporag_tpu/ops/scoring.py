@@ -1,0 +1,87 @@
+"""Batched dense scoring ops (XLA-jitted, MXU-shaped).
+
+Replaces the reference's per-query NumPy dot products
+(HippoRAG.py:1459-1461, 1496-1501) with batched [B, D] x [D, N] matmuls that
+XLA tiles onto the MXU. Inputs may be bfloat16; accumulation is float32.
+
+All ops are shape-polymorphic only through re-jit; callers keep embedding
+matrices padded to stable capacities (see graph/csr.py) to amortize
+compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def min_max_normalize(scores: Array, axis: int = -1, where=None) -> Array:
+    """Row-wise min-max scaling to [0, 1]; constant rows map to all-ones.
+
+    Matches the reference normalization (utils/misc_utils.py:130-139) applied
+    per query. ``where`` optionally masks out padded columns (they return 0).
+    """
+    if where is not None:
+        lo = jnp.min(jnp.where(where, scores, jnp.inf), axis=axis, keepdims=True)
+        hi = jnp.max(jnp.where(where, scores, -jnp.inf), axis=axis, keepdims=True)
+    else:
+        lo = jnp.min(scores, axis=axis, keepdims=True)
+        hi = jnp.max(scores, axis=axis, keepdims=True)
+    rng = hi - lo
+    out = jnp.where(rng == 0, jnp.ones_like(scores), (scores - lo) / jnp.where(rng == 0, 1.0, rng))
+    if where is not None:
+        out = jnp.where(where, out, 0.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def batched_scores(
+    queries: Array, keys: Array, compute_dtype: str = "float32"
+) -> Array:
+    """[B, D] x [N, D] -> [B, N] similarity scores (f32 accumulation)."""
+    dtype = jnp.dtype(compute_dtype)
+    # HIGHEST keeps f32 inputs exactly f32 (XLA's default may down-convert);
+    # the fast path is explicit bf16 inputs, which stay on the MXU bf16 pipe.
+    return jax.lax.dot_general(
+        queries.astype(dtype),
+        keys.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def batched_normalized_scores(
+    queries: Array, keys: Array, valid_n: Array, compute_dtype: str = "float32"
+) -> Array:
+    """Scores + per-row min-max normalization over the first ``valid_n`` keys.
+
+    ``valid_n`` is a scalar int array: keys beyond it are padding and receive
+    score 0 (reference computes min-max over real facts only).
+    """
+    raw = batched_scores(queries, keys, compute_dtype)
+    n = raw.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    mask = col < valid_n
+    return min_max_normalize(raw, where=mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batched_topk(scores: Array, k: int):
+    """Per-row top-k (values, indices) of a [B, N] score matrix."""
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "k"))
+def score_and_topk(
+    queries: Array, keys: Array, valid_n: Array, k: int, compute_dtype: str = "float32"
+):
+    """Fused normalized scoring + top-k used by fact retrieval."""
+    scores = batched_normalized_scores(queries, keys, valid_n, compute_dtype)
+    values, indices = jax.lax.top_k(scores, k)
+    return scores, values, indices

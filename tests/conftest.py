@@ -1,18 +1,22 @@
 """Test configuration.
 
-Force JAX onto a virtual 8-device CPU mesh BEFORE jax is imported anywhere,
-so sharding/pjit tests run without TPU hardware (the driver separately
-dry-runs the multi-chip path).
+Force JAX onto a virtual 8-device CPU backend BEFORE any test touches a
+device, so sharding/pjit tests run without TPU hardware (the driver
+separately dry-runs the multi-chip path on real meshes).
+
+Note: this environment's sitecustomize force-registers a remote TPU
+backend and overrides the JAX_PLATFORMS env var via jax.config, so we must
+override at the config level too, not with environment variables.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,190 @@
+"""Numeric tests for the TPU compute core (run on CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipporag_tpu.graph import GraphBuilder, compile_device_graph
+from hipporag_tpu.ops import (
+    batched_normalized_scores,
+    batched_ppr,
+    min_max_normalize,
+    ppr_numpy_reference,
+    retrieve_knn,
+    score_and_topk,
+    streaming_topk_scores,
+)
+
+
+def _random_graph(num_nodes=60, num_edges=300, seed=0):
+    rng = np.random.default_rng(seed)
+    builder = GraphBuilder()
+    names = [f"n{i}" for i in range(num_nodes)]
+    builder.register_nodes(names)
+    for _ in range(num_edges):
+        a, b = rng.integers(0, num_nodes, 2)
+        if a == b:
+            continue
+        w = float(rng.uniform(0.1, 3.0))
+        key = (names[a], names[b])
+        builder.edge_weights[key] = builder.edge_weights.get(key, 0.0) + w
+    return builder
+
+
+def test_min_max_normalize_matches_reference():
+    x = jnp.asarray([[1.0, 3.0, 2.0], [5.0, 5.0, 5.0]])
+    out = np.asarray(min_max_normalize(x))
+    np.testing.assert_allclose(out[0], [0.0, 1.0, 0.5])
+    np.testing.assert_allclose(out[1], [1.0, 1.0, 1.0])
+
+
+def test_min_max_normalize_with_padding_mask():
+    x = jnp.asarray([[1.0, 3.0, 100.0]])
+    mask = jnp.asarray([[True, True, False]])
+    out = np.asarray(min_max_normalize(x, where=mask))
+    np.testing.assert_allclose(out, [[0.0, 1.0, 0.0]])
+
+
+def test_batched_scores_with_valid_mask():
+    q = jnp.asarray(np.eye(2, 4, dtype=np.float32))
+    keys = jnp.asarray(np.eye(3, 4, dtype=np.float32))  # row 2 is "padding"
+    out = np.asarray(batched_normalized_scores(q, keys, jnp.asarray(2)))
+    assert out.shape == (2, 3)
+    assert out[0, 2] == 0.0  # padded key masked out
+    assert out[0, 0] == 1.0 and out[0, 1] == 0.0
+
+
+def test_score_and_topk():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    keys = rng.standard_normal((50, 16)).astype(np.float32)
+    scores, vals, idx = score_and_topk(jnp.asarray(q), jnp.asarray(keys), jnp.asarray(50), 5)
+    ref = q @ keys.T
+    ref_norm = np.stack([(r - r.min()) / (r.max() - r.min()) for r in ref])
+    np.testing.assert_allclose(np.asarray(scores), ref_norm, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.argsort(-ref_norm, axis=1)[:, :5])
+
+
+def test_streaming_topk_matches_full_matmul():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((7, 24)).astype(np.float32)
+    keys = rng.standard_normal((103, 24)).astype(np.float32)
+    vals, idx = streaming_topk_scores(
+        jnp.asarray(q), jnp.asarray(keys), jnp.asarray(103), k=9, key_chunk=32
+    )
+    full = q @ keys.T
+    expect_idx = np.argsort(-full, axis=1)[:, :9]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(full, expect_idx, axis=1), atol=1e-4
+    )
+    # indices may differ on exact ties only; values above guarantee correctness
+    np.testing.assert_allclose(
+        np.take_along_axis(full, np.asarray(idx), axis=1),
+        np.take_along_axis(full, expect_idx, axis=1),
+        atol=1e-4,
+    )
+
+
+def test_retrieve_knn_interface():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = [f"e{i}" for i in range(20)]
+    out = retrieve_knn(ids, ids, vecs, vecs, k=4, query_batch_size=6, key_batch_size=7)
+    assert set(out.keys()) == set(ids)
+    for qid, (nbrs, scores) in out.items():
+        assert len(nbrs) == 4
+        assert nbrs[0] == qid  # self-similarity = 1.0 is always the top hit
+        assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.parametrize("damping", [0.5, 0.85])
+def test_batched_ppr_matches_dense_reference(damping):
+    builder = _random_graph()
+    graph, _, _ = compile_device_graph(builder, capacity_factor=1.3)
+    n = builder.num_nodes
+
+    rng = np.random.default_rng(7)
+    reset = np.zeros((5, graph.dangling.shape[0]), dtype=np.float32)
+    reset[:, :n] = rng.uniform(0, 1, (5, n)) * (rng.uniform(0, 1, (5, n)) > 0.7)
+    reset[0, :n] = 0.0
+    reset[0, 3] = 1.0  # single-seed query
+
+    src, dst, w = builder.symmetric_coo()
+    expected = ppr_numpy_reference(n, zip(src, dst, w), reset[:, :n], damping=damping)
+
+    out = np.asarray(
+        batched_ppr(graph, jnp.asarray(reset), damping=damping, max_iters=128, tol=1e-10)
+    )
+    np.testing.assert_allclose(out[:, :n], expected, atol=2e-6)
+    # padded node columns stay ~0
+    assert np.abs(out[:, n:]).max() < 1e-6
+    # each row is a probability distribution
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_ppr_dangling_nodes_redistribute_to_reset():
+    builder = GraphBuilder()
+    builder.register_nodes(["a", "b", "isolated"])
+    builder.edge_weights[("a", "b")] = 1.0
+    graph, _, _ = compile_device_graph(builder)
+    reset = np.zeros((1, graph.dangling.shape[0]), dtype=np.float32)
+    reset[0, 2] = 1.0  # all teleport mass on the isolated node
+    out = np.asarray(batched_ppr(graph, jnp.asarray(reset), damping=0.5, max_iters=64))
+    src, dst, w = builder.symmetric_coo()
+    expected = ppr_numpy_reference(3, zip(src, dst, w), reset[:, :3], damping=0.5)
+    np.testing.assert_allclose(out[0, :3], expected[0], atol=1e-6)
+    assert out[0, 2] > 0.5  # isolated seed keeps most of its mass
+
+
+def test_ppr_nan_negative_reset_sanitized():
+    builder = _random_graph(num_nodes=10, num_edges=30)
+    graph, _, _ = compile_device_graph(builder)
+    reset = np.zeros((1, graph.dangling.shape[0]), dtype=np.float32)
+    reset[0, 0] = np.nan
+    reset[0, 1] = -5.0
+    reset[0, 2] = 2.0
+    out = np.asarray(batched_ppr(graph, jnp.asarray(reset)))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.sum(), 1.0, atol=1e-5)
+
+
+def test_graph_builder_fact_edge_weights():
+    builder = GraphBuilder()
+    from hipporag_tpu.utils.misc import compute_mdhash_id
+
+    triples = [("Erik Hort", "born in", "Montebello"), ("Erik Hort", "plays", "Soccer")]
+    builder.add_fact_edges(["chunk-1"], [triples])
+    builder.add_fact_edges(["chunk-1"], [triples])  # idempotent: chunk marked later
+    builder.mark_chunks_indexed(["chunk-1"])
+    builder.add_fact_edges(["chunk-1"], [triples])  # no double count once indexed
+
+    e = compute_mdhash_id("Erik Hort", prefix="entity-")
+    m = compute_mdhash_id("Montebello", prefix="entity-")
+    # two un-indexed passes accumulated twice -> weight 2 per direction
+    assert builder.edge_weights[(e, m)] == 2.0
+    assert builder.edge_weights[(m, e)] == 2.0
+    assert builder.ent_node_to_chunk_ids[e] == {"chunk-1"}
+
+
+def test_graph_builder_delete_vertices():
+    builder = _random_graph(num_nodes=10, num_edges=40)
+    victim = builder.node_names[3]
+    builder.delete_vertices({victim})
+    assert victim not in builder.node_to_idx
+    assert all(victim not in e for e in builder.edge_weights)
+    assert builder.num_nodes == 9
+    # compile still works
+    graph, _, _ = compile_device_graph(builder)
+    assert int(graph.num_nodes) == 9
+
+
+def test_capacity_reuse_avoids_recompile():
+    builder = _random_graph(num_nodes=50, num_edges=200)
+    g1, ncap1, ecap1 = compile_device_graph(builder)
+    # add a few nodes/edges within capacity
+    builder.register_nodes(["extra1", "extra2"])
+    builder.edge_weights[("extra1", "extra2")] = 1.0
+    g2, ncap2, ecap2 = compile_device_graph(builder, node_capacity=ncap1, edge_capacity=ecap1)
+    assert (ncap2, ecap2) == (ncap1, ecap1)
+    assert g2.src.shape == g1.src.shape and g2.dangling.shape == g1.dangling.shape
