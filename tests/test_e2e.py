@@ -1,0 +1,155 @@
+"""End-to-end lifecycle tests: index → retrieve → rag_qa → reload → delete.
+
+Mirrors the reference's integration lifecycle (tests/integration/_shared.py)
+but fully offline with the deterministic mock LLM + embedder.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hipporag_tpu import BaseConfig, HippoRAG, StandardRAG
+from hipporag_tpu.datasets import load_dataset
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+@pytest.fixture(scope="module")
+def toy_data():
+    return load_dataset("sample", DATA_DIR)
+
+
+def _config(tmp_dir, **kw):
+    base = dict(
+        llm_name="mock",
+        embedding_model_name="mock",
+        save_dir=str(tmp_dir),
+        embedding_dim=96,
+        ppr_batch_size=4,
+        retrieval_top_k=9,
+    )
+    base.update(kw)
+    return BaseConfig(**base)
+
+
+def test_hipporag_full_lifecycle(tmp_path, toy_data):
+    docs, queries, gold_docs, gold_answers = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "h"))
+    rag.index(docs)
+
+    info = rag.get_graph_info()
+    assert info["num_passage_nodes"] == 9
+    assert info["num_phrase_nodes"] > 0
+    assert info["num_total_triples"] > 0
+
+    results, recall = rag.retrieve(queries, gold_docs=gold_docs)
+    assert len(results) == 3
+    for r in results:
+        assert len(r.docs) == 9
+        assert np.all(np.diff(r.doc_scores) <= 1e-9)  # descending scores
+    # multi-hop: supporting docs should rank well via PPR
+    assert recall["Recall@5"] >= 0.5, recall
+
+    solutions, responses, metadata, retrieval_eval, qa_eval = rag.rag_qa(
+        queries, gold_docs=gold_docs, gold_answers=gold_answers
+    )
+    assert len(solutions) == 3
+    assert all(s.answer for s in solutions)
+    assert set(qa_eval) == {"ExactMatch", "F1"}
+
+    # ---------------- persistence: reload and retrieve again ----------------
+    rag2 = HippoRAG(global_config=_config(tmp_path / "h"))
+    assert len(rag2.chunk_embedding_store.get_all_ids()) == 9
+    results2 = rag2.retrieve([queries[0]])
+    assert results2[0].docs[0] in results[0].docs[:3]
+
+    # ---------------- incremental index is idempotent ----------------
+    num_facts_before = len(rag2.fact_embedding_store.get_all_ids())
+    rag2.index(docs)
+    assert len(rag2.fact_embedding_store.get_all_ids()) == num_facts_before
+    assert len(rag2.chunk_embedding_store.get_all_ids()) == 9
+
+
+def test_hipporag_incremental_and_delete(tmp_path, toy_data):
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "inc"))
+    rag.index(docs[:5])
+    assert len(rag.chunk_embedding_store.get_all_ids()) == 5
+    rag.index(docs)  # add remaining docs incrementally
+    assert len(rag.chunk_embedding_store.get_all_ids()) == 9
+    results = rag.retrieve([queries[2]])
+    assert len(results[0].docs) == 9
+
+    # delete two docs
+    rag.delete(docs[:2])
+    assert len(rag.chunk_embedding_store.get_all_ids()) == 7
+    results = rag.retrieve([queries[1]])
+    assert len(results[0].docs) == 7
+    assert docs[0] not in results[0].docs
+
+    # reload after delete
+    rag2 = HippoRAG(global_config=_config(tmp_path / "inc"))
+    assert len(rag2.chunk_embedding_store.get_all_ids()) == 7
+
+
+def test_hipporag_dpr_fallback_no_graph(tmp_path):
+    """skip_graph → every query falls back to dense retrieval."""
+    docs = ["Alpha Beta\nAlpha is related to Beta.", "Gamma Delta\nGamma is related to Delta."]
+    rag = HippoRAG(global_config=_config(tmp_path / "nog", skip_graph=True))
+    rag.index(docs)
+    results = rag.retrieve(["What is related to Alpha?"])
+    assert len(results[0].docs) == 2
+    assert "Alpha" in results[0].docs[0]
+
+
+def test_standard_rag_lifecycle(tmp_path, toy_data):
+    docs, queries, gold_docs, gold_answers = toy_data
+    rag = StandardRAG(global_config=_config(tmp_path / "s"))
+    rag.index(docs)
+    results, recall = rag.retrieve(queries, gold_docs=gold_docs)
+    assert len(results) == 3 and len(results[0].docs) == 9
+    assert recall["Recall@5"] > 0
+
+    solutions, responses, metadata, _, qa_eval = rag.rag_qa(
+        queries, gold_docs=gold_docs, gold_answers=gold_answers
+    )
+    assert all(s.answer for s in solutions)
+
+    rag.delete(docs[:3])
+    assert len(rag.chunk_embedding_store.get_all_ids()) == 6
+    results = rag.retrieve([queries[0]])
+    assert len(results[0].docs) == 6
+
+
+def test_ircot_retrieval(tmp_path, toy_data):
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "ircot"))
+    rag.index(docs)
+    results = rag.retrieve_ircot([queries[0]], max_qa_steps=2, num_to_retrieve=5)
+    assert len(results) == 1
+    assert results[0].thoughts is not None and len(results[0].thoughts) >= 1
+    assert len(results[0].docs) >= 5
+
+
+def test_offline_openie_two_phase(tmp_path, toy_data):
+    docs, _, _, _ = toy_data
+    cfg = _config(tmp_path / "off", openie_mode="offline")
+    rag = HippoRAG(global_config=cfg)
+    with pytest.raises(RuntimeError, match="Offline OpenIE completed"):
+        rag.index(docs)
+    assert os.path.exists(rag.openie_results_path)
+
+    # phase 2: online mode consumes the checkpoint without re-extracting
+    cfg2 = _config(tmp_path / "off", openie_mode="online")
+    rag2 = HippoRAG(global_config=cfg2)
+    calls_before = len(rag2.llm.call_log)
+    rag2.index(docs)
+    ner_calls = sum(
+        1
+        for c in rag2.llm.call_log[calls_before:]
+        if "entity extraction" in str(c["messages"][0]).lower()
+        or "extract named entities" in str(c["messages"][0]).lower()
+    )
+    assert ner_calls == 0  # resumed from checkpoint
+    assert rag2.retrieve(["Who is Mira Voss?"])[0].docs
