@@ -205,20 +205,46 @@ class GraphBuilder:
         """
         import numpy as np
 
-        acc: Dict[Tuple[int, int], float] = {}
+        empty = (
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.float32),
+        )
+        if not self.edge_weights:
+            return empty
+
+        # Extract raw directed entries with resolvable endpoints.
+        raw_src, raw_dst, raw_w = [], [], []
         for (a, b), w in self.edge_weights.items():
             ia = self.node_to_idx.get(a)
             ib = self.node_to_idx.get(b)
             if ia is None or ib is None or ia == ib:
                 continue
+            raw_src.append(ia)
+            raw_dst.append(ib)
+            raw_w.append(w)
+        if not raw_src:
+            return empty
+
+        # Fast path: native C++ symmetrize/dedup/sort (graph/native).
+        from . import native
+
+        compiled = native.coo_compile(
+            np.asarray(raw_src, np.int32),
+            np.asarray(raw_dst, np.int32),
+            np.asarray(raw_w, np.float32),
+            self.num_nodes,
+            normalize=False,
+        )
+        if compiled is not None:
+            src, dst, w, _ = compiled
+            return src, dst, w
+
+        # NumPy fallback (same semantics).
+        acc: Dict[Tuple[int, int], float] = {}
+        for ia, ib, w in zip(raw_src, raw_dst, raw_w):
             acc[(ia, ib)] = acc.get((ia, ib), 0.0) + w
             acc[(ib, ia)] = acc.get((ib, ia), 0.0) + w
-        if not acc:
-            return (
-                np.zeros(0, dtype=np.int32),
-                np.zeros(0, dtype=np.int32),
-                np.zeros(0, dtype=np.float32),
-            )
         items = sorted(acc.items(), key=lambda kv: (kv[0][1], kv[0][0]))  # by dst, src
         src = np.array([k[0] for k, _ in items], dtype=np.int32)
         dst = np.array([k[1] for k, _ in items], dtype=np.int32)
