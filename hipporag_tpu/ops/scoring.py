@@ -85,3 +85,30 @@ def score_and_topk(
     scores = batched_normalized_scores(queries, keys, valid_n, compute_dtype)
     values, indices = jax.lax.top_k(scores, k)
     return scores, values, indices
+
+
+def fact_topk(
+    queries: Array,
+    keys: Array,
+    valid_n,
+    k: int,
+    compute_dtype: str = "float32",
+    use_pallas: bool | None = None,
+):
+    """Top-k normalized fact scores: (norm_vals [B,k], idx [B,k]).
+
+    On TPU this routes to the Pallas fused kernel (ops/fused_topk.py) so the
+    [B, N] score matrix never materializes in HBM; elsewhere it falls back to
+    the XLA path. Padded/absent keys yield norm value 0.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .fused_topk import fused_score_topk
+
+        norm, _raw, idx = fused_score_topk(queries, keys, valid_n, k)
+        return norm, idx
+    _scores, values, indices = score_and_topk(
+        queries, keys, jnp.asarray(valid_n, jnp.int32), k, compute_dtype
+    )
+    return values, indices
