@@ -1,8 +1,9 @@
 """Embedding model factory.
 
-Name-prefix routing mirrors the reference factory
-(embedding_model/__init__.py:15-30): explicit prefixes select backends,
-anything else goes to the OpenAI-compatible client.
+Name routing mirrors the reference factory (embedding_model/__init__.py:15-30):
+model-family substrings (NV-Embed-v2, GritLM, contriever) and explicit
+prefixes select backends; anything else goes to the OpenAI-compatible
+client. The TPU-native ``jax/`` prefix selects the pure-JAX encoder.
 """
 
 from __future__ import annotations
@@ -22,10 +23,30 @@ def get_embedding_model(config: BaseConfig) -> BaseEmbeddingModel:
         from .jax_encoder import JaxEncoderEmbeddingModel
 
         return JaxEncoderEmbeddingModel(config)
-    if name.startswith("Transformers/") or name.startswith("st/"):
+    if name.startswith("st/") or name.startswith("Transformers/"):
         from .transformers_embed import TransformersEmbeddingModel
 
         return TransformersEmbeddingModel(config)
+    if name.startswith("VLLM/"):
+        from .vllm_embed import VLLMEmbeddingModel
+
+        return VLLMEmbeddingModel(config)
+    if "NV-Embed-v2" in name:
+        from .nvembed import NVEmbedV2EmbeddingModel
+
+        return NVEmbedV2EmbeddingModel(config)
+    if "GritLM" in name:
+        from .gritlm_embed import GritLMEmbeddingModel
+
+        return GritLMEmbeddingModel(config)
+    if "contriever" in name.lower():
+        from .contriever import ContrieverEmbeddingModel
+
+        return ContrieverEmbeddingModel(config)
+    if "cohere" in name.lower():
+        from .cohere_embed import CohereEmbeddingModel
+
+        return CohereEmbeddingModel(config)
     from .openai_embed import OpenAIEmbeddingModel
 
     return OpenAIEmbeddingModel(config)

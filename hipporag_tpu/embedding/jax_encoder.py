@@ -1,0 +1,273 @@
+"""TPU-native embedding encoder: a pure-JAX BERT-family transformer.
+
+This is the framework's on-device embedder — where the reference runs its
+local encoders (Contriever/NV-Embed/GritLM) through torch+CUDA
+(reference: embedding_model/Contriever.py:20-113, NVEmbedV2.py:16-101),
+this one runs the encoder forward pass as ONE jitted XLA program on the
+TPU: token/position embedding gather, fused attention (bf16 matmuls on
+the MXU, f32 softmax), GELU MLP, masked mean pooling, and L2
+normalization all compile into a single graph with no host round-trips
+per layer.
+
+Weights load from any HF BERT-architecture checkpoint (facebook/contriever,
+sentence-transformers MiniLM, bert-base) by converting the torch
+state_dict to a JAX pytree once at startup. Selected by the
+``jax/<model-or-path>`` prefix; ``jax/random-<dim>x<layers>`` builds a
+randomly-initialized model with a hashing tokenizer for offline tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseEmbeddingModel
+
+Array = jax.Array
+
+
+# ----------------------------------------------------------------------
+# Functional encoder
+# ----------------------------------------------------------------------
+def _layernorm(x: Array, scale: Array, bias: Array, eps: float = 1e-12) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dense(x: Array, w: Array, b: Array, dtype) -> Array:
+    return (
+        jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+        + b
+    )
+
+
+def _attention(x: Array, layer: Dict[str, Array], mask: Array, num_heads: int, dtype) -> Array:
+    b, l, d = x.shape
+    hd = d // num_heads
+
+    def split(t):
+        return t.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)  # [B,H,L,hd]
+
+    q = split(_dense(x, layer["q_w"], layer["q_b"], dtype))
+    k = split(_dense(x, layer["k_w"], layer["k_b"], dtype))
+    v = split(_dense(x, layer["v_w"], layer["v_b"], dtype))
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ) / np.sqrt(hd)
+    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)  # f32 softmax for stability
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = _dense(ctx, layer["attn_out_w"], layer["attn_out_b"], dtype)
+    return _layernorm(x + out, layer["attn_ln_s"], layer["attn_ln_b"])
+
+
+def _ffn(x: Array, layer: Dict[str, Array], dtype) -> Array:
+    h = jax.nn.gelu(_dense(x, layer["ffn_in_w"], layer["ffn_in_b"], dtype))
+    out = _dense(h, layer["ffn_out_w"], layer["ffn_out_b"], dtype)
+    return _layernorm(x + out, layer["ffn_ln_s"], layer["ffn_ln_b"])
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "compute_dtype"))
+def encode_forward(
+    params: Dict,
+    input_ids: Array,  # [B, L] int32
+    attention_mask: Array,  # [B, L] int32/bool
+    num_heads: int,
+    compute_dtype: str = "bfloat16",
+) -> Array:
+    """Mean-pooled, L2-normalized sentence embeddings [B, D] (float32)."""
+    dtype = jnp.dtype(compute_dtype)
+    mask = attention_mask.astype(bool)
+    l = input_ids.shape[1]
+
+    x = (
+        params["word_emb"][input_ids]
+        + params["pos_emb"][:l][None, :, :]
+        + params["type_emb"][0][None, None, :]
+    )
+    x = _layernorm(x, params["emb_ln_s"], params["emb_ln_b"])
+    for layer in params["layers"]:
+        x = _attention(x, layer, mask, num_heads, dtype)
+        x = _ffn(x, layer, dtype)
+
+    m = mask[..., None].astype(x.dtype)
+    pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+# ----------------------------------------------------------------------
+# Weight loading / init
+# ----------------------------------------------------------------------
+def params_from_hf_bert(model_name_or_path: str) -> tuple[Dict, int]:
+    """Convert an HF BERT-architecture torch checkpoint to the JAX pytree."""
+    from transformers import AutoModel
+
+    torch_model = AutoModel.from_pretrained(model_name_or_path)
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    cfg = torch_model.config
+    num_layers, num_heads = cfg.num_hidden_layers, cfg.num_attention_heads
+
+    def t(name):
+        return jnp.asarray(sd[name])
+
+    def lin(prefix):  # torch Linear stores [out, in]; we apply x @ W
+        return jnp.asarray(sd[f"{prefix}.weight"].T), jnp.asarray(sd[f"{prefix}.bias"])
+
+    params = {
+        "word_emb": t("embeddings.word_embeddings.weight"),
+        "pos_emb": t("embeddings.position_embeddings.weight"),
+        "type_emb": t("embeddings.token_type_embeddings.weight"),
+        "emb_ln_s": t("embeddings.LayerNorm.weight"),
+        "emb_ln_b": t("embeddings.LayerNorm.bias"),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        qw, qb = lin(f"{p}.attention.self.query")
+        kw, kb = lin(f"{p}.attention.self.key")
+        vw, vb = lin(f"{p}.attention.self.value")
+        ow, ob = lin(f"{p}.attention.output.dense")
+        iw, ib = lin(f"{p}.intermediate.dense")
+        fw, fb = lin(f"{p}.output.dense")
+        params["layers"].append(
+            {
+                "q_w": qw, "q_b": qb, "k_w": kw, "k_b": kb, "v_w": vw, "v_b": vb,
+                "attn_out_w": ow, "attn_out_b": ob,
+                "attn_ln_s": t(f"{p}.attention.output.LayerNorm.weight"),
+                "attn_ln_b": t(f"{p}.attention.output.LayerNorm.bias"),
+                "ffn_in_w": iw, "ffn_in_b": ib,
+                "ffn_out_w": fw, "ffn_out_b": fb,
+                "ffn_ln_s": t(f"{p}.output.LayerNorm.weight"),
+                "ffn_ln_b": t(f"{p}.output.LayerNorm.bias"),
+            }
+        )
+    return params, num_heads
+
+
+def params_random(dim: int, num_layers: int, vocab: int = 30522, max_len: int = 512,
+                  seed: int = 0) -> tuple[Dict, int]:
+    """Random-init params for tests (hash tokenizer pairs with this)."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
+
+    num_heads = max(1, dim // 64)
+    ffn = dim * 4
+    params = {
+        "word_emb": w(vocab, dim),
+        "pos_emb": w(max_len, dim),
+        "type_emb": w(2, dim),
+        "emb_ln_s": jnp.ones(dim), "emb_ln_b": jnp.zeros(dim),
+        "layers": [
+            {
+                "q_w": w(dim, dim), "q_b": jnp.zeros(dim),
+                "k_w": w(dim, dim), "k_b": jnp.zeros(dim),
+                "v_w": w(dim, dim), "v_b": jnp.zeros(dim),
+                "attn_out_w": w(dim, dim), "attn_out_b": jnp.zeros(dim),
+                "attn_ln_s": jnp.ones(dim), "attn_ln_b": jnp.zeros(dim),
+                "ffn_in_w": w(dim, ffn), "ffn_in_b": jnp.zeros(ffn),
+                "ffn_out_w": w(ffn, dim), "ffn_out_b": jnp.zeros(dim),
+                "ffn_ln_s": jnp.ones(dim), "ffn_ln_b": jnp.zeros(dim),
+            }
+            for _ in range(num_layers)
+        ],
+    }
+    return params, num_heads
+
+
+class _HashTokenizer:
+    """Deterministic whitespace tokenizer for the random test model."""
+
+    def __init__(self, vocab: int = 30522):
+        self.vocab = vocab
+
+    def __call__(self, texts: List[str], max_length: int):
+        import hashlib
+
+        ids, mask = [], []
+        for t in texts:
+            words = t.lower().split()[: max_length - 2]
+            row = [101] + [
+                int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % (self.vocab - 1000) + 1000
+                for w in words
+            ] + [102]
+            ids.append(row)
+            mask.append([1] * len(row))
+        l = max(len(r) for r in ids)
+        ids = [r + [0] * (l - len(r)) for r in ids]
+        mask = [r + [0] * (l - len(r)) for r in mask]
+        return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
+
+
+class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
+    """``jax/<hf-model-or-path>`` or ``jax/random-<dim>x<layers>``."""
+
+    _BUCKETS = (16, 32, 64, 128, 256, 512)  # padded seq lengths → few jit variants
+
+    def __init__(self, global_config=None):
+        super().__init__(global_config)
+        cfg = self.global_config
+        spec = cfg.embedding_model_name.split("/", 1)[1]
+        m = re.fullmatch(r"random-(\d+)x(\d+)", spec)
+        if m:
+            dim, layers = int(m.group(1)), int(m.group(2))
+            self.params, self.num_heads = params_random(dim, layers)
+            self._tokenize = _HashTokenizer()
+            self.embedding_dim = dim
+        else:
+            from transformers import AutoTokenizer
+
+            self.params, self.num_heads = params_from_hf_bert(spec)
+            tok = AutoTokenizer.from_pretrained(spec)
+
+            def _tokenize(texts, max_length):
+                out = tok(
+                    texts, padding=True, truncation=True,
+                    max_length=max_length, return_tensors="np",
+                )
+                return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.int32)
+
+            self._tokenize = _tokenize
+            self.embedding_dim = int(self.params["word_emb"].shape[1])
+        self.compute_dtype = (
+            "bfloat16" if cfg.embedding_model_dtype in ("auto", "bfloat16") else "float32"
+        )
+        self.params = jax.device_put(self.params)
+
+    def format_with_instruction(self, text: str, instruction: str) -> str:
+        return text  # symmetric encoder
+
+    def _pad_bucket(self, l: int) -> int:
+        for b in self._BUCKETS:
+            if l <= b:
+                return b
+        return self._BUCKETS[-1]
+
+    def _encode_batch(self, texts: List[str]) -> np.ndarray:
+        ids, mask = self._tokenize(texts, self.global_config.embedding_max_seq_len)
+        # pad sequence length to a bucket so jit recompiles stay bounded
+        l = self._pad_bucket(ids.shape[1])
+        if ids.shape[1] < l:
+            pad = l - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        else:
+            ids, mask = ids[:, :l], mask[:, :l]
+        out = encode_forward(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            self.num_heads, self.compute_dtype,
+        )
+        return np.asarray(out, dtype=np.float32)

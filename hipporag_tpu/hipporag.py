@@ -115,7 +115,18 @@ class HippoRAG:
         if hasattr(self.embedding_model, "attach_cache"):
             self.embedding_model.attach_cache(emb_cache)
 
-        self.openie = LLMOpenIE(self.llm)
+        # OpenIE variant routing (ref HippoRAG.py:137-144)
+        ie_name = self.global_config.information_extraction_model_name
+        if ie_name == "openie_vllm_offline":
+            from .openie.openie_offline import VLLMOfflineOpenIE
+
+            self.openie = VLLMOfflineOpenIE(self.global_config)
+        elif ie_name == "openie_transformers_offline":
+            from .openie.openie_offline import TransformersOfflineOpenIE
+
+            self.openie = TransformersOfflineOpenIE(self.global_config)
+        else:
+            self.openie = LLMOpenIE(self.llm)
         self.prompt_template_manager = PromptTemplateManager()
         self.rerank_filter = RecognitionMemoryFilter(
             self.llm, self.global_config.rerank_dspy_file_path

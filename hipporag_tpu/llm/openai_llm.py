@@ -5,10 +5,16 @@ Behavioral parity with the reference's default provider
 (messages, model, seed, temperature); retry with backoff on transient
 errors; metadata carries prompt/completion tokens and finish_reason.
 Azure endpoints are selected via ``config.azure_endpoint``.
+
+First-party REST client over ``httpx`` (no dependency on the ``openai``
+SDK): the chat-completions wire format is the lingua franca of OpenAI,
+Azure, vLLM, and most local servers, and a thin pooled HTTP client is all
+this framework needs host-side — the heavy lifting happens on the TPU.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any, Dict, List, Tuple
@@ -19,6 +25,67 @@ from .base import BaseLLM, TextChatMessage
 
 logger = get_logger(__name__)
 
+_RETRYABLE_STATUS = {408, 409, 429, 500, 502, 503, 504}
+
+
+class OpenAIChatClient:
+    """Minimal pooled chat-completions client (OpenAI / Azure / compatible).
+
+    Mirrors the reference's high-throughput httpx pool settings
+    (llm/openai_gpt.py:151-170) without the SDK wrapper.
+    """
+
+    def __init__(
+        self,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        azure_endpoint: str | None = None,
+        timeout: float = 120.0,
+    ):
+        import httpx
+
+        self.azure = bool(azure_endpoint)
+        if self.azure:
+            self.base_url = azure_endpoint.rstrip("/")
+            self.api_version = os.environ.get("AZURE_OPENAI_API_VERSION", "2024-10-21")
+            key = api_key or os.environ.get("AZURE_OPENAI_API_KEY", "EMPTY")
+            headers = {"api-key": key}
+        else:
+            self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
+            key = api_key or os.environ.get("OPENAI_API_KEY")
+            if key is None and ("localhost" in self.base_url or "127.0.0.1" in self.base_url):
+                key = "EMPTY"
+            headers = {"Authorization": f"Bearer {key}"}
+        headers["Content-Type"] = "application/json"
+        self._client = httpx.Client(
+            headers=headers,
+            timeout=timeout,
+            limits=httpx.Limits(max_connections=500, max_keepalive_connections=100),
+        )
+
+    def chat(self, model: str, messages: List[TextChatMessage], **gen_kwargs) -> dict:
+        if self.azure:
+            url = (
+                f"{self.base_url}/openai/deployments/{model}/chat/completions"
+                f"?api-version={self.api_version}"
+            )
+            payload = {"messages": messages, **gen_kwargs}
+        else:
+            url = f"{self.base_url}/chat/completions"
+            payload = {"model": model, "messages": messages, **gen_kwargs}
+        resp = self._client.post(url, content=json.dumps(payload))
+        if resp.status_code in _RETRYABLE_STATUS:
+            raise TransientAPIError(f"HTTP {resp.status_code}: {resp.text[:500]}")
+        resp.raise_for_status()
+        return resp.json()
+
+    def close(self):
+        self._client.close()
+
+
+class TransientAPIError(RuntimeError):
+    pass
+
 
 class CacheOpenAILLM(BaseLLM):
     def __init__(self, global_config=None, cache_dir: str = None, cache_filename: str = None):
@@ -28,21 +95,9 @@ class CacheOpenAILLM(BaseLLM):
         cache_filename = cache_filename or f"{cfg.llm_name.replace('/', '_')}_cache.sqlite"
         self.cache = SqliteKVCache(os.path.join(cache_dir, cache_filename), table="llm")
         self.max_retries = cfg.max_retry_attempts
-
-        from openai import AzureOpenAI, OpenAI  # deferred import
-
-        if cfg.azure_endpoint:
-            self.client = AzureOpenAI(
-                azure_endpoint=cfg.azure_endpoint,
-                api_version=os.environ.get("AZURE_OPENAI_API_VERSION", "2024-10-21"),
-                api_key=os.environ.get("AZURE_OPENAI_API_KEY", "EMPTY"),
-            )
-        else:
-            base_url = cfg.llm_base_url
-            api_key = os.environ.get("OPENAI_API_KEY")
-            if api_key is None and base_url and ("localhost" in base_url or "127.0.0.1" in base_url):
-                api_key = "EMPTY"
-            self.client = OpenAI(base_url=base_url, api_key=api_key)
+        self.client = OpenAIChatClient(
+            base_url=cfg.llm_base_url, azure_endpoint=cfg.azure_endpoint
+        )
 
     @classmethod
     def from_experiment_config(cls, global_config):
@@ -66,6 +121,7 @@ class CacheOpenAILLM(BaseLLM):
         if kwargs.get("response_format") is not None or cfg.response_format is not None:
             gen_kwargs["response_format"] = kwargs.pop("response_format", cfg.response_format)
         kwargs.pop("response_format", None)
+        gen_kwargs = {k: v for k, v in gen_kwargs.items() if v is not None}
 
         key = self._cache_key(messages, gen_kwargs)
         hit = self.cache.get(key)
@@ -75,20 +131,22 @@ class CacheOpenAILLM(BaseLLM):
         last_err = None
         for attempt in range(self.max_retries):
             try:
-                resp = self.client.chat.completions.create(
-                    model=model, messages=messages, **gen_kwargs
-                )
-                content = resp.choices[0].message.content or ""
+                resp = self.client.chat(model, messages, **gen_kwargs)
+                choice = resp["choices"][0]
+                content = choice.get("message", {}).get("content") or ""
+                usage = resp.get("usage", {}) or {}
                 metadata = {
-                    "prompt_tokens": getattr(resp.usage, "prompt_tokens", None),
-                    "completion_tokens": getattr(resp.usage, "completion_tokens", None),
-                    "finish_reason": resp.choices[0].finish_reason,
+                    "prompt_tokens": usage.get("prompt_tokens"),
+                    "completion_tokens": usage.get("completion_tokens"),
+                    "finish_reason": choice.get("finish_reason"),
                 }
                 self.cache.put(key, content, metadata)
                 return content, metadata, False
             except Exception as e:  # noqa: BLE001 — provider errors are opaque
                 last_err = e
                 wait = min(2**attempt, 30)
-                logger.warning("LLM call failed (attempt %d): %s; retrying in %ss", attempt + 1, e, wait)
+                logger.warning(
+                    "LLM call failed (attempt %d): %s; retrying in %ss", attempt + 1, e, wait
+                )
                 time.sleep(wait)
         raise RuntimeError(f"LLM inference failed after {self.max_retries} attempts: {last_err}")

@@ -1,0 +1,256 @@
+"""Provider-layer tests: factories, HTTP clients (mocked transport),
+Bedrock backends (injected fake clients), the JAX-native encoder, and
+offline batch OpenIE."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hipporag_tpu.config import BaseConfig
+
+
+# ----------------------------------------------------------------------
+# Factory routing
+# ----------------------------------------------------------------------
+def test_embedding_factory_routing(tmp_path):
+    from hipporag_tpu.embedding import get_embedding_model
+    from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+    from hipporag_tpu.embedding.mock import MockEmbeddingModel
+
+    cfg = BaseConfig(embedding_model_name="mock", save_dir=str(tmp_path))
+    assert isinstance(get_embedding_model(cfg), MockEmbeddingModel)
+
+    cfg = BaseConfig(embedding_model_name="jax/random-128x1", save_dir=str(tmp_path))
+    assert isinstance(get_embedding_model(cfg), JaxEncoderEmbeddingModel)
+
+
+def test_llm_factory_routing(tmp_path):
+    from hipporag_tpu.llm import get_llm
+    from hipporag_tpu.llm.mock import MockLLM
+
+    cfg = BaseConfig(llm_name="mock", save_dir=str(tmp_path))
+    assert isinstance(get_llm(cfg), MockLLM)
+
+
+# ----------------------------------------------------------------------
+# JAX-native encoder
+# ----------------------------------------------------------------------
+def test_jax_encoder_deterministic_and_normalized(tmp_path):
+    from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+
+    cfg = BaseConfig(
+        embedding_model_name="jax/random-128x2", save_dir=str(tmp_path),
+        embedding_model_dtype="float32",
+    )
+    model = JaxEncoderEmbeddingModel(cfg)
+    texts = ["Erik Hort was born in Montebello.", "A different sentence entirely."]
+    a = model.batch_encode(texts, norm=True)
+    b = model.batch_encode(texts, norm=True)
+    assert a.shape == (2, 128)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+    # distinct inputs produce distinct embeddings
+    assert np.abs(a[0] - a[1]).max() > 1e-3
+
+
+def test_jax_encoder_bucket_padding_consistency(tmp_path):
+    # same text must embed identically regardless of other batch members'
+    # lengths (bucketed padding must not leak)
+    from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+
+    cfg = BaseConfig(
+        embedding_model_name="jax/random-64x1", save_dir=str(tmp_path),
+        embedding_model_dtype="float32",
+    )
+    model = JaxEncoderEmbeddingModel(cfg)
+    short = "hello world"
+    long = "word " * 40
+    solo = model.batch_encode([short])
+    mixed = model.batch_encode([short, long])
+    np.testing.assert_allclose(solo[0], mixed[0], atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# OpenAI-compatible HTTP client (mock transport)
+# ----------------------------------------------------------------------
+def _chat_response(content="hi", status=200):
+    import httpx
+
+    def handler(request):
+        if status != 200:
+            return httpx.Response(status, text="boom")
+        return httpx.Response(
+            200,
+            json={
+                "choices": [
+                    {"message": {"content": content}, "finish_reason": "stop"}
+                ],
+                "usage": {"prompt_tokens": 3, "completion_tokens": 2},
+            },
+        )
+
+    return httpx.MockTransport(handler)
+
+
+def test_cache_openai_llm_roundtrip_and_cache(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.llm.openai_llm import CacheOpenAILLM
+
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
+    llm = CacheOpenAILLM(cfg)
+    llm.client._client = httpx.Client(transport=_chat_response("pong"))
+
+    msgs = [{"role": "user", "content": "ping"}]
+    text, meta, hit = llm.infer(msgs)
+    assert text == "pong" and hit is False
+    assert meta["finish_reason"] == "stop" and meta["prompt_tokens"] == 3
+
+    # second call served from the SQLite cache even with a dead transport
+    llm.client._client = httpx.Client(transport=_chat_response(status=500))
+    text2, _meta2, hit2 = llm.infer(msgs)
+    assert text2 == "pong" and hit2 is True
+
+
+def test_cache_openai_llm_retries_transient_errors(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.llm.openai_llm import CacheOpenAILLM
+
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    calls = {"n": 0}
+
+    def flaky(request):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return httpx.Response(429, text="rate limited")
+        return httpx.Response(
+            200,
+            json={
+                "choices": [{"message": {"content": "ok"}, "finish_reason": "stop"}],
+                "usage": {},
+            },
+        )
+
+    cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
+    llm = CacheOpenAILLM(cfg)
+    llm.client._client = httpx.Client(transport=httpx.MockTransport(flaky))
+    import hipporag_tpu.llm.openai_llm as mod
+
+    # no real sleeping in tests
+    orig_sleep = mod.time.sleep
+    mod.time.sleep = lambda s: None
+    try:
+        text, _, _ = llm.infer([{"role": "user", "content": "q"}])
+    finally:
+        mod.time.sleep = orig_sleep
+    assert text == "ok" and calls["n"] == 3
+
+
+# ----------------------------------------------------------------------
+# Bedrock backends with injected fakes
+# ----------------------------------------------------------------------
+class FakeBedrockClient:
+    def __init__(self):
+        self.calls = []
+
+    def converse(self, **kwargs):
+        self.calls.append(kwargs)
+        return {
+            "output": {"message": {"content": [{"text": "bedrock says hi"}]}},
+            "usage": {"inputTokens": 5, "outputTokens": 4},
+            "stopReason": "end_turn",
+        }
+
+
+def test_bedrock_llm_converse_and_cache(tmp_path):
+    from hipporag_tpu.llm.bedrock_llm import BedrockLLM
+
+    cfg = BaseConfig(llm_name="bedrock/anthropic.claude-x", save_dir=str(tmp_path))
+    fake = FakeBedrockClient()
+    llm = BedrockLLM(cfg, client=fake)
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hello"},
+    ]
+    text, meta, hit = llm.infer(msgs)
+    assert text == "bedrock says hi" and not hit
+    assert fake.calls[0]["system"] == [{"text": "be brief"}]
+    assert fake.calls[0]["messages"][0]["role"] == "user"
+    # cached second time
+    _, _, hit2 = llm.infer(msgs)
+    assert hit2 and len(fake.calls) == 1
+
+
+class FakeCohereClient:
+    def __init__(self):
+        self.bodies = []
+
+    def invoke_model(self, modelId, body, contentType):
+        self.bodies.append(json.loads(body))
+        n = len(self.bodies[-1]["texts"])
+        import io
+
+        payload = json.dumps({"embeddings": [[0.1] * 4] * n}).encode()
+        return {"body": io.BytesIO(payload)}
+
+
+def test_cohere_embedder_input_type_switch(tmp_path):
+    from hipporag_tpu.embedding.cohere_embed import CohereEmbeddingModel
+
+    cfg = BaseConfig(
+        embedding_model_name="bedrock/cohere.embed-english-v3", save_dir=str(tmp_path)
+    )
+    fake = FakeCohereClient()
+    emb = CohereEmbeddingModel(cfg, client=fake)
+    emb.batch_encode(["a doc"])  # no instruction -> document
+    emb.batch_encode(["a query"], instruction="find facts")  # query
+    assert fake.bodies[0]["input_type"] == "search_document"
+    assert fake.bodies[1]["input_type"] == "search_query"
+
+
+# ----------------------------------------------------------------------
+# Offline batch OpenIE over the deterministic mock LLM
+# ----------------------------------------------------------------------
+def test_offline_openie_two_pass(tmp_path):
+    from hipporag_tpu.llm.mock import MockLLM
+    from hipporag_tpu.openie.openie_offline import OfflineBatchOpenIE
+
+    cfg = BaseConfig(llm_name="mock", save_dir=str(tmp_path))
+    ie = OfflineBatchOpenIE(MockLLM(cfg))
+    chunks = {
+        "c1": {"content": "Erik Hort was born in Montebello."},
+        "c2": {"content": "Montebello is in Rockland County."},
+    }
+    ner, triples = ie.batch_openie(chunks)
+    assert set(ner) == {"c1", "c2"} and set(triples) == {"c1", "c2"}
+    assert any("Erik Hort" in e for e in ner["c1"].unique_entities)
+    assert all(len(t) == 3 for t in triples["c2"].triples)
+
+
+# ----------------------------------------------------------------------
+# Optional external vector stores: constructor gating
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("store_type,module", [
+    ("qdrant", "qdrant_client"),
+    ("chroma", "chromadb"),
+    ("milvus", "pymilvus"),
+])
+def test_external_store_gating(tmp_path, store_type, module):
+    import importlib.util
+
+    from hipporag_tpu.embedding.mock import MockEmbeddingModel
+    from hipporag_tpu.storage.embedding_store import get_embedding_store
+
+    cfg = BaseConfig(vector_store_type=store_type, save_dir=str(tmp_path))
+    model = MockEmbeddingModel(cfg)
+    if importlib.util.find_spec(module) is None:
+        with pytest.raises(ImportError):
+            get_embedding_store(model, str(tmp_path), 8, "chunk", cfg)
+    else:  # pragma: no cover - exercised only when optional deps installed
+        store = get_embedding_store(model, str(tmp_path), 8, "chunk", cfg)
+        store.insert_strings(["alpha", "beta"])
+        assert len(store.get_all_ids()) == 2
+        store.close()
