@@ -593,7 +593,7 @@ class HippoRAG:
         import jax.numpy as jnp
 
         from .models.retrieval import graph_search_batch, rank_documents
-        from .ops.scoring import batched_scores, score_and_topk
+        from .ops.scoring import batched_scores, fact_topk
 
         cfg = self.global_config
         if num_to_retrieve is None:
@@ -621,19 +621,26 @@ class HippoRAG:
                 qp[i] = self.query_to_embedding["passage"][q]
 
             # -------- fact scoring + candidate top-k (device) --------
+            # On TPU the fused Pallas kernel streams fact tiles and returns
+            # only the normalized top-k — the [B, F] score matrix never
+            # exists in HBM or crosses the host boundary.
             if num_facts > 0:
-                fact_scores_dev, cand_vals, cand_idx = score_and_topk(
+                import jax as _jax
+
+                use_pallas = (
+                    cfg.use_pallas_kernels and _jax.default_backend() == "tpu"
+                )
+                cand_vals_dev, cand_idx_dev = fact_topk(
                     jnp.asarray(qf),
                     self._fact_emb_dev,
-                    jnp.asarray(num_facts, dtype=jnp.int32),
+                    num_facts,
                     min(link_top_k, max(num_facts, 1)),
                     cfg.compute_dtype,
+                    use_pallas=use_pallas,
                 )
-                fact_scores = np.asarray(fact_scores_dev)
-                cand_idx = np.asarray(cand_idx)
-                cand_vals = np.asarray(cand_vals)
+                cand_idx = np.asarray(cand_idx_dev)
+                cand_vals = np.asarray(cand_vals_dev)
             else:
-                fact_scores = np.zeros((b_pad, 0), dtype=np.float32)
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
 
@@ -641,6 +648,7 @@ class HippoRAG:
             rerank_start = time.time()
             top_idx = np.zeros((b_pad, link_top_k), dtype=np.int32)
             top_mask = np.zeros((b_pad, link_top_k), dtype=np.float32)
+            sel_scores = np.zeros((b_pad, link_top_k), dtype=np.float32)
             batch_top_facts: List[List[Tuple]] = [[] for _ in range(b_pad)]
             if num_facts > 0:
                 rerank_inputs = []
@@ -663,9 +671,13 @@ class HippoRAG:
 
                 for i, (sorted_idx, sorted_items, _) in enumerate(reranked):
                     batch_top_facts[i] = sorted_items
+                    val_by_row = {
+                        int(j): float(v) for j, v in zip(cand_idx[i], cand_vals[i])
+                    }
                     for k, fact_row in enumerate(sorted_idx[:link_top_k]):
                         top_idx[i, k] = fact_row
                         top_mask[i, k] = 1.0
+                        sel_scores[i, k] = val_by_row.get(int(fact_row), 0.0)
             self.rerank_time += time.time() - rerank_start
 
             # -------- graph search: seeds + batched PPR (device) --------
@@ -676,7 +688,7 @@ class HippoRAG:
             if num_facts > 0 and self.graph.num_edges > 0:
                 doc_scores = graph_search_batch(
                     self._index_state,
-                    jnp.asarray(fact_scores),
+                    jnp.asarray(sel_scores),
                     jnp.asarray(top_idx),
                     jnp.asarray(top_mask),
                     dpr_scores,

@@ -56,7 +56,7 @@ class RetrievalIndex(NamedTuple):
 )
 def graph_search_batch(
     index: RetrievalIndex,
-    fact_scores: Array,  # [B, F_pad] normalized fact scores
+    sel_scores: Array,  # [B, K] normalized scores of the selected facts
     top_fact_idx: Array,  # [B, K] post-rerank fact rows (any value where mask=0)
     top_fact_mask: Array,  # [B, K] float32 1.0 = real selected fact
     dpr_scores: Array,  # [B, P_pad] raw passage similarity scores
@@ -66,16 +66,17 @@ def graph_search_batch(
     ppr_max_iters: int = 64,
     ppr_tol: float = 1.0e-8,
 ) -> Array:
-    """Return [B, P_pad] final document scores (padded cols = -inf)."""
+    """Return [B, P_pad] final document scores (padded cols = -inf).
+
+    ``sel_scores`` is row-aligned with ``top_fact_idx`` — only the scores
+    of the surviving facts are needed, so the fused Pallas scoring path
+    (ops/fused_topk.py) can feed this without ever materializing the full
+    [B, F] fact-score matrix.
+    """
     b, k = top_fact_idx.shape
     p_pad = index.passage_node_ids.shape[0]
 
     rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-
-    # ------------------------------------------------------------------
-    # Phrase seed weights from selected facts.
-    # ------------------------------------------------------------------
-    sel_scores = jnp.take_along_axis(fact_scores, top_fact_idx, axis=1)  # [B, K]
     subj = index.fact_subj_node[top_fact_idx]  # [B, K]
     obj = index.fact_obj_node[top_fact_idx]
     endpoints = jnp.concatenate([subj, obj], axis=1)  # [B, 2K]

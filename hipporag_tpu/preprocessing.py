@@ -75,18 +75,90 @@ class WordWindowPreprocessor(BaseTextPreprocessor):
         return chunks
 
 
+class TokenWindowPreprocessor(BaseTextPreprocessor):
+    """Sliding token-window chunker with overlap (``by_token`` mode).
+
+    Token boundaries come from tiktoken's encoder for
+    ``config.preprocess_encoder_name`` (reference: config_utils.py:100-117
+    uses tiktoken counts for chunk sizing).
+    """
+
+    def __init__(self, max_tokens: int = 512, overlap_tokens: int = 128,
+                 encoder_name: str = "gpt-4o"):
+        if overlap_tokens >= max_tokens:
+            raise ValueError("overlap must be smaller than the window size")
+        try:
+            import tiktoken
+
+            try:
+                self.enc = tiktoken.encoding_for_model(encoder_name)
+            except KeyError:
+                self.enc = tiktoken.get_encoding("cl100k_base")
+        except Exception:  # vocab unavailable (e.g. offline) — word fallback
+            self.enc = None
+        self.max_tokens = max_tokens
+        self.overlap_tokens = overlap_tokens
+
+    def _encode(self, text: str):
+        if self.enc is None:
+            return text.split()
+        return self.enc.encode(text)
+
+    def _decode(self, tokens) -> str:
+        if self.enc is None:
+            return " ".join(tokens)
+        return self.enc.decode(tokens)
+
+    def preprocess(self, docs: List[Union[str, Chunk]]) -> List[Chunk]:
+        chunks: List[Chunk] = []
+        for doc_idx, doc in enumerate(docs):
+            if isinstance(doc, Chunk):
+                text, source_id, metadata = doc.content, doc.source_id, doc.metadata
+            else:
+                text, source_id, metadata = doc, f"doc-{doc_idx}", {}
+            tokens = self._encode(text)
+            if len(tokens) <= self.max_tokens:
+                chunks.append(Chunk(content=text, source_id=source_id, metadata=dict(metadata)))
+                continue
+            step = self.max_tokens - self.overlap_tokens
+            for chunk_no, start in enumerate(range(0, len(tokens), step)):
+                window = tokens[start : start + self.max_tokens]
+                if not window:
+                    break
+                meta = dict(metadata)
+                meta["chunk_no"] = chunk_no
+                chunks.append(
+                    Chunk(content=self._decode(window), source_id=source_id, metadata=meta)
+                )
+                if start + self.max_tokens >= len(tokens):
+                    break
+        return chunks
+
+
 def get_preprocessor(config: BaseConfig) -> BaseTextPreprocessor:
     name = config.text_preprocessor_class_name
     if name == "TextPreprocessor":
-        if config.preprocess_chunk_max_token_size is not None and config.preprocess_chunk_func == "by_word":
-            return WordWindowPreprocessor(
-                max_words=config.preprocess_chunk_max_token_size,
-                overlap_words=config.preprocess_chunk_overlap_token_size,
+        if config.preprocess_chunk_max_token_size is not None:
+            if config.preprocess_chunk_func == "by_word":
+                return WordWindowPreprocessor(
+                    max_words=config.preprocess_chunk_max_token_size,
+                    overlap_words=config.preprocess_chunk_overlap_token_size,
+                )
+            return TokenWindowPreprocessor(
+                max_tokens=config.preprocess_chunk_max_token_size,
+                overlap_tokens=config.preprocess_chunk_overlap_token_size,
+                encoder_name=config.preprocess_encoder_name,
             )
         return TextPreprocessor()
     if name == "WordWindowPreprocessor":
         return WordWindowPreprocessor(
             max_words=config.preprocess_chunk_max_token_size or 512,
             overlap_words=config.preprocess_chunk_overlap_token_size,
+        )
+    if name == "TokenWindowPreprocessor":
+        return TokenWindowPreprocessor(
+            max_tokens=config.preprocess_chunk_max_token_size or 512,
+            overlap_tokens=config.preprocess_chunk_overlap_token_size,
+            encoder_name=config.preprocess_encoder_name,
         )
     raise ValueError(f"Unknown preprocessor: {name}")
