@@ -836,6 +836,90 @@ class HippoRAG:
         return solutions, responses, metadata
 
     # ==================================================================
+    # Pure-DPR retrieval path (ref HippoRAG.py:665-806)
+    # ==================================================================
+    def retrieve_dpr(
+        self,
+        queries: List[str],
+        num_to_retrieve: Optional[int] = None,
+        gold_docs: Optional[List[List[str]]] = None,
+    ):
+        """Dense-only retrieval sharing the HippoRAG index: one batched
+        query×passage matmul + argsort on device, no graph search."""
+        import jax.numpy as jnp
+
+        from .ops.scoring import batched_normalized_scores
+
+        cfg = self.global_config
+        if num_to_retrieve is None:
+            num_to_retrieve = cfg.retrieval_top_k
+        if not self.ready_to_retrieve:
+            self.prepare_retrieval_objects()
+        retrieve_start = time.time()
+
+        self.get_query_embeddings(queries)
+        num_passages = len(self.passage_node_keys)
+        qp = np.stack(
+            [self.query_to_embedding["passage"][q] for q in queries]
+        ).astype(np.float32)
+        scores = np.asarray(
+            batched_normalized_scores(
+                jnp.asarray(qp),
+                self._passage_emb_dev,
+                jnp.asarray(num_passages, dtype=jnp.int32),
+                cfg.compute_dtype,
+            )
+        )[:, :num_passages]
+        results = []
+        for i, q in enumerate(queries):
+            order = np.argsort(-scores[i])[:num_to_retrieve]
+            results.append(self._build_result(q, order, scores[i][order], []))
+        self.all_retrieval_time += time.time() - retrieve_start
+
+        if gold_docs is not None:
+            evaluator = RetrievalRecall(self.global_config)
+            overall, _ = evaluator.calculate_metric_scores(
+                gold_docs, [r.docs for r in results], RETRIEVAL_K_LIST
+            )
+            logger.info("DPR retrieval eval: %s", overall)
+            return results, overall
+        return results
+
+    def rag_qa_dpr(
+        self,
+        queries: Union[List[str], List[QuerySolution]],
+        gold_docs: Optional[List[List[str]]] = None,
+        gold_answers: Optional[List[List[str]]] = None,
+    ):
+        """rag_qa over the pure-DPR retriever (ref HippoRAG.py:724-806)."""
+        overall_retrieval_result = None
+        if not isinstance(queries[0], QuerySolution):
+            if gold_docs is not None:
+                queries, overall_retrieval_result = self.retrieve_dpr(
+                    queries, gold_docs=gold_docs
+                )
+            else:
+                queries = self.retrieve_dpr(queries)
+
+        solutions, responses, metadata = self.qa(queries)
+
+        if gold_answers is not None:
+            em, _ = QAExactMatch(self.global_config).calculate_metric_scores(
+                gold_answers, [s.answer for s in solutions], np.max
+            )
+            f1, _ = QAF1Score(self.global_config).calculate_metric_scores(
+                gold_answers, [s.answer for s in solutions], np.max
+            )
+            overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
+            logger.info("DPR QA eval: %s", overall)
+            for i, s in enumerate(solutions):
+                s.gold_answers = list(gold_answers[i])
+                if gold_docs is not None:
+                    s.gold_docs = gold_docs[i]
+            return solutions, responses, metadata, overall_retrieval_result, overall
+        return solutions, responses, metadata
+
+    # ==================================================================
     # IRCoT iterative retrieval (ref HippoRAG.py:509-589)
     # ==================================================================
     def retrieve_ircot(
