@@ -145,10 +145,64 @@ def main():
         out = batched_ppr(
             graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
         )
-    out.block_until_ready()
+    np.asarray(out[0, 0])  # host sync (block_until_ready is unreliable on tunneled backends)
     tpu_time = (time.perf_counter() - t0) / reps
     tpu_qps = batch / tpu_time
     log(f"TPU: {tpu_time*1e3:.1f}ms per {batch}-query batch -> {tpu_qps:.1f} q/s")
+
+    extra = {}
+    # ---------------- bf16-gather PPR variant ----------------
+    try:
+        out_bf = batched_ppr(
+            graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol,
+            compute_dtype="bfloat16",
+        )
+        np.asarray(out_bf[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_bf = batched_ppr(
+                graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol,
+                compute_dtype="bfloat16",
+            )
+        np.asarray(out_bf[0, 0])
+        t_bf = (time.perf_counter() - t0) / reps
+        extra["tpu_bf16_batch_ms"] = round(t_bf * 1e3, 2)
+        extra["tpu_bf16_qps"] = round(batch / t_bf, 2)
+        log(f"TPU bf16 gather: {t_bf*1e3:.1f}ms per batch")
+    except Exception as e:  # noqa: BLE001
+        log(f"bf16 PPR variant skipped: {e}")
+
+    # ---------------- fused Pallas scoring kernel ----------------
+    try:
+        from hipporag_tpu.ops.fused_topk import fused_score_topk
+        from hipporag_tpu.ops.scoring import score_and_topk
+
+        nf, dim, bq, kk = 1_000_000, 768, 32, 8
+        rngs = np.random.default_rng(7)
+        qv = jnp.asarray(rngs.standard_normal((bq, dim)).astype(np.float32))
+        kv = jnp.asarray(rngs.standard_normal((nf, dim)).astype(np.float32))
+        vnf = jnp.asarray(nf, jnp.int32)
+        np.asarray(fused_score_topk(qv, kv, vnf, kk)[2])  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fused_score_topk(qv, kv, vnf, kk)
+        np.asarray(o[2])
+        t_pl = (time.perf_counter() - t0) / reps
+        np.asarray(score_and_topk(qv, kv, vnf, kk)[2])  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o2 = score_and_topk(qv, kv, vnf, kk)
+        np.asarray(o2[2])
+        t_xla = (time.perf_counter() - t0) / reps
+        extra["fused_topk_ms"] = round(t_pl * 1e3, 2)
+        extra["fused_topk_xla_ms"] = round(t_xla * 1e3, 2)
+        extra["fused_topk_gbps"] = round(nf * dim * 4 / t_pl / 1e9, 1)
+        log(
+            f"fused score+topk (1M x 768 facts): pallas {t_pl*1e3:.2f}ms "
+            f"({nf*dim*4/t_pl/1e9:.0f} GB/s) vs xla {t_xla*1e3:.2f}ms"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"fused scoring bench skipped: {e}")
 
     # effective SpMV bandwidth: per iteration touch ~E*(4B w + 4B idx*2 + 4B gather)
     result = {
@@ -163,6 +217,7 @@ def main():
             "cpu_qps": round(cpu_qps, 2),
             "tpu_batch_ms": round(tpu_time * 1e3, 2),
             "max_err_vs_cpu": max_err,
+            **extra,
         },
     }
     print(json.dumps(result), flush=True)

@@ -105,6 +105,9 @@ class BaseConfig:
     ppr_max_iters: int = 64
     ppr_tol: float = 1.0e-8
     ppr_batch_size: int = 64  # queries per device batch in retrieval
+    # "bfloat16" halves SpMV gather traffic (f32 accumulation); "float32"
+    # keeps exact reference-parity scores.
+    ppr_compute_dtype: str = "float32"
     # Kernel configuration
     score_block_n: int = 2048  # fact/passage tile size for chunked scoring
     use_pallas_kernels: bool = True  # auto-falls back to XLA off-TPU

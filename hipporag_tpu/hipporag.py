@@ -697,6 +697,7 @@ class HippoRAG:
                     damping=cfg.damping,
                     ppr_max_iters=cfg.ppr_max_iters,
                     ppr_tol=cfg.ppr_tol,
+                    ppr_dtype=cfg.ppr_compute_dtype,
                 )
             else:
                 from .ops.scoring import min_max_normalize as mmn

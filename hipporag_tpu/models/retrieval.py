@@ -52,7 +52,7 @@ class RetrievalIndex(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("link_top_k", "ppr_max_iters")
+    jax.jit, static_argnames=("link_top_k", "ppr_max_iters", "ppr_dtype")
 )
 def graph_search_batch(
     index: RetrievalIndex,
@@ -65,6 +65,7 @@ def graph_search_batch(
     damping: float = 0.5,
     ppr_max_iters: int = 64,
     ppr_tol: float = 1.0e-8,
+    ppr_dtype: str = "float32",
 ) -> Array:
     """Return [B, P_pad] final document scores (padded cols = -inf).
 
@@ -120,7 +121,8 @@ def graph_search_batch(
     # Batched PPR and passage extraction.
     # ------------------------------------------------------------------
     ppr = batched_ppr(
-        index.graph, reset, damping=damping, max_iters=ppr_max_iters, tol=ppr_tol
+        index.graph, reset, damping=damping, max_iters=ppr_max_iters,
+        tol=ppr_tol, compute_dtype=ppr_dtype,
     )
     ppr_doc_scores = ppr[:, index.passage_node_ids]  # [B, P_pad]
 

@@ -188,3 +188,45 @@ def test_capacity_reuse_avoids_recompile():
     g2, ncap2, ecap2 = compile_device_graph(builder, node_capacity=ncap1, edge_capacity=ecap1)
     assert (ncap2, ecap2) == (ncap1, ecap1)
     assert g2.src.shape == g1.src.shape and g2.dangling.shape == g1.dangling.shape
+
+
+def test_batched_ppr_bf16_ranking_agrees_with_f32():
+    """bf16 gather traffic mode must preserve top-k ranking."""
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import COOGraph, batched_ppr
+
+    rng = np.random.default_rng(3)
+    n, e, b = 512, 4096, 8
+    src = rng.integers(0, n, e); dst = rng.integers(0, n, e)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    order = np.argsort(d2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w2[order]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128); edge_cap = round_up(len(s2), 1024)
+    sp = np.zeros(edge_cap, np.int32); dp = np.full(edge_cap, node_cap - 1, np.int32)
+    wp = np.zeros(edge_cap, np.float32)
+    sp[: len(s2)] = s2; dp[: len(s2)] = d2
+    wp[: len(s2)] = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32)
+    dang[:n] = (strength == 0)
+    graph = COOGraph(
+        src=jnp.asarray(sp), dst=jnp.asarray(dp), w_norm=jnp.asarray(wp),
+        dangling=jnp.asarray(dang), num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    reset = np.zeros((b, node_cap), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 4)] = rng.uniform(0.2, 1.0, 4)
+
+    p32 = np.asarray(batched_ppr(graph, jnp.asarray(reset)))
+    pbf = np.asarray(batched_ppr(graph, jnp.asarray(reset), compute_dtype="bfloat16"))
+    # scores close and top-10 rankings nearly identical
+    assert np.max(np.abs(p32 - pbf)) < 5e-3
+    for i in range(b):
+        top32 = set(np.argsort(-p32[i])[:10])
+        topbf = set(np.argsort(-pbf[i])[:10])
+        assert len(top32 & topbf) >= 8
