@@ -108,6 +108,9 @@ class BaseConfig:
     # "bfloat16" halves SpMV gather traffic (f32 accumulation); "float32"
     # keeps exact reference-parity scores.
     ppr_compute_dtype: str = "float32"
+    # >1 streams the edge list in chunks through the SpMV so huge graphs
+    # (100M+ edges) never materialize the [E, B] gather at once.
+    ppr_edge_chunks: int = 1
     # Kernel configuration
     score_block_n: int = 2048  # fact/passage tile size for chunked scoring
     use_pallas_kernels: bool = True  # auto-falls back to XLA off-TPU

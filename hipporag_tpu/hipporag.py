@@ -698,6 +698,7 @@ class HippoRAG:
                     ppr_max_iters=cfg.ppr_max_iters,
                     ppr_tol=cfg.ppr_tol,
                     ppr_dtype=cfg.ppr_compute_dtype,
+                    ppr_edge_chunks=cfg.ppr_edge_chunks,
                 )
             else:
                 from .ops.scoring import min_max_normalize as mmn

@@ -52,7 +52,8 @@ class RetrievalIndex(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("link_top_k", "ppr_max_iters", "ppr_dtype")
+    jax.jit,
+    static_argnames=("link_top_k", "ppr_max_iters", "ppr_dtype", "ppr_edge_chunks"),
 )
 def graph_search_batch(
     index: RetrievalIndex,
@@ -66,6 +67,7 @@ def graph_search_batch(
     ppr_max_iters: int = 64,
     ppr_tol: float = 1.0e-8,
     ppr_dtype: str = "float32",
+    ppr_edge_chunks: int = 1,
 ) -> Array:
     """Return [B, P_pad] final document scores (padded cols = -inf).
 
@@ -122,7 +124,7 @@ def graph_search_batch(
     # ------------------------------------------------------------------
     ppr = batched_ppr(
         index.graph, reset, damping=damping, max_iters=ppr_max_iters,
-        tol=ppr_tol, compute_dtype=ppr_dtype,
+        tol=ppr_tol, compute_dtype=ppr_dtype, edge_chunks=ppr_edge_chunks,
     )
     ppr_doc_scores = ppr[:, index.passage_node_ids]  # [B, P_pad]
 

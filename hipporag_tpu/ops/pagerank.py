@@ -54,25 +54,58 @@ class COOGraph(NamedTuple):
     num_nodes: Array
 
 
-def _spmv_T(graph: COOGraph, p_T: Array, gather_dtype=None) -> Array:
+def _spmv_T(graph: COOGraph, p_T: Array, gather_dtype=None, edge_chunks: int = 1) -> Array:
     """y_T[N, B] = T @ p for all batch columns: y[dst] += w_norm * p[src].
 
     ``gather_dtype=bfloat16`` halves the dominant HBM traffic (the [E, B]
     gathered probability rows) at ~3-decimal-digit score precision —
     accumulation stays float32. PPR outputs feed a ranking, so bf16 is
     usually safe; f32 is the default for exact reference parity.
+
+    ``edge_chunks > 1`` streams the edge list through a ``lax.scan`` so the
+    gathered [E, B] intermediate never exists at once — peak memory drops
+    to [E/chunks, B], which is what lets a 100M-edge graph with a
+    128-query batch fit in one chip's HBM. Chunks are contiguous slices of
+    the dst-sorted edge list, so per-chunk sorted segment sums stay valid
+    and partial results just add.
     """
     p_g = p_T.astype(gather_dtype) if gather_dtype is not None else p_T
-    gathered = p_g[graph.src] * graph.w_norm[:, None].astype(p_g.dtype)  # [E, B]
-    return jax.ops.segment_sum(
-        gathered.astype(jnp.float32),
-        graph.dst,
-        num_segments=p_T.shape[0],
-        indices_are_sorted=True,
+    w = graph.w_norm
+    n = p_T.shape[0]
+    if edge_chunks <= 1:
+        gathered = p_g[graph.src] * w[:, None].astype(p_g.dtype)  # [E, B]
+        return jax.ops.segment_sum(
+            gathered.astype(jnp.float32), graph.dst,
+            num_segments=n, indices_are_sorted=True,
+        )
+
+    e = graph.src.shape[0]
+    per = -(-e // edge_chunks)
+    pad = per * edge_chunks - e
+    # padded edges carry weight 0 and point at the last (padding) node
+    src_c = jnp.pad(graph.src, (0, pad)).reshape(edge_chunks, per)
+    dst_c = jnp.pad(graph.dst, (0, pad), constant_values=n - 1).reshape(
+        edge_chunks, per
     )
+    w_c = jnp.pad(w, (0, pad)).reshape(edge_chunks, per)
+
+    def body(y, args):
+        s, d, wc = args
+        g = p_g[s] * wc[:, None].astype(p_g.dtype)
+        y = y + jax.ops.segment_sum(
+            g.astype(jnp.float32), d, num_segments=n, indices_are_sorted=True
+        )
+        return y, None
+
+    y, _ = jax.lax.scan(
+        body, jnp.zeros_like(p_T), (src_c, dst_c, w_c)
+    )
+    return y
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "compute_dtype", "edge_chunks")
+)
 def batched_ppr(
     graph: COOGraph,
     reset: Array,
@@ -80,6 +113,7 @@ def batched_ppr(
     max_iters: int = 64,
     tol: float | Array = 1.0e-8,
     compute_dtype: str | None = None,
+    edge_chunks: int = 1,
 ) -> Array:
     """Run PPR for a batch of reset vectors.
 
@@ -119,7 +153,7 @@ def batched_ppr(
 
     def body(state):
         p_T, _, it = state
-        y_T = _spmv_T(graph, p_T, gather_dtype)
+        y_T = _spmv_T(graph, p_T, gather_dtype, edge_chunks)
         dangling_mass = jnp.sum(p_T * graph.dangling[:, None], axis=0, keepdims=True)
         p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
         err = jnp.max(jnp.abs(p_next - p_T))

@@ -230,3 +230,41 @@ def test_batched_ppr_bf16_ranking_agrees_with_f32():
         top32 = set(np.argsort(-p32[i])[:10])
         topbf = set(np.argsort(-pbf[i])[:10])
         assert len(top32 & topbf) >= 8
+
+
+def test_batched_ppr_edge_chunked_matches_unchunked():
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import COOGraph, batched_ppr
+
+    rng = np.random.default_rng(5)
+    n, e, b = 256, 2000, 4
+    src = rng.integers(0, n, e); dst = rng.integers(0, n, e)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    order = np.argsort(d2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w2[order]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128); edge_cap = round_up(len(s2), 1024)
+    sp = np.zeros(edge_cap, np.int32); dp = np.full(edge_cap, node_cap - 1, np.int32)
+    wp = np.zeros(edge_cap, np.float32)
+    sp[: len(s2)] = s2; dp[: len(s2)] = d2
+    wp[: len(s2)] = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+    graph = COOGraph(
+        src=jnp.asarray(sp), dst=jnp.asarray(dp), w_norm=jnp.asarray(wp),
+        dangling=jnp.asarray(dang), num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    reset = np.zeros((b, node_cap), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = 1.0
+
+    base = np.asarray(batched_ppr(graph, jnp.asarray(reset)))
+    for chunks in (2, 7):
+        chunked = np.asarray(
+            batched_ppr(graph, jnp.asarray(reset), edge_chunks=chunks)
+        )
+        np.testing.assert_allclose(chunked, base, rtol=1e-5, atol=1e-7)
