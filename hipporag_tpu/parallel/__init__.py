@@ -1,4 +1,4 @@
-from .mesh import CORPUS_AXIS, DP_AXIS, batch_sharded, corpus_sharded, make_mesh, replicated
+from .mesh import CORPUS_AXIS, DP_AXIS, batch_sharded, corpus_sharded, make_hybrid_mesh, make_mesh, replicated
 from .sharded import (
     ShardedGraph,
     make_sharded_ppr,
@@ -13,6 +13,7 @@ __all__ = [
     "ShardedGraph",
     "batch_sharded",
     "corpus_sharded",
+    "make_hybrid_mesh",
     "make_mesh",
     "make_sharded_ppr",
     "make_sharded_score_topk",

@@ -42,6 +42,39 @@ def make_mesh(
     return Mesh(arr, (DP_AXIS, CORPUS_AXIS))
 
 
+def make_hybrid_mesh(
+    dp_slices: Optional[int] = None, devices=None
+) -> Mesh:
+    """Multi-slice ("dp", "corpus") mesh: dp over DCN, corpus over ICI.
+
+    Query batches are independent, so the dp axis only communicates at
+    batch boundaries and can ride the slower DCN links between slices;
+    the corpus axis all-reduces every PPR iteration / top-k merge and
+    must stay on ICI within a slice. On single-slice (or CPU) topologies
+    this degrades gracefully to a regular mesh with dp as the leading
+    axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    num_slices = len(slice_ids)
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+
+        per_slice = n // num_slices
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_slice),
+            dcn_mesh_shape=(num_slices, 1),
+            devices=devices,
+        )
+        return Mesh(arr, (DP_AXIS, CORPUS_AXIS))
+    dp = dp_slices or 1
+    if n % dp != 0:
+        raise ValueError(f"{n} devices not divisible by dp={dp}")
+    return make_mesh((dp, n // dp), devices=devices)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -90,3 +90,14 @@ def test_sharded_score_topk_matches_single_chip(mesh):
         np.take_along_axis(single, expect_idx, axis=1),
         atol=1e-5,
     )
+
+
+def test_make_hybrid_mesh_single_slice_fallback():
+    import jax
+
+    from hipporag_tpu.parallel.mesh import CORPUS_AXIS, DP_AXIS, make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dp_slices=2)
+    assert mesh.axis_names == (DP_AXIS, CORPUS_AXIS)
+    assert mesh.shape[DP_AXIS] == 2
+    assert mesh.shape[CORPUS_AXIS] == len(jax.devices()) // 2
