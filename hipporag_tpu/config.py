@@ -118,6 +118,9 @@ class BaseConfig:
     # Graph capacity growth factor for padded device buffers (amortizes
     # recompilation during incremental indexing).
     graph_capacity_factor: float = 1.25
+    # When set, retrieve() wraps its device work in a JAX profiler trace
+    # written here (view with TensorBoard / xprof).
+    profile_log_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.save_dir is None:

@@ -590,10 +590,7 @@ class HippoRAG:
         num_to_retrieve: Optional[int] = None,
         gold_docs: Optional[List[List[str]]] = None,
     ):
-        import jax.numpy as jnp
-
-        from .models.retrieval import graph_search_batch, rank_documents
-        from .ops.scoring import batched_scores, fact_topk
+        from .utils.timing import jax_profile
 
         cfg = self.global_config
         if num_to_retrieve is None:
@@ -607,6 +604,41 @@ class HippoRAG:
         num_passages = len(self.passage_node_keys)
         link_top_k = cfg.linking_top_k
 
+        profile_ctx = jax_profile(cfg.profile_log_dir)
+        profile_ctx.__enter__()
+        try:
+            results = self._retrieve_batches(
+                queries, num_to_retrieve, num_facts, num_passages, link_top_k
+            )
+        finally:
+            profile_ctx.__exit__(None, None, None)
+
+        self.all_retrieval_time += time.time() - retrieve_start
+        logger.info(
+            "Retrieval: total %.2fs, rerank %.2fs, graph-search %.2fs",
+            self.all_retrieval_time,
+            self.rerank_time,
+            self.ppr_time,
+        )
+
+        if gold_docs is not None:
+            evaluator = RetrievalRecall(self.global_config)
+            overall, _ = evaluator.calculate_metric_scores(
+                gold_docs, [r.docs for r in results], RETRIEVAL_K_LIST
+            )
+            logger.info("Retrieval eval: %s", overall)
+            return results, overall
+        return results
+
+    def _retrieve_batches(
+        self, queries, num_to_retrieve, num_facts, num_passages, link_top_k
+    ) -> List[QuerySolution]:
+        import jax.numpy as jnp
+
+        from .models.retrieval import graph_search_batch, rank_documents
+        from .ops.scoring import batched_scores, fact_topk
+
+        cfg = self.global_config
         results: List[QuerySolution] = []
         bucket = max(1, cfg.ppr_batch_size)
         for start in range(0, len(queries), bucket):
@@ -724,21 +756,6 @@ class HippoRAG:
                 )
                 results.append(result)
 
-        self.all_retrieval_time += time.time() - retrieve_start
-        logger.info(
-            "Retrieval: total %.2fs, rerank %.2fs, graph-search %.2fs",
-            self.all_retrieval_time,
-            self.rerank_time,
-            self.ppr_time,
-        )
-
-        if gold_docs is not None:
-            evaluator = RetrievalRecall(self.global_config)
-            overall, _ = evaluator.calculate_metric_scores(
-                gold_docs, [r.docs for r in results], RETRIEVAL_K_LIST
-            )
-            logger.info("Retrieval eval: %s", overall)
-            return results, overall
         return results
 
     def _build_result(self, query, doc_indices, doc_scores, graph_seeds) -> QuerySolution:
