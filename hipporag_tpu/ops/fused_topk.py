@@ -1,27 +1,44 @@
-"""Pallas TPU kernel: fused dense scoring + streaming top-k + min/max.
+"""Pallas TPU kernels: fused dense scoring + exact hierarchical top-k.
 
 The retrieval hot path (reference HippoRAG.py:1427-1465) computes a full
 query-by-fact score matrix, min-max-normalizes it, and takes the top-k
-rows. At corpus scale the [B, N] score matrix is the HBM-bandwidth
+rows. At corpus scale the [B, N] score matrix is the HBM *memory*
 bottleneck: N is millions of facts while only k << N scores survive.
 
-This kernel streams key tiles through VMEM and keeps ONLY the running
-top-k (values + indices) and running row min/max in on-chip scratch, so
-the [B, N] matrix never exists in HBM:
+Measured on v5e: XLA's direct matmul+top_k is ~2x faster than this
+kernel while [B, N] fits in HBM (the matmul is compute-bound at these
+shapes, so avoiding the materialization does not buy wall-clock). This
+path exists for the regime where the score matrix does NOT fit —
+ops/scoring.fact_topk routes here automatically past ~2 GB. Keep
+B*k*tile_n well under N, or the refinement gather exceeds the corpus.
 
-    grid over N/tile_n key tiles, sequential on one core:
-      S   = Q @ K_tile^T            (MXU, f32 accumulation)
-      m/M = running row min/max     (VPU, masked to the valid prefix)
-      top = merge(top, topk(S))     (k-step iterative extraction, VPU)
+Two-pass exact algorithm, both passes DMA-bound:
 
-Min-max normalization of the surviving values then needs only the [B, 1]
-row extrema, matching ``ops.scoring.min_max_normalize`` semantics
-(constant rows -> 1.0, padded columns -> 0).
+  Pass A (``_scan_kernel``): stream key tiles through VMEM; per tile
+  compute S = Q @ K_tile^T on the MXU and keep ONLY the per-tile row
+  max + argmax and the running row min/max in scratch. The [B, N] matrix
+  never exists in HBM. No sorting, no merging — ~3 VPU reductions per
+  tile, so the pass runs at the speed the keys stream in.
 
-The kernel requires static shapes: callers pad N to a multiple of the
-tile and D to a multiple of 128 (see ``fused_score_topk``). Designed for
-small k (link_top_k ~ 5..32); the synonymy kNN (k up to 2047) keeps the
-XLA streaming path in ops/knn.py.
+  Refinement: the true top-k values of a row must live in its top-k
+  tiles by max (if a tile's max is below the k-th largest tile max,
+  every value in it is below k values elsewhere). lax.top_k over the
+  small [B, n_tiles] max matrix picks those tiles.
+
+  Pass B (``_refine_kernel``): for each (row, selected tile) pair,
+  re-dot that row's query against just that tile — tile ids arrive via
+  scalar prefetch and drive the BlockSpec index_map, so only the B*k
+  selected tiles are read back from HBM (a few percent of the corpus).
+  A final lax.top_k over the [B, k*tile] candidates yields exact top-k.
+
+Min-max normalization needs only the [B, 1] row extrema from pass A,
+matching ``ops.scoring.min_max_normalize`` semantics (constant rows ->
+1.0, padded columns -> 0).
+
+Tie-breaking: within a tile the lower index wins (as lax.top_k); across
+tiles with exactly tied maxes the candidate order follows tile rank, so
+global tie order can differ from a flat lax.top_k — irrelevant for real
+(float) scores.
 """
 
 from __future__ import annotations
@@ -35,26 +52,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_KPAD = 128  # lane-aligned running top-k scratch width
+_INT_MAX = 2**31 - 1
 
 
-def _make_kernel(k: int, tile_n: int, precision: str = "highest"):
-    def kernel(valid_n_ref, q_ref, kt_ref, vals_ref, idx_ref, mm_ref,
-               vals_s, idx_s, mn_s, mx_s):
+# ----------------------------------------------------------------------
+# Pass A: streamed matmul + per-tile max/argmax + row min/max
+# ----------------------------------------------------------------------
+def _make_scan_kernel(tile_n: int, precision: str):
+    def kernel(valid_n_ref, q_ref, kt_ref, tmax_ref, mm_ref, mn_s, mx_s):
         j = pl.program_id(0)
         n_tiles = pl.num_programs(0)
-        b = vals_s.shape[0]
+        b = q_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
-            vals_s[:] = jnp.full((b, _KPAD), -jnp.inf, jnp.float32)
-            idx_s[:] = jnp.zeros((b, _KPAD), jnp.int32)
             mn_s[:] = jnp.full(mn_s.shape, jnp.inf, jnp.float32)
             mx_s[:] = jnp.full(mx_s.shape, -jnp.inf, jnp.float32)
 
+        # tmax output is blocked (B, 128) and revisited for 128 consecutive
+        # grid steps: pallas keeps the live block in VMEM and flushes it
+        # when the block index changes, so the per-step update below only
+        # touches a [B, 128] window.
+        @pl.when(j % 128 == 0)
+        def _init_block():
+            tmax_ref[:] = jnp.full(tmax_ref.shape, -jnp.inf, jnp.float32)
+
         s = jax.lax.dot_general(
-            q_ref[:],
-            kt_ref[:],
+            q_ref[:], kt_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -67,55 +91,24 @@ def _make_kernel(k: int, tile_n: int, precision: str = "highest"):
         mn_s[:] = jnp.minimum(mn_s[:], tile_min)
         mx_s[:] = jnp.maximum(mx_s[:], tile_max)
 
-        # Merge only when some row of this tile can displace a running
-        # top-k entry — after the first few tiles almost every tile skips,
-        # so the steady-state cost per tile is the matmul + two reductions
-        # and the kernel stays DMA-bound.
-        kth = vals_s[:, k - 1 : k]  # running lists are sorted descending
-        need_merge = jnp.any(tile_max > kth)
-
-        @pl.when(need_merge)
-        def _merge():
-            # k-step max extraction over the lane-aligned concat
-            # [B, _KPAD + TILE_N]; ties pick the lowest index (lax.top_k
-            # semantics; running entries hold earlier = smaller indices).
-            s_masked = jnp.where(valid, s, -jnp.inf)
-            cand_vals = jnp.concatenate([vals_s[:], s_masked], axis=1)
-            cand_idx = jnp.concatenate([idx_s[:], col], axis=1)
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (b, _KPAD), 1)
-            new_vals = jnp.full((b, _KPAD), -jnp.inf, jnp.float32)
-            new_idx = jnp.zeros((b, _KPAD), jnp.int32)
-            for i in range(k):
-                m = jnp.max(cand_vals, axis=1, keepdims=True)  # [B, 1]
-                is_m = cand_vals == m
-                pick = jnp.min(
-                    jnp.where(is_m, cand_idx, 2**31 - 1), axis=1, keepdims=True
-                )
-                new_vals = jnp.where(kcol == i, m, new_vals)
-                new_idx = jnp.where(kcol == i, pick, new_idx)
-                cand_vals = jnp.where(cand_idx == pick, -jnp.inf, cand_vals)
-            vals_s[:] = new_vals
-            idx_s[:] = new_idx
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+        tmax_ref[:] = jnp.where(lane == j % 128, tile_max, tmax_ref[:])
 
         @pl.when(j == n_tiles - 1)
         def _emit():
-            vals_ref[:] = vals_s[:]
-            idx_ref[:] = idx_s[:]
             ccol = jax.lax.broadcasted_iota(jnp.int32, mm_ref.shape, 1)
             mm_ref[:] = jnp.where(ccol == 0, mn_s[:], mx_s[:])
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "precision"))
-def _fused_topk_call(
-    queries: Array, keys: Array, valid_n: Array, k: int, tile_n: int,
-    interpret: bool = False, precision: str = "highest",
-):
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "nt_pad", "interpret", "precision")
+)
+def _scan_call(queries, keys, valid_n, tile_n, nt_pad, interpret, precision):
     b, d = queries.shape
     n = keys.shape[0]
     n_tiles = n // tile_n
-    kernel = _make_kernel(k, tile_n, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -124,23 +117,19 @@ def _fused_topk_call(
             pl.BlockSpec((tile_n, d), lambda j, *_: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, _KPAD), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, _KPAD), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 128), lambda j, *_: (0, j // 128), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 128), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, _KPAD), jnp.float32),
-            pltpu.VMEM((b, _KPAD), jnp.int32),
             pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
         ],
     )
-    vals, idx, mm = pl.pallas_call(
-        kernel,
+    return pl.pallas_call(
+        _make_scan_kernel(tile_n, precision),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b, _KPAD), jnp.float32),
-            jax.ShapeDtypeStruct((b, _KPAD), jnp.int32),
+            jax.ShapeDtypeStruct((b, nt_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, 128), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
@@ -150,13 +139,86 @@ def _fused_topk_call(
         ),
         interpret=interpret,
     )(valid_n.reshape(1).astype(jnp.int32), queries, keys)
-    return vals[:, :k], idx[:, :k], mm[:, 0:1], mm[:, 1:2]
+
+
+# ----------------------------------------------------------------------
+# Pass B: re-dot each row against its selected tiles only
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("tile_n", "precision"))
+def _refine_xla(queries, keys, tile_sel, tile_n, precision):
+    """Gather each row's selected key tiles and re-dot (XLA).
+
+    Traffic is B*k*tile_n*D key bytes — a few percent of the corpus —
+    and XLA pipelines the gather+einsum well; the pallas variant below
+    exists for cases where even the gathered copy must be avoided.
+    """
+    n, d = keys.shape
+    kt3 = keys.reshape(n // tile_n, tile_n, d)
+    g = kt3[tile_sel]  # [B, kt, tile_n, D]
+    return jnp.einsum(
+        "bd,bktd->bkt", queries, g,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _make_refine_kernel(k: int, precision: str):
+    def kernel(sel_ref, q_ref, kt_ref, out_ref):
+        j = pl.program_id(0)
+        row = j // k
+        b = q_ref.shape[0]
+        # one-hot row extraction: dynamic single-row slices are not
+        # supported for narrow dtypes, a [1, B] x [B, D] matmul is
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == row
+        ).astype(q_ref.dtype)
+        q_row = jax.lax.dot_general(
+            onehot, q_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q_ref.dtype)  # [1, D]
+        out_ref[pl.ds(j, 1), :] = jax.lax.dot_general(
+            q_row, kt_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "precision"))
+def _refine_call(queries, keys, sel_flat, k, tile_n, interpret, precision):
+    b, d = queries.shape
+    bk = sel_flat.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bk,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j, sel: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda j, sel: (sel[j], 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bk, tile_n), lambda j, sel: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _make_refine_kernel(k, precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bk, tile_n), jnp.float32),
+        interpret=interpret,
+    )(sel_flat.astype(jnp.int32), queries, keys)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "precision")
+)
 def fused_score_topk(
     queries: Array,
     keys: Array,
@@ -166,44 +228,62 @@ def fused_score_topk(
     interpret: bool = False,
     precision: str = "highest",
 ):
-    """Normalized top-k without materializing the [B, N] score matrix.
+    """Exact normalized top-k without materializing the [B, N] scores.
 
     Args:
       queries: [B, D] query embeddings.
       keys: [N, D] key embeddings (rows >= valid_n are padding).
       valid_n: scalar int — number of real key rows.
-      k: static top-k (small; <= 64 recommended).
-      tile_n: key-tile rows (auto-shrunk to divide N).
+      k: static top-k (k*tile_n candidate refinement; keep k modest).
+      tile_n: key-tile rows (auto-adjusted to divide N and bound VMEM).
 
     Returns:
-      (norm_vals [B, k], raw_vals [B, k], idx [B, k] int32). Rows where
-      fewer than k keys are valid carry -inf raw values and norm value 0.
+      (norm_vals [B, k], raw_vals [B, k], idx [B, k] int32). Rows with
+      fewer than k valid keys carry -inf raw values and norm value 0.
     """
     b, d = queries.shape
     n = keys.shape[0]
     k = min(k, n)
-    if k > _KPAD:
-        raise ValueError(f"fused kernel supports k <= {_KPAD}; use ops.knn for large k")
 
     d_pad = _round_up(d, 128)
     b_pad = _round_up(max(b, 8), 8)
     while n % tile_n != 0 and tile_n > 128:
         tile_n //= 2
     n_pad = _round_up(n, tile_n)
+    n_tiles = n_pad // tile_n
+    nt_pad = _round_up(n_tiles, 128)
+
     if d_pad != d or n_pad != n:
         keys = jnp.pad(keys, ((0, n_pad - n), (0, d_pad - d)))
     if d_pad != d or b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, d_pad - d)))
+    valid_n = jnp.asarray(valid_n)
 
-    vals, idx, mn, mx = _fused_topk_call(
-        queries, keys, jnp.asarray(valid_n), k, tile_n,
-        interpret=interpret, precision=precision,
+    tmax, mm = _scan_call(
+        queries, keys, valid_n, tile_n, nt_pad, interpret, precision
     )
-    vals, idx, mn, mx = vals[:b], idx[:b], mn[:b], mx[:b]
+    mn, mx = mm[:b, 0:1], mm[:b, 1:2]
+
+    # select each row's top-k tiles by max (invalid tiles carry -inf)
+    kt = min(k, n_tiles)
+    tile_vals, tile_sel = jax.lax.top_k(tmax[:, :n_tiles], kt)  # [B_pad, kt]
+
+    refine = _refine_xla if not interpret else _refine_xla
+    cand = refine(queries, keys, tile_sel, tile_n, precision)  # [B_pad, kt, tile_n]
+    cand = cand.reshape(b_pad, kt * tile_n)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_pad, kt, tile_n), 2)
+    cidx = (tile_sel[:, :, None] * tile_n + col).reshape(b_pad, kt * tile_n)
+    cand = jnp.where(cidx < valid_n, cand, -jnp.inf)
+
+    vals, pos = jax.lax.top_k(cand, k)  # [B_pad, k]
+    idx = jnp.take_along_axis(cidx, pos, axis=1)
+
+    vals, idx = vals[:b], idx[:b]
     rng = mx - mn
     finite = vals > -jnp.inf
     norm = jnp.where(
         rng == 0, jnp.ones_like(vals), (vals - mn) / jnp.where(rng == 0, 1.0, rng)
     )
     norm = jnp.where(finite, norm, 0.0)
+    idx = jnp.where(finite, idx, 0)
     return norm, vals, idx

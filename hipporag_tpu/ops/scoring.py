@@ -87,6 +87,13 @@ def score_and_topk(
     return scores, values, indices
 
 
+# Above this [B, N] score-matrix footprint the streamed Pallas path is
+# used: XLA's direct matmul+top_k is faster while the matrix fits in HBM
+# (measured on v5e), but its materialization dominates memory at corpus
+# scale. 2 GB leaves ample headroom next to the embedding matrices.
+_PALLAS_SCORE_BYTES = 2 << 30
+
+
 def fact_topk(
     queries: Array,
     keys: Array,
@@ -97,12 +104,18 @@ def fact_topk(
 ):
     """Top-k normalized fact scores: (norm_vals [B,k], idx [B,k]).
 
-    On TPU this routes to the Pallas fused kernel (ops/fused_topk.py) so the
-    [B, N] score matrix never materializes in HBM; elsewhere it falls back to
-    the XLA path. Padded/absent keys yield norm value 0.
+    Routing: the XLA matmul+top_k path is compute-optimal on TPU while the
+    [B, N] score matrix fits comfortably in HBM; past ~2 GB the Pallas
+    two-pass kernel (ops/fused_topk.py) streams key tiles and keeps only
+    per-tile maxima, trading ~2x kernel time for O(B*n_tiles) memory.
+    Padded/absent keys yield norm value 0.
     """
+    b = queries.shape[0]
+    n = keys.shape[0]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu" and b * n * 4 > _PALLAS_SCORE_BYTES
+        )
     if use_pallas:
         from .fused_topk import fused_score_topk
 
