@@ -109,8 +109,11 @@ class BaseConfig:
     # keeps exact reference-parity scores.
     ppr_compute_dtype: str = "float32"
     # >1 streams the edge list in chunks through the SpMV so huge graphs
-    # (100M+ edges) never materialize the [E, B] gather at once.
+    # (100M+ edges) never materialize the [E, B] gather at once (COO only).
     ppr_edge_chunks: int = 1
+    # "ell": scatter-free bucketed-ELL SpMV (~2x faster on TPU);
+    # "coo": segment-sum form (supports edge_chunks + bf16 gathers).
+    ppr_format: Literal["ell", "coo"] = "ell"
     # Kernel configuration
     score_block_n: int = 2048  # fact/passage tile size for chunked scoring
     use_pallas_kernels: bool = True  # auto-falls back to XLA off-TPU

@@ -484,6 +484,19 @@ class HippoRAG:
             capacity_factor=cfg.graph_capacity_factor,
         )
         self._capacities["node"], self._capacities["edge"] = node_cap, edge_cap
+        if cfg.ppr_format == "ell":
+            # scatter-free bucketed-ELL operator: ~2x faster PPR on TPU
+            # than the COO segment-sum path (see ops/pagerank.py)
+            from .ops.pagerank import ell_from_coo
+
+            graph_np = ell_from_coo(
+                graph_np.src,
+                graph_np.dst,
+                graph_np.w_norm,
+                graph_np.dangling,
+                int(graph_np.num_nodes),
+                node_cap,
+            )
 
         fact_cap = pick_capacity(
             len(self.fact_node_keys), self._capacities["fact"], cfg.graph_capacity_factor, 128

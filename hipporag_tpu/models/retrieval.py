@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.pagerank import COOGraph, batched_ppr
+from ..ops.pagerank import COOGraph, ELLGraph, batched_ppr, batched_ppr_ell
 from ..ops.scoring import min_max_normalize
 
 Array = jax.Array
@@ -41,7 +41,7 @@ class RetrievalIndex(NamedTuple):
     and mask 0.
     """
 
-    graph: COOGraph
+    graph: COOGraph  # or ELLGraph (scatter-free SpMV; dispatched by type)
     fact_subj_node: Array  # [F_pad] int32
     fact_obj_node: Array  # [F_pad] int32
     fact_valid: Array  # [F_pad] float32 (1.0 = real fact row)
@@ -122,10 +122,16 @@ def graph_search_batch(
     # ------------------------------------------------------------------
     # Batched PPR and passage extraction.
     # ------------------------------------------------------------------
-    ppr = batched_ppr(
-        index.graph, reset, damping=damping, max_iters=ppr_max_iters,
-        tol=ppr_tol, compute_dtype=ppr_dtype, edge_chunks=ppr_edge_chunks,
-    )
+    if isinstance(index.graph, ELLGraph):
+        ppr = batched_ppr_ell(
+            index.graph, reset, damping=damping, max_iters=ppr_max_iters,
+            tol=ppr_tol,
+        )
+    else:
+        ppr = batched_ppr(
+            index.graph, reset, damping=damping, max_iters=ppr_max_iters,
+            tol=ppr_tol, compute_dtype=ppr_dtype, edge_chunks=ppr_edge_chunks,
+        )
     ppr_doc_scores = ppr[:, index.passage_node_ids]  # [B, P_pad]
 
     # DPR fallback for queries whose fact set is empty after reranking.

@@ -268,3 +268,47 @@ def test_batched_ppr_edge_chunked_matches_unchunked():
             batched_ppr(graph, jnp.asarray(reset), edge_chunks=chunks)
         )
         np.testing.assert_allclose(chunked, base, rtol=1e-5, atol=1e-7)
+
+
+def test_batched_ppr_ell_matches_coo():
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        COOGraph, batched_ppr, batched_ppr_ell, ell_from_coo,
+    )
+
+    rng = np.random.default_rng(11)
+    n, b = 600, 8
+    # power-law-ish degrees incl. a hub node with very high in-degree
+    src = rng.integers(0, n, 6000)
+    dst = rng.integers(0, n, 6000)
+    src = np.concatenate([src, rng.integers(0, n, 1500)])
+    dst = np.concatenate([dst, np.zeros(1500, np.int64)])  # node 0 = hub
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    order = np.argsort(d2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w2[order]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128); edge_cap = round_up(len(s2), 1024)
+    sp = np.zeros(edge_cap, np.int32); dp = np.full(edge_cap, node_cap - 1, np.int32)
+    wp = np.zeros(edge_cap, np.float32)
+    sp[: len(s2)] = s2; dp[: len(s2)] = d2
+    wp[: len(s2)] = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+
+    coo = COOGraph(
+        src=jnp.asarray(sp), dst=jnp.asarray(dp), w_norm=jnp.asarray(wp),
+        dangling=jnp.asarray(dang), num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    ell = ell_from_coo(sp, dp, wp, dang[:node_cap], n, node_cap,
+                       bucket_widths=(4, 16, 64), hub_width=128)
+    reset = np.zeros((b, node_cap), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+
+    base = np.asarray(batched_ppr(coo, jnp.asarray(reset)))
+    got = np.asarray(batched_ppr_ell(ell, jnp.asarray(reset)))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
