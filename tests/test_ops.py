@@ -312,3 +312,39 @@ def test_batched_ppr_ell_matches_coo():
     base = np.asarray(batched_ppr(coo, jnp.asarray(reset)))
     got = np.asarray(batched_ppr_ell(ell, jnp.asarray(reset)))
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
+
+
+def test_batched_ppr_ell_chebyshev_matches_power():
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import batched_ppr_ell, ell_from_coo
+
+    rng = np.random.default_rng(13)
+    n, b = 400, 4
+    src = rng.integers(0, n, 3000); dst = rng.integers(0, n, 3000)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    order = np.argsort(d2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w2[order]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128)
+    sp = s2.astype(np.int32); dp = d2.astype(np.int32)
+    wp = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+    ell = ell_from_coo(sp, dp, wp, dang, n, node_cap, bucket_widths=(4, 16, 64))
+    reset = np.zeros((b, node_cap), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+
+    power = np.asarray(
+        batched_ppr_ell(ell, jnp.asarray(reset), accel="power",
+                        max_iters=128, tol=1e-12)
+    )
+    cheb = np.asarray(
+        batched_ppr_ell(ell, jnp.asarray(reset), accel="chebyshev",
+                        max_iters=128, tol=1e-12)
+    )
+    np.testing.assert_allclose(cheb, power, rtol=1e-6, atol=1e-9)
