@@ -211,8 +211,10 @@ class ELLGraph(NamedTuple):
     are relabeled so that rows with similar in-degree are contiguous and
     padded to a per-bucket width W: each bucket's SpMV row block is then
     a dense gather + weighted sum — no scatter anywhere. Hub nodes
-    (in-degree > hub width) are stored as a dense [n_hub, C, W] chunk
-    cube and reduced over (C, W).
+    (in-degree > hub width) are packed as ragged chunk rows of width
+    W_hub — ceil(deg/W_hub) rows per hub, no cross-hub padding — reduced
+    densely per row and combined with one tiny sorted segment-sum over
+    the chunk rows.
 
     All index arrays live in the *permuted* space; ``order[new] = old``
     and ``inv[old] = new`` convert at the boundary (once per solve, not
@@ -221,8 +223,10 @@ class ELLGraph(NamedTuple):
 
     bucket_idx: tuple  # per bucket: [nb_i, W_i] int32 (permuted src ids)
     bucket_wgt: tuple  # per bucket: [nb_i, W_i] float32 (0 = padding)
-    hub_idx: Array  # [n_hub, C, W_hub] int32
-    hub_wgt: Array  # [n_hub, C, W_hub] float32
+    hub_idx: Array  # [R, W_hub] int32 (R = total hub chunk rows)
+    hub_wgt: Array  # [R, W_hub] float32
+    hub_seg: Array  # [R] int32 — owning hub per chunk row, sorted ascending
+    hub_zero: Array  # [n_hub] float32 zeros (static shape carrier)
     dangling: Array  # [N_pad] float32, permuted
     order: Array  # [N_pad] int32: order[new] = old
     inv: Array  # [N_pad] int32: inv[old] = new
@@ -293,14 +297,30 @@ def ell_from_coo(
         bucket_idx.append(idx)
         bucket_wgt.append(wgt)
 
-    # hubs: [n_hub, C, W_hub] chunk cube
+    # hubs: ragged chunk rows [R, W_hub] + per-row hub id
     n_hub = len(hub_nodes)
-    max_chunks = 1
     if n_hub:
-        max_chunks = int(-(-indeg[hub_nodes].max() // hub_width))
-    hub_idx, hub_wgt = _fill_rows(hub_nodes, max_chunks * hub_width)
-    hub_idx = hub_idx.reshape(n_hub, max_chunks, hub_width)
-    hub_wgt = hub_wgt.reshape(n_hub, max_chunks, hub_width)
+        deg = indeg[hub_nodes]
+        chunks_per = (-(-deg // hub_width)).astype(np.int64)
+        R = int(chunks_per.sum())
+        hub_seg = np.repeat(np.arange(n_hub, dtype=np.int32), chunks_per)
+        ci = np.arange(R) - np.repeat(np.cumsum(chunks_per) - chunks_per, chunks_per)
+        chunk_lens = np.minimum(deg[hub_seg] - ci * hub_width, hub_width)
+        chunk_starts = starts[hub_nodes][hub_seg] + ci * hub_width
+        hub_idx = np.zeros((R, hub_width), dtype=np.int32)
+        hub_wgt = np.zeros((R, hub_width), dtype=np.float32)
+        total = int(chunk_lens.sum())
+        within = np.arange(total) - np.repeat(
+            np.cumsum(chunk_lens) - chunk_lens, chunk_lens
+        )
+        src_pos = np.repeat(chunk_starts, chunk_lens) + within
+        flat = np.repeat(np.arange(R) * hub_width, chunk_lens) + within
+        hub_idx.reshape(-1)[flat] = src[src_pos]
+        hub_wgt.reshape(-1)[flat] = w_norm[src_pos]
+    else:
+        hub_seg = np.zeros(0, dtype=np.int32)
+        hub_idx = np.zeros((0, hub_width), dtype=np.int32)
+        hub_wgt = np.zeros((0, hub_width), dtype=np.float32)
 
     order = np.concatenate(bucket_node_arrays + [hub_nodes, zero_nodes]).astype(
         np.int32
@@ -314,6 +334,8 @@ def ell_from_coo(
     bucket_wgt = tuple(jnp.asarray(w) for w in bucket_wgt)
     hub_idx = jnp.asarray(inv[hub_idx] if n_hub else hub_idx)
     hub_wgt = jnp.asarray(hub_wgt)
+    hub_seg = jnp.asarray(hub_seg)
+    hub_zero = jnp.zeros(n_hub, jnp.float32)
 
     dang = np.zeros(node_cap, dtype=np.float32)
     dang[: len(dangling)] = dangling
@@ -322,11 +344,44 @@ def ell_from_coo(
         bucket_wgt=bucket_wgt,
         hub_idx=hub_idx,
         hub_wgt=hub_wgt,
+        hub_seg=hub_seg,
+        hub_zero=hub_zero,
         dangling=jnp.asarray(dang[order]),
         order=jnp.asarray(order),
         inv=jnp.asarray(inv),
         num_nodes=jnp.asarray(num_nodes, jnp.int32),
     )
+
+
+# escape hatch for extreme bucket sizes: XLA fuses the gather into the
+# einsum reduction (no [rows, W, B] materialization — verified on v5e, and
+# lax.map chunking measured 5x SLOWER), so this only bounds compiler
+# worst-cases on truly enormous buckets.
+_ELL_GATHER_BYTES = 8 << 30
+
+
+def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
+    """[nb, W] rows -> [nb, B]; row-chunked when the gather would be huge."""
+    nb, w = idx.shape
+    b = p_g.shape[1]
+    itemsize = jnp.dtype(p_g.dtype).itemsize
+
+    def reduce_rows(i, g):
+        return jnp.einsum(
+            "nwb,nw->nb", p_g[i], g.astype(p_g.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    if nb * w * b * itemsize <= _ELL_GATHER_BYTES or nb < 2:
+        return reduce_rows(idx, wgt)
+
+    chunk = max(1, _ELL_GATHER_BYTES // (w * b * itemsize))
+    n_chunks = -(-nb // chunk)
+    pad = n_chunks * chunk - nb
+    idx_c = jnp.pad(idx, ((0, pad), (0, 0))).reshape(n_chunks, chunk, w)
+    wgt_c = jnp.pad(wgt, ((0, pad), (0, 0))).reshape(n_chunks, chunk, w)
+    out = jax.lax.map(lambda args: reduce_rows(*args), (idx_c, wgt_c))
+    return out.reshape(n_chunks * chunk, -1)[:nb]
 
 
 def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
@@ -338,17 +393,19 @@ def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
     p_g = p_T.astype(gather_dtype) if gather_dtype is not None else p_T
     parts = []
     for idx, wgt in zip(graph.bucket_idx, graph.bucket_wgt):
-        g = p_g[idx]  # [nb, W, B]
-        parts.append(
-            jnp.einsum("nwb,nw->nb", g, wgt.astype(p_g.dtype),
-                       preferred_element_type=jnp.float32)
-        )
+        parts.append(_bucket_reduce(p_g, idx, wgt))
     if graph.hub_idx.shape[0]:
-        gh = p_g[graph.hub_idx]  # [n_hub, C, W, B]
+        partial = _bucket_reduce(p_g, graph.hub_idx, graph.hub_wgt)  # [R, B]
         parts.append(
-            jnp.einsum("ncwb,ncw->nb", gh, graph.hub_wgt.astype(p_g.dtype),
-                       preferred_element_type=jnp.float32)
+            jax.ops.segment_sum(
+                partial,
+                graph.hub_seg,
+                num_segments=graph.hub_zero.shape[0],
+                indices_are_sorted=True,
+            )
         )
+    elif graph.hub_zero.shape[0]:
+        parts.append(jnp.zeros((graph.hub_zero.shape[0], p_T.shape[1]), p_T.dtype))
     total = sum(p.shape[0] for p in parts)
     rest = p_T.shape[0] - total
     if rest:
