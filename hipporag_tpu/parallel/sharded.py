@@ -240,3 +240,272 @@ def make_sharded_score_topk(mesh, k: int, compute_dtype: str = "float32"):
         return mapped(queries, keys, valid_n)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Sharded scatter-free (bucketed-ELL) PPR
+# ---------------------------------------------------------------------------
+
+class ShardedELLGraph(NamedTuple):
+    """Destination-sharded bucketed-ELL operator (see ops/pagerank.ELLGraph).
+
+    Every array carries a leading shard axis C. Source ids are GLOBAL node
+    ids (each iteration gathers from the all-gathered rank vector); each
+    shard's output rows are assembled in bucket order and restored to the
+    shard's natural local node order with one small ``local_inv`` gather,
+    so no global node permutation is needed.
+
+    Per-bucket row counts are padded to the max across shards (padded rows
+    have weight 0 and are never referenced by local_inv).
+    """
+
+    bucket_idx: tuple  # per bucket: [C, nb_i, W_i] int32
+    bucket_wgt: tuple  # per bucket: [C, nb_i, W_i] float32
+    hub_idx: Array  # [C, R, W_hub] int32
+    hub_wgt: Array  # [C, R, W_hub] float32
+    hub_seg: Array  # [C, R] int32 (local hub row; padded rows -> n_hub slot)
+    local_inv: Array  # [C, Ns] int32: local node slot -> concat(parts) row
+    dangling: Array  # [C, Ns]
+    num_nodes: Array  # [] int32
+    shard_nodes: int
+    n_hub: int  # static hub slot count (max across shards)
+
+
+def shard_graph_ell(
+    graph: COOGraph,
+    num_shards: int,
+    bucket_widths=(2, 4, 8, 16, 32, 64, 128, 256),
+    hub_width: int = 512,
+) -> ShardedELLGraph:
+    """Partition a host COOGraph into per-shard ELL structures (numpy)."""
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    w = np.asarray(graph.w_norm)
+    dangling = np.asarray(graph.dangling)
+    n_pad = dangling.shape[0]
+    ns = -(-n_pad // num_shards)
+    ns = ((ns + 127) // 128) * 128
+    widths = sorted(bucket_widths)
+
+    shards = []
+    for s in range(num_shards):
+        lo, hi = s * ns, (s + 1) * ns
+        mask = (dst >= lo) & (dst < hi) & (w != 0)
+        ss, dd, ww = src[mask], (dst[mask] - lo).astype(np.int64), w[mask]
+        order = np.argsort(dd, kind="stable")
+        ss, dd, ww = ss[order], dd[order], ww[order]
+        indeg = np.zeros(ns, dtype=np.int64)
+        np.add.at(indeg, dd, 1)
+        starts = np.zeros(ns + 1, dtype=np.int64)
+        np.cumsum(indeg, out=starts[1:])
+
+        def fill(nodes, row_width):
+            nb = len(nodes)
+            idx = np.zeros((nb, row_width), dtype=np.int32)
+            wgt = np.zeros((nb, row_width), dtype=np.float32)
+            if nb:
+                lens = indeg[nodes]
+                total = int(lens.sum())
+                within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                pos = np.repeat(starts[nodes], lens) + within
+                flat = np.repeat(np.arange(nb) * row_width, lens) + within
+                idx.reshape(-1)[flat] = ss[pos]
+                wgt.reshape(-1)[flat] = ww[pos]
+            return idx, wgt
+
+        prev = 0
+        b_nodes, b_idx, b_wgt = [], [], []
+        for wd in widths:
+            nodes = np.nonzero((indeg > prev) & (indeg <= wd))[0].astype(np.int32)
+            prev = wd
+            i_, w_ = fill(nodes, wd)
+            b_nodes.append(nodes)
+            b_idx.append(i_)
+            b_wgt.append(w_)
+        hub_nodes = np.nonzero(indeg > widths[-1])[0].astype(np.int32)
+        if len(hub_nodes):
+            deg = indeg[hub_nodes]
+            chunks_per = (-(-deg // hub_width)).astype(np.int64)
+            R = int(chunks_per.sum())
+            hseg = np.repeat(np.arange(len(hub_nodes), dtype=np.int32), chunks_per)
+            ci = np.arange(R) - np.repeat(np.cumsum(chunks_per) - chunks_per, chunks_per)
+            clens = np.minimum(deg[hseg] - ci * hub_width, hub_width)
+            cstarts = starts[hub_nodes][hseg] + ci * hub_width
+            hidx = np.zeros((R, hub_width), dtype=np.int32)
+            hwgt = np.zeros((R, hub_width), dtype=np.float32)
+            total = int(clens.sum())
+            within = np.arange(total) - np.repeat(np.cumsum(clens) - clens, clens)
+            pos = np.repeat(cstarts, clens) + within
+            flat = np.repeat(np.arange(R) * hub_width, clens) + within
+            hidx.reshape(-1)[flat] = ss[pos]
+            hwgt.reshape(-1)[flat] = ww[pos]
+        else:
+            hseg = np.zeros(0, dtype=np.int32)
+            hidx = np.zeros((0, hub_width), dtype=np.int32)
+            hwgt = np.zeros((0, hub_width), dtype=np.float32)
+        shards.append((b_nodes, b_idx, b_wgt, hub_nodes, hidx, hwgt, hseg))
+
+    # pad per-bucket row counts / hub rows / hub count to the max over shards
+    nb_max = [max(len(sh[0][i]) for sh in shards) for i in range(len(widths))]
+    r_max = max(1, max(sh[4].shape[0] for sh in shards))
+    nhub_max = max(1, max(len(sh[3]) for sh in shards))
+
+    bucket_idx = tuple(
+        np.zeros((num_shards, nb_max[i], widths[i]), dtype=np.int32)
+        for i in range(len(widths))
+    )
+    bucket_wgt = tuple(
+        np.zeros((num_shards, nb_max[i], widths[i]), dtype=np.float32)
+        for i in range(len(widths))
+    )
+    hub_idx = np.zeros((num_shards, r_max, hub_width), dtype=np.int32)
+    hub_wgt = np.zeros((num_shards, r_max, hub_width), dtype=np.float32)
+    hub_seg = np.full((num_shards, r_max), nhub_max, dtype=np.int32)
+    local_inv = np.zeros((num_shards, ns), dtype=np.int32)
+    dang = np.zeros((num_shards, ns), dtype=np.float32)
+
+    # concat(parts) layout per shard: bucket rows..., hub slots, one zero row
+    zero_row = sum(nb_max) + nhub_max
+    for s, (b_nodes, b_idx, b_wgt, hub_nodes, hidx, hwgt, hseg) in enumerate(shards):
+        local_inv[s, :] = zero_row
+        base = 0
+        for i in range(len(widths)):
+            nb = len(b_nodes[i])
+            bucket_idx[i][s, :nb] = b_idx[i]
+            bucket_wgt[i][s, :nb] = b_wgt[i]
+            local_inv[s, b_nodes[i]] = base + np.arange(nb)
+            base += nb_max[i]
+        hub_idx[s, : hidx.shape[0]] = hidx
+        hub_wgt[s, : hwgt.shape[0]] = hwgt
+        hub_seg[s, : len(hseg)] = hseg
+        local_inv[s, hub_nodes] = base + np.arange(len(hub_nodes))
+        lo, hi = s * ns, min((s + 1) * ns, n_pad)
+        if hi > lo:
+            dang[s, : hi - lo] = dangling[lo:hi]
+
+    return ShardedELLGraph(
+        bucket_idx=bucket_idx,
+        bucket_wgt=bucket_wgt,
+        hub_idx=hub_idx,
+        hub_wgt=hub_wgt,
+        hub_seg=hub_seg,
+        local_inv=local_inv,
+        dangling=dang,
+        num_nodes=np.asarray(graph.num_nodes, dtype=np.int32),
+        shard_nodes=ns,
+        n_hub=nhub_max,
+    )
+
+
+def put_sharded_ell(mesh, sg: ShardedELLGraph) -> ShardedELLGraph:
+    shard0 = NamedSharding(mesh, P(CORPUS_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        return jax.device_put(jnp.asarray(x), shard0)
+
+    return ShardedELLGraph(
+        bucket_idx=tuple(place(x) for x in sg.bucket_idx),
+        bucket_wgt=tuple(place(x) for x in sg.bucket_wgt),
+        hub_idx=place(sg.hub_idx),
+        hub_wgt=place(sg.hub_wgt),
+        hub_seg=place(sg.hub_seg),
+        local_inv=place(sg.local_inv),
+        dangling=place(sg.dangling),
+        num_nodes=jax.device_put(jnp.asarray(sg.num_nodes), rep),
+        shard_nodes=sg.shard_nodes,
+        n_hub=sg.n_hub,
+    )
+
+
+def make_sharded_ppr_ell(
+    mesh, max_iters: int = 64, damping: float = 0.5, tol: float = 1e-8,
+    n_hub: int = 1,
+):
+    """Sharded scatter-free PPR: reset [B, N_total] -> ranks [B, N_total].
+
+    Per iteration each shard all-gathers the rank vector over the corpus
+    axis (ICI), reduces its ELL row blocks densely, and restores natural
+    node order with one [Ns] gather. ``n_hub`` must match the graph's
+    static hub slot count.
+    """
+
+    def ppr_shard(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, local_inv,
+                  dangling, num_nodes, reset):
+        b_idx = tuple(x[0] for x in b_idx)
+        b_wgt = tuple(x[0] for x in b_wgt)
+        hub_idx, hub_wgt, hub_seg = hub_idx[0], hub_wgt[0], hub_seg[0]
+        local_inv, dangling = local_inv[0], dangling[0]
+        ns = reset.shape[1]
+
+        reset = jnp.maximum(jnp.nan_to_num(reset, nan=0.0), 0.0)
+        local_sum = jnp.sum(reset, axis=1, keepdims=True)
+        total = jax.lax.psum(local_sum, CORPUS_AXIS)
+        shard_idx = jax.lax.axis_index(CORPUS_AXIS)
+        node_ids = shard_idx * ns + jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+        n_real = jnp.maximum(num_nodes, 1).astype(reset.dtype)
+        uniform = jnp.where(node_ids < num_nodes, 1.0 / n_real, 0.0)
+        r = jnp.where(total > 0, reset / jnp.where(total > 0, total, 1.0), uniform)
+        d = jnp.asarray(damping, r.dtype)
+
+        def body(state):
+            p, _, it = state
+            p_full = jax.lax.all_gather(p, CORPUS_AXIS, axis=1, tiled=True)
+            pT = p_full.T  # [N, B/dp]
+            parts = [
+                jnp.einsum("nwb,nw->nb", pT[i], g,
+                           preferred_element_type=jnp.float32)
+                for i, g in zip(b_idx, b_wgt)
+            ]
+            hub_partial = jnp.einsum(
+                "rwb,rw->rb", pT[hub_idx], hub_wgt,
+                preferred_element_type=jnp.float32,
+            )
+            parts.append(
+                jax.ops.segment_sum(
+                    hub_partial, hub_seg, num_segments=n_hub + 1,
+                    indices_are_sorted=True,
+                )[:n_hub]
+            )
+            parts.append(jnp.zeros((1, pT.shape[1]), pT.dtype))
+            cat = jnp.concatenate(parts, axis=0)
+            y = cat[local_inv].T  # [B/dp, Ns]
+            dm_local = jnp.sum(p * dangling[None, :], axis=1, keepdims=True)
+            dm = jax.lax.psum(dm_local, CORPUS_AXIS)
+            p_next = (1.0 - d) * r + d * (y + dm * r)
+            err = jax.lax.pmax(jnp.max(jnp.abs(p_next - p)), CORPUS_AXIS)
+            return p_next, err, it + 1
+
+        def cond(state):
+            _, err, it = state
+            return jnp.logical_and(err > tol, it < max_iters)
+
+        p, _, _ = jax.lax.while_loop(cond, body, (r, jnp.asarray(jnp.inf, r.dtype), 0))
+        return p
+
+    def run(sg: ShardedELLGraph, reset: Array) -> Array:
+        n_buckets = len(sg.bucket_idx)
+        spec_sharded = P(CORPUS_AXIS, None, None)
+        mapped = shard_map(
+            ppr_shard,
+            mesh=mesh,
+            in_specs=(
+                (spec_sharded,) * n_buckets,
+                (spec_sharded,) * n_buckets,
+                spec_sharded,
+                spec_sharded,
+                P(CORPUS_AXIS, None),
+                P(CORPUS_AXIS, None),
+                P(CORPUS_AXIS, None),
+                P(),
+                P(DP_AXIS, CORPUS_AXIS),
+            ),
+            out_specs=P(DP_AXIS, CORPUS_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(mapped)(
+            sg.bucket_idx, sg.bucket_wgt, sg.hub_idx, sg.hub_wgt, sg.hub_seg,
+            sg.local_inv, sg.dangling, sg.num_nodes, reset,
+        )
+
+    return run

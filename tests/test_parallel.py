@@ -101,3 +101,64 @@ def test_make_hybrid_mesh_single_slice_fallback():
     assert mesh.axis_names == (DP_AXIS, CORPUS_AXIS)
     assert mesh.shape[DP_AXIS] == 2
     assert mesh.shape[CORPUS_AXIS] == len(jax.devices()) // 2
+
+
+def test_sharded_ell_ppr_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import COOGraph, batched_ppr
+    from hipporag_tpu.parallel import make_mesh
+    from hipporag_tpu.parallel.sharded import (
+        make_sharded_ppr_ell, put_sharded_ell, shard_graph_ell,
+    )
+
+    rng = np.random.default_rng(21)
+    n, b = 700, 8
+    src = rng.integers(0, n, 5000); dst = rng.integers(0, n, 5000)
+    # hub at node 3
+    src = np.concatenate([src, rng.integers(0, n, 800)])
+    dst = np.concatenate([dst, np.full(800, 3)])
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    o = np.argsort(d2, kind="stable"); s2, d2, w2 = s2[o], d2[o], w2[o]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128)
+    wp = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+    coo = COOGraph(
+        src=s2.astype(np.int32), dst=d2.astype(np.int32), w_norm=wp,
+        dangling=dang, num_nodes=np.asarray(n, np.int32),
+    )
+
+    devices = jax.devices()[:8]
+    mesh = make_mesh((2, 4), devices=devices)
+    sg = shard_graph_ell(coo, num_shards=4, bucket_widths=(4, 16, 64),
+                         hub_width=128)
+    sg_dev = put_sharded_ell(mesh, sg)
+    n_total = 4 * sg.shard_nodes
+
+    reset = np.zeros((b, n_total), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+    ppr = make_sharded_ppr_ell(mesh, max_iters=64, n_hub=sg.n_hub)
+    got = np.asarray(ppr(sg_dev, jnp.asarray(reset)))
+
+    # single-device reference on the same graph (pad reset cols to node_cap)
+    coo_dev = COOGraph(
+        src=jnp.asarray(np.pad(s2.astype(np.int32), (0, 1024 - len(s2) % 1024))),
+        dst=jnp.asarray(np.pad(d2.astype(np.int32), (0, 1024 - len(s2) % 1024),
+                               constant_values=node_cap - 1)),
+        w_norm=jnp.asarray(np.pad(wp, (0, 1024 - len(s2) % 1024))),
+        dangling=jnp.asarray(dang),
+        num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    want = np.asarray(
+        batched_ppr(coo_dev, jnp.asarray(reset[:, :node_cap]), max_iters=64)
+    )
+    np.testing.assert_allclose(got[:, :node_cap], want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got[:, node_cap:], 0.0, atol=1e-9)
