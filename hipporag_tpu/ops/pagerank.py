@@ -204,32 +204,33 @@ def ppr_numpy_reference(
 # Scatter-free bucketed-ELL SpMV
 # ======================================================================
 class ELLGraph(NamedTuple):
-    """Transition operator in bucketed ELLPACK form (permuted node space).
+    """Transition operator in bucketed ELLPACK form.
 
     ``jax.ops.segment_sum`` over a COO edge list lowers to scatter-style
-    updates, which leave a lot of TPU bandwidth on the table. Here nodes
-    are relabeled so that rows with similar in-degree are contiguous and
-    padded to a per-bucket width W: each bucket's SpMV row block is then
-    a dense gather + weighted sum — no scatter anywhere. Hub nodes
-    (in-degree > hub width) are packed as ragged chunk rows of width
-    W_hub — ceil(deg/W_hub) rows per hub, no cross-hub padding — reduced
-    densely per row and combined with one tiny sorted segment-sum over
-    the chunk rows.
+    updates, which leave a lot of TPU bandwidth on the table. Here rows
+    with similar in-degree are grouped into buckets padded to a fixed
+    width W: each bucket's SpMV row block is then a dense gather +
+    weighted sum — no scatter anywhere. Hub nodes (in-degree > hub width)
+    are packed as ragged chunk rows of width W_hub — ceil(deg/W_hub) rows
+    per hub, no cross-hub padding — reduced densely per row and combined
+    with one tiny sorted segment-sum over the chunk rows.
 
-    All index arrays live in the *permuted* space; ``order[new] = old``
-    and ``inv[old] = new`` convert at the boundary (once per solve, not
-    per iteration).
+    Bucket outputs are produced in bucket-row order; ``local_inv`` maps
+    every natural node slot to its row in the concatenated parts (the
+    final row is a guaranteed-zero row for zero-in-degree nodes), so one
+    [N, B] gather per iteration restores natural order. Source ids are
+    natural node ids. Bucket/hub row counts are padded to capacity
+    multiples so incremental graph growth reuses compiled executables.
     """
 
-    bucket_idx: tuple  # per bucket: [nb_i, W_i] int32 (permuted src ids)
-    bucket_wgt: tuple  # per bucket: [nb_i, W_i] float32 (0 = padding)
-    hub_idx: Array  # [R, W_hub] int32 (R = total hub chunk rows)
-    hub_wgt: Array  # [R, W_hub] float32
-    hub_seg: Array  # [R] int32 — owning hub per chunk row, sorted ascending
-    hub_zero: Array  # [n_hub] float32 zeros (static shape carrier)
-    dangling: Array  # [N_pad] float32, permuted
-    order: Array  # [N_pad] int32: order[new] = old
-    inv: Array  # [N_pad] int32: inv[old] = new
+    bucket_idx: tuple  # per bucket: [nbcap_i, W_i] int32 src ids (pad rows 0)
+    bucket_wgt: tuple  # per bucket: [nbcap_i, W_i] float32 (0 = padding)
+    hub_idx: Array  # [Rcap, W_hub] int32
+    hub_wgt: Array  # [Rcap, W_hub] float32
+    hub_seg: Array  # [Rcap] int32 — owning hub slot; pad rows -> n_hub_cap
+    hub_zero: Array  # [n_hub_cap] float32 zeros (static shape carrier)
+    local_inv: Array  # [N_pad] int32: node -> row in concat(parts)
+    dangling: Array  # [N_pad] float32 (natural order)
     num_nodes: Array  # [] int32 real node count
 
 
@@ -242,13 +243,14 @@ def ell_from_coo(
     node_cap: int,
     bucket_widths=(2, 4, 8, 16, 32, 64, 128, 256),
     hub_width: int = 512,
+    row_multiple: int = 1024,
 ) -> ELLGraph:
     """Host-side conversion from dst-sorted COO (numpy) to ELLGraph.
 
-    Padded COO entries (w_norm == 0) are dropped. Nodes are relabeled as
-    [bucket_0 rows..., bucket_k rows..., hub rows, zero-in-degree rows,
-    padding rows]; per-bucket idx/wgt arrays are padded to the bucket
-    width with weight-0 entries.
+    Padded COO entries (w_norm == 0) are dropped. Per-bucket idx/wgt
+    arrays are padded to the bucket width with weight-0 entries, and row
+    counts round up to ``row_multiple`` so small incremental graph growth
+    keeps array shapes (and therefore compiled executables) stable.
     """
     import numpy as np
 
@@ -291,9 +293,16 @@ def ell_from_coo(
     hub_nodes = np.nonzero(indeg > widths[-1])[0].astype(np.int32)
     zero_nodes = np.nonzero(indeg == 0)[0].astype(np.int32)
 
+    def _cap(n: int) -> int:
+        return ((n + row_multiple - 1) // row_multiple) * row_multiple if n else 0
+
     bucket_idx, bucket_wgt = [], []
     for nodes, wd in zip(bucket_node_arrays, widths):
         idx, wgt = _fill_rows(nodes, wd)
+        cap = _cap(len(nodes))
+        if cap > len(nodes):
+            idx = np.pad(idx, ((0, cap - len(nodes)), (0, 0)))
+            wgt = np.pad(wgt, ((0, cap - len(nodes)), (0, 0)))
         bucket_idx.append(idx)
         bucket_wgt.append(wgt)
 
@@ -322,33 +331,37 @@ def ell_from_coo(
         hub_idx = np.zeros((0, hub_width), dtype=np.int32)
         hub_wgt = np.zeros((0, hub_width), dtype=np.float32)
 
-    order = np.concatenate(bucket_node_arrays + [hub_nodes, zero_nodes]).astype(
-        np.int32
-    )
-    assert len(order) == node_cap
-    inv = np.empty(node_cap, dtype=np.int32)
-    inv[order] = np.arange(node_cap, dtype=np.int32)
+    # hub row capacity + hub slot capacity
+    r_cap = _cap(hub_idx.shape[0]) if hub_idx.shape[0] else 0
+    n_hub_cap = ((n_hub + 127) // 128) * 128 if n_hub else 0
+    if r_cap > hub_idx.shape[0]:
+        pad = r_cap - hub_idx.shape[0]
+        hub_idx = np.pad(hub_idx, ((0, pad), (0, 0)))
+        hub_wgt = np.pad(hub_wgt, ((0, pad), (0, 0)))
+        hub_seg = np.pad(hub_seg, (0, pad), constant_values=n_hub_cap)
 
-    # remap all source ids into the permuted space
-    bucket_idx = tuple(jnp.asarray(inv[i]) for i in bucket_idx)
-    bucket_wgt = tuple(jnp.asarray(w) for w in bucket_wgt)
-    hub_idx = jnp.asarray(inv[hub_idx] if n_hub else hub_idx)
-    hub_wgt = jnp.asarray(hub_wgt)
-    hub_seg = jnp.asarray(hub_seg)
-    hub_zero = jnp.zeros(n_hub, jnp.float32)
+    # local_inv: node -> row in concat(parts); layout = bucket row blocks,
+    # hub slots, then one guaranteed-zero row (zero-in-degree + padding)
+    caps = [i.shape[0] for i in bucket_idx]
+    zero_row = sum(caps) + n_hub_cap
+    local_inv = np.full(node_cap, zero_row, dtype=np.int32)
+    base = 0
+    for nodes, cap in zip(bucket_node_arrays, caps):
+        local_inv[nodes] = base + np.arange(len(nodes), dtype=np.int32)
+        base += cap
+    local_inv[hub_nodes] = base + np.arange(n_hub, dtype=np.int32)
 
     dang = np.zeros(node_cap, dtype=np.float32)
     dang[: len(dangling)] = dangling
     return ELLGraph(
-        bucket_idx=bucket_idx,
-        bucket_wgt=bucket_wgt,
-        hub_idx=hub_idx,
-        hub_wgt=hub_wgt,
-        hub_seg=hub_seg,
-        hub_zero=hub_zero,
-        dangling=jnp.asarray(dang[order]),
-        order=jnp.asarray(order),
-        inv=jnp.asarray(inv),
+        bucket_idx=tuple(jnp.asarray(i) for i in bucket_idx),
+        bucket_wgt=tuple(jnp.asarray(w) for w in bucket_wgt),
+        hub_idx=jnp.asarray(hub_idx),
+        hub_wgt=jnp.asarray(hub_wgt),
+        hub_seg=jnp.asarray(hub_seg),
+        hub_zero=jnp.zeros(n_hub_cap, jnp.float32),
+        local_inv=jnp.asarray(local_inv),
+        dangling=jnp.asarray(dang),
         num_nodes=jnp.asarray(num_nodes, jnp.int32),
     )
 
@@ -385,7 +398,8 @@ def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
 
 
 def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
-    """y_T[N, B] in permuted space: dense per-bucket gather + reduce.
+    """y_T[N, B] in natural node order: per-bucket gather + reduce, then
+    one [N] gather through ``local_inv``.
 
     ``gather_dtype=bfloat16`` halves the gathered-row traffic (float32
     accumulation in the reduce); see _spmv_T for the accuracy tradeoff.
@@ -394,23 +408,22 @@ def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
     parts = []
     for idx, wgt in zip(graph.bucket_idx, graph.bucket_wgt):
         parts.append(_bucket_reduce(p_g, idx, wgt))
+    n_hub_cap = graph.hub_zero.shape[0]
     if graph.hub_idx.shape[0]:
-        partial = _bucket_reduce(p_g, graph.hub_idx, graph.hub_wgt)  # [R, B]
+        partial = _bucket_reduce(p_g, graph.hub_idx, graph.hub_wgt)  # [Rcap, B]
         parts.append(
             jax.ops.segment_sum(
                 partial,
                 graph.hub_seg,
-                num_segments=graph.hub_zero.shape[0],
+                num_segments=n_hub_cap + 1,
                 indices_are_sorted=True,
-            )
+            )[:n_hub_cap]
         )
-    elif graph.hub_zero.shape[0]:
-        parts.append(jnp.zeros((graph.hub_zero.shape[0], p_T.shape[1]), p_T.dtype))
-    total = sum(p.shape[0] for p in parts)
-    rest = p_T.shape[0] - total
-    if rest:
-        parts.append(jnp.zeros((rest, p_T.shape[1]), p_T.dtype))
-    return jnp.concatenate(parts, axis=0)
+    elif n_hub_cap:
+        parts.append(jnp.zeros((n_hub_cap, p_T.shape[1]), jnp.float32))
+    parts.append(jnp.zeros((1, p_T.shape[1]), jnp.float32))
+    cat = jnp.concatenate(parts, axis=0)
+    return cat[graph.local_inv]
 
 
 @functools.partial(
@@ -444,7 +457,7 @@ def batched_ppr_ell(
     uniform = jnp.where(node_ids < graph.num_nodes, 1.0 / n_real, 0.0)
     r = jnp.where(row_sum > 0, reset / jnp.where(row_sum > 0, row_sum, 1.0), uniform)
 
-    r_T = r.T[graph.order]  # [N, B] permuted
+    r_T = r.T  # [N, B]
     d = jnp.asarray(damping, dtype=r_T.dtype)
 
     def cond(state):
@@ -497,4 +510,4 @@ def batched_ppr_ell(
         p_T, _, _ = jax.lax.while_loop(
             cond, body, (r_T, jnp.asarray(jnp.inf, r_T.dtype), 0)
         )
-    return p_T[graph.inv].T
+    return p_T.T
