@@ -69,7 +69,10 @@ def main():
 
     probe = probe_device_health()
     log(f"device probe: {probe:.2f}s")
-    if probe > 5.0 and "BENCH_NODES" not in os.environ:
+    overridden = any(
+        k in os.environ for k in ("BENCH_NODES", "BENCH_EDGES", "BENCH_BATCH", "BENCH_ITERS")
+    )
+    if probe > 5.0 and not overridden:
         # degraded link: shrink so the benchmark still completes and records
         num_nodes, num_edges, batch = 20_000, 200_000, 32
         log("degraded device link detected; downscaling benchmark sizes")
@@ -211,7 +214,7 @@ def main():
         from hipporag_tpu.ops.scoring import score_and_topk
 
         nf, dim, bq, kk = 1_000_000, 768, 32, 8
-        if probe > 5.0:
+        if probe > 5.0 or jax.default_backend() != "tpu":
             nf = 65_536
         rngs = np.random.default_rng(7)
         qv = jnp.asarray(rngs.standard_normal((bq, dim)).astype(np.float32))
@@ -233,7 +236,7 @@ def main():
         extra["fused_topk_xla_ms"] = round(t_xla * 1e3, 2)
         extra["fused_topk_gbps"] = round(nf * dim * 4 / t_pl / 1e9, 1)
         log(
-            f"fused score+topk (1M x 768 facts): pallas {t_pl*1e3:.2f}ms "
+            f"fused score+topk ({nf} x {dim} facts): pallas {t_pl*1e3:.2f}ms "
             f"({nf*dim*4/t_pl/1e9:.0f} GB/s) vs xla {t_xla*1e3:.2f}ms"
         )
     except Exception as e:  # noqa: BLE001

@@ -617,14 +617,10 @@ class HippoRAG:
         num_passages = len(self.passage_node_keys)
         link_top_k = cfg.linking_top_k
 
-        profile_ctx = jax_profile(cfg.profile_log_dir)
-        profile_ctx.__enter__()
-        try:
+        with jax_profile(cfg.profile_log_dir):
             results = self._retrieve_batches(
                 queries, num_to_retrieve, num_facts, num_passages, link_top_k
             )
-        finally:
-            profile_ctx.__exit__(None, None, None)
 
         self.all_retrieval_time += time.time() - retrieve_start
         logger.info(
@@ -666,22 +662,18 @@ class HippoRAG:
                 qp[i] = self.query_to_embedding["passage"][q]
 
             # -------- fact scoring + candidate top-k (device) --------
-            # On TPU the fused Pallas kernel streams fact tiles and returns
-            # only the normalized top-k — the [B, F] score matrix never
-            # exists in HBM or crosses the host boundary.
+            # fact_topk routes by score-matrix footprint: the XLA path while
+            # [B, F] fits comfortably in HBM, the streamed Pallas kernel
+            # past ~2 GB (ops/scoring.py); use_pallas=False pins XLA when
+            # kernels are disabled in config.
             if num_facts > 0:
-                import jax as _jax
-
-                use_pallas = (
-                    cfg.use_pallas_kernels and _jax.default_backend() == "tpu"
-                )
                 cand_vals_dev, cand_idx_dev = fact_topk(
                     jnp.asarray(qf),
                     self._fact_emb_dev,
                     num_facts,
                     min(link_top_k, max(num_facts, 1)),
                     cfg.compute_dtype,
-                    use_pallas=use_pallas,
+                    use_pallas=None if cfg.use_pallas_kernels else False,
                 )
                 cand_idx = np.asarray(cand_idx_dev)
                 cand_vals = np.asarray(cand_vals_dev)

@@ -125,7 +125,7 @@ def graph_search_batch(
     if isinstance(index.graph, ELLGraph):
         ppr = batched_ppr_ell(
             index.graph, reset, damping=damping, max_iters=ppr_max_iters,
-            tol=ppr_tol,
+            tol=ppr_tol, compute_dtype=ppr_dtype,
         )
     else:
         ppr = batched_ppr(

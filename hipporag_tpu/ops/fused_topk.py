@@ -14,9 +14,9 @@ B*k*tile_n well under N, or the refinement gather exceeds the corpus.
 
 Two-pass exact algorithm, both passes DMA-bound:
 
-  Pass A (``_scan_kernel``): stream key tiles through VMEM; per tile
-  compute S = Q @ K_tile^T on the MXU and keep ONLY the per-tile row
-  max + argmax and the running row min/max in scratch. The [B, N] matrix
+  Pass A (``_make_scan_kernel``): stream key tiles through VMEM; per
+  tile compute S = Q @ K_tile^T on the MXU and keep ONLY the per-tile
+  row max and the running row min/max on-chip. The [B, N] matrix
   never exists in HBM. No sorting, no merging — ~3 VPU reductions per
   tile, so the pass runs at the speed the keys stream in.
 
@@ -25,11 +25,10 @@ Two-pass exact algorithm, both passes DMA-bound:
   every value in it is below k values elsewhere). lax.top_k over the
   small [B, n_tiles] max matrix picks those tiles.
 
-  Pass B (``_refine_kernel``): for each (row, selected tile) pair,
-  re-dot that row's query against just that tile — tile ids arrive via
-  scalar prefetch and drive the BlockSpec index_map, so only the B*k
-  selected tiles are read back from HBM (a few percent of the corpus).
-  A final lax.top_k over the [B, k*tile] candidates yields exact top-k.
+  Pass B (``_refine_xla``): gather each row's selected tiles and re-dot
+  them in XLA (one gather + einsum over B*k tiles — a few percent of the
+  corpus). A final lax.top_k over the [B, k*tile] candidates yields the
+  exact top-k.
 
 Min-max normalization needs only the [B, 1] row extrema from pass A,
 matching ``ops.scoring.min_max_normalize`` semantics (constant rows ->
@@ -51,8 +50,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
-
-_INT_MAX = 2**31 - 1
 
 
 # ----------------------------------------------------------------------
@@ -149,8 +146,7 @@ def _refine_xla(queries, keys, tile_sel, tile_n, precision):
     """Gather each row's selected key tiles and re-dot (XLA).
 
     Traffic is B*k*tile_n*D key bytes — a few percent of the corpus —
-    and XLA pipelines the gather+einsum well; the pallas variant below
-    exists for cases where even the gathered copy must be avoided.
+    and XLA pipelines the gather+einsum well.
     """
     n, d = keys.shape
     kt3 = keys.reshape(n // tile_n, tile_n, d)
@@ -160,56 +156,6 @@ def _refine_xla(queries, keys, tile_sel, tile_n, precision):
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-
-
-def _make_refine_kernel(k: int, precision: str):
-    def kernel(sel_ref, q_ref, kt_ref, out_ref):
-        j = pl.program_id(0)
-        row = j // k
-        b = q_ref.shape[0]
-        # one-hot row extraction: dynamic single-row slices are not
-        # supported for narrow dtypes, a [1, B] x [B, D] matmul is
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == row
-        ).astype(q_ref.dtype)
-        q_row = jax.lax.dot_general(
-            onehot, q_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(q_ref.dtype)  # [1, D]
-        out_ref[pl.ds(j, 1), :] = jax.lax.dot_general(
-            q_row, kt_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "precision"))
-def _refine_call(queries, keys, sel_flat, k, tile_n, interpret, precision):
-    b, d = queries.shape
-    bk = sel_flat.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bk,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda j, sel: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_n, d), lambda j, sel: (sel[j], 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (bk, tile_n), lambda j, sel: (0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        _make_refine_kernel(k, precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bk, tile_n), jnp.float32),
-        interpret=interpret,
-    )(sel_flat.astype(jnp.int32), queries, keys)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -266,10 +212,9 @@ def fused_score_topk(
 
     # select each row's top-k tiles by max (invalid tiles carry -inf)
     kt = min(k, n_tiles)
-    tile_vals, tile_sel = jax.lax.top_k(tmax[:, :n_tiles], kt)  # [B_pad, kt]
+    _tile_vals, tile_sel = jax.lax.top_k(tmax[:, :n_tiles], kt)  # [B_pad, kt]
 
-    refine = _refine_xla if not interpret else _refine_xla
-    cand = refine(queries, keys, tile_sel, tile_n, precision)  # [B_pad, kt, tile_n]
+    cand = _refine_xla(queries, keys, tile_sel, tile_n, precision)  # [B_pad, kt, tile_n]
     cand = cand.reshape(b_pad, kt * tile_n)
     col = jax.lax.broadcasted_iota(jnp.int32, (b_pad, kt, tile_n), 2)
     cidx = (tile_sel[:, :, None] * tile_n + col).reshape(b_pad, kt * tile_n)

@@ -200,6 +200,66 @@ def ppr_numpy_reference(
     return p
 
 
+
+
+def pack_ell_rows(src, w_norm, indeg, starts, nodes, row_width: int):
+    """Vectorized ELL row fill: [len(nodes), row_width] (idx, wgt) numpy.
+
+    ``src``/``w_norm`` are the dst-sorted edge arrays; ``indeg``/``starts``
+    give each destination node's edge range. Shared by the single-device
+    and sharded converters.
+    """
+    import numpy as np
+
+    nb = len(nodes)
+    idx = np.zeros((nb, row_width), dtype=np.int32)
+    wgt = np.zeros((nb, row_width), dtype=np.float32)
+    if nb == 0:
+        return idx, wgt
+    lens = indeg[nodes]
+    total = int(lens.sum())
+    within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    src_pos = np.repeat(starts[nodes], lens) + within
+    flat = np.repeat(np.arange(nb) * row_width, lens) + within
+    idx.reshape(-1)[flat] = src[src_pos]
+    wgt.reshape(-1)[flat] = w_norm[src_pos]
+    return idx, wgt
+
+
+def pack_hub_chunks(src, w_norm, indeg, starts, hub_nodes, hub_width: int):
+    """Ragged hub chunk rows: ceil(deg/W) rows per hub, no cross-hub pad.
+
+    Returns (hub_idx [R, W], hub_wgt [R, W], hub_seg [R]) numpy arrays;
+    hub_seg holds the owning hub's rank (0..len(hub_nodes)-1), ascending.
+    """
+    import numpy as np
+
+    if len(hub_nodes) == 0:
+        return (
+            np.zeros((0, hub_width), dtype=np.int32),
+            np.zeros((0, hub_width), dtype=np.float32),
+            np.zeros(0, dtype=np.int32),
+        )
+    deg = indeg[hub_nodes]
+    chunks_per = (-(-deg // hub_width)).astype(np.int64)
+    R = int(chunks_per.sum())
+    hub_seg = np.repeat(np.arange(len(hub_nodes), dtype=np.int32), chunks_per)
+    ci = np.arange(R) - np.repeat(np.cumsum(chunks_per) - chunks_per, chunks_per)
+    chunk_lens = np.minimum(deg[hub_seg] - ci * hub_width, hub_width)
+    chunk_starts = starts[hub_nodes][hub_seg] + ci * hub_width
+    hub_idx = np.zeros((R, hub_width), dtype=np.int32)
+    hub_wgt = np.zeros((R, hub_width), dtype=np.float32)
+    total = int(chunk_lens.sum())
+    within = np.arange(total) - np.repeat(
+        np.cumsum(chunk_lens) - chunk_lens, chunk_lens
+    )
+    src_pos = np.repeat(chunk_starts, chunk_lens) + within
+    flat = np.repeat(np.arange(R) * hub_width, chunk_lens) + within
+    hub_idx.reshape(-1)[flat] = src[src_pos]
+    hub_wgt.reshape(-1)[flat] = w_norm[src_pos]
+    return hub_idx, hub_wgt, hub_seg
+
+
 # ======================================================================
 # Scatter-free bucketed-ELL SpMV
 # ======================================================================
@@ -266,22 +326,6 @@ def ell_from_coo(
     starts = np.zeros(node_cap + 1, dtype=np.int64)
     np.cumsum(indeg, out=starts[1:])
 
-    def _fill_rows(nodes: "np.ndarray", row_width: int):
-        """Vectorized ELL row fill: [len(nodes), row_width] idx + wgt."""
-        nb = len(nodes)
-        idx = np.zeros((nb, row_width), dtype=np.int32)
-        wgt = np.zeros((nb, row_width), dtype=np.float32)
-        if nb == 0:
-            return idx, wgt
-        lens = indeg[nodes]
-        total = int(lens.sum())
-        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        src_pos = np.repeat(starts[nodes], lens) + within
-        flat = np.repeat(np.arange(nb) * row_width, lens) + within
-        idx.reshape(-1)[flat] = src[src_pos]
-        wgt.reshape(-1)[flat] = w_norm[src_pos]
-        return idx, wgt
-
     widths = sorted(bucket_widths)
     prev = 0
     bucket_node_arrays = []
@@ -291,14 +335,13 @@ def ell_from_coo(
         )
         prev = wd
     hub_nodes = np.nonzero(indeg > widths[-1])[0].astype(np.int32)
-    zero_nodes = np.nonzero(indeg == 0)[0].astype(np.int32)
 
     def _cap(n: int) -> int:
         return ((n + row_multiple - 1) // row_multiple) * row_multiple if n else 0
 
     bucket_idx, bucket_wgt = [], []
     for nodes, wd in zip(bucket_node_arrays, widths):
-        idx, wgt = _fill_rows(nodes, wd)
+        idx, wgt = pack_ell_rows(src, w_norm, indeg, starts, nodes, wd)
         cap = _cap(len(nodes))
         if cap > len(nodes):
             idx = np.pad(idx, ((0, cap - len(nodes)), (0, 0)))
@@ -308,28 +351,9 @@ def ell_from_coo(
 
     # hubs: ragged chunk rows [R, W_hub] + per-row hub id
     n_hub = len(hub_nodes)
-    if n_hub:
-        deg = indeg[hub_nodes]
-        chunks_per = (-(-deg // hub_width)).astype(np.int64)
-        R = int(chunks_per.sum())
-        hub_seg = np.repeat(np.arange(n_hub, dtype=np.int32), chunks_per)
-        ci = np.arange(R) - np.repeat(np.cumsum(chunks_per) - chunks_per, chunks_per)
-        chunk_lens = np.minimum(deg[hub_seg] - ci * hub_width, hub_width)
-        chunk_starts = starts[hub_nodes][hub_seg] + ci * hub_width
-        hub_idx = np.zeros((R, hub_width), dtype=np.int32)
-        hub_wgt = np.zeros((R, hub_width), dtype=np.float32)
-        total = int(chunk_lens.sum())
-        within = np.arange(total) - np.repeat(
-            np.cumsum(chunk_lens) - chunk_lens, chunk_lens
-        )
-        src_pos = np.repeat(chunk_starts, chunk_lens) + within
-        flat = np.repeat(np.arange(R) * hub_width, chunk_lens) + within
-        hub_idx.reshape(-1)[flat] = src[src_pos]
-        hub_wgt.reshape(-1)[flat] = w_norm[src_pos]
-    else:
-        hub_seg = np.zeros(0, dtype=np.int32)
-        hub_idx = np.zeros((0, hub_width), dtype=np.int32)
-        hub_wgt = np.zeros((0, hub_width), dtype=np.float32)
+    hub_idx, hub_wgt, hub_seg = pack_hub_chunks(
+        src, w_norm, indeg, starts, hub_nodes, hub_width
+    )
 
     # hub row capacity + hub slot capacity
     r_cap = _cap(hub_idx.shape[0]) if hub_idx.shape[0] else 0

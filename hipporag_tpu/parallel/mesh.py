@@ -62,6 +62,12 @@ def make_hybrid_mesh(
     if num_slices > 1:
         from jax.experimental import mesh_utils
 
+        if dp_slices is not None and dp_slices != num_slices:
+            raise ValueError(
+                f"multi-slice topology has {num_slices} slices; dp must ride "
+                f"DCN so dp_slices={dp_slices} is not realizable (leave it "
+                "unset or pass the slice count)"
+            )
         per_slice = n // num_slices
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, per_slice),

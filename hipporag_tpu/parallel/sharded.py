@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.pagerank import COOGraph
+from ..ops.pagerank import COOGraph, pack_ell_rows, pack_hub_chunks
 from .mesh import CORPUS_AXIS, DP_AXIS
 
 Array = jax.Array
@@ -299,50 +299,17 @@ def shard_graph_ell(
         starts = np.zeros(ns + 1, dtype=np.int64)
         np.cumsum(indeg, out=starts[1:])
 
-        def fill(nodes, row_width):
-            nb = len(nodes)
-            idx = np.zeros((nb, row_width), dtype=np.int32)
-            wgt = np.zeros((nb, row_width), dtype=np.float32)
-            if nb:
-                lens = indeg[nodes]
-                total = int(lens.sum())
-                within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-                pos = np.repeat(starts[nodes], lens) + within
-                flat = np.repeat(np.arange(nb) * row_width, lens) + within
-                idx.reshape(-1)[flat] = ss[pos]
-                wgt.reshape(-1)[flat] = ww[pos]
-            return idx, wgt
-
         prev = 0
         b_nodes, b_idx, b_wgt = [], [], []
         for wd in widths:
             nodes = np.nonzero((indeg > prev) & (indeg <= wd))[0].astype(np.int32)
             prev = wd
-            i_, w_ = fill(nodes, wd)
+            i_, w_ = pack_ell_rows(ss, ww, indeg, starts, nodes, wd)
             b_nodes.append(nodes)
             b_idx.append(i_)
             b_wgt.append(w_)
         hub_nodes = np.nonzero(indeg > widths[-1])[0].astype(np.int32)
-        if len(hub_nodes):
-            deg = indeg[hub_nodes]
-            chunks_per = (-(-deg // hub_width)).astype(np.int64)
-            R = int(chunks_per.sum())
-            hseg = np.repeat(np.arange(len(hub_nodes), dtype=np.int32), chunks_per)
-            ci = np.arange(R) - np.repeat(np.cumsum(chunks_per) - chunks_per, chunks_per)
-            clens = np.minimum(deg[hseg] - ci * hub_width, hub_width)
-            cstarts = starts[hub_nodes][hseg] + ci * hub_width
-            hidx = np.zeros((R, hub_width), dtype=np.int32)
-            hwgt = np.zeros((R, hub_width), dtype=np.float32)
-            total = int(clens.sum())
-            within = np.arange(total) - np.repeat(np.cumsum(clens) - clens, clens)
-            pos = np.repeat(cstarts, clens) + within
-            flat = np.repeat(np.arange(R) * hub_width, clens) + within
-            hidx.reshape(-1)[flat] = ss[pos]
-            hwgt.reshape(-1)[flat] = ww[pos]
-        else:
-            hseg = np.zeros(0, dtype=np.int32)
-            hidx = np.zeros((0, hub_width), dtype=np.int32)
-            hwgt = np.zeros((0, hub_width), dtype=np.float32)
+        hidx, hwgt, hseg = pack_hub_chunks(ss, ww, indeg, starts, hub_nodes, hub_width)
         shards.append((b_nodes, b_idx, b_wgt, hub_nodes, hidx, hwgt, hseg))
 
     # pad per-bucket row counts / hub rows / hub count to the max over shards
@@ -483,27 +450,32 @@ def make_sharded_ppr_ell(
         p, _, _ = jax.lax.while_loop(cond, body, (r, jnp.asarray(jnp.inf, r.dtype), 0))
         return p
 
+    _jitted_by_buckets = {}
+
     def run(sg: ShardedELLGraph, reset: Array) -> Array:
         n_buckets = len(sg.bucket_idx)
-        spec_sharded = P(CORPUS_AXIS, None, None)
-        mapped = shard_map(
-            ppr_shard,
-            mesh=mesh,
-            in_specs=(
-                (spec_sharded,) * n_buckets,
-                (spec_sharded,) * n_buckets,
-                spec_sharded,
-                spec_sharded,
-                P(CORPUS_AXIS, None),
-                P(CORPUS_AXIS, None),
-                P(CORPUS_AXIS, None),
-                P(),
-                P(DP_AXIS, CORPUS_AXIS),
-            ),
-            out_specs=P(DP_AXIS, CORPUS_AXIS),
-            check_vma=False,
-        )
-        return jax.jit(mapped)(
+        fn = _jitted_by_buckets.get(n_buckets)
+        if fn is None:
+            spec_sharded = P(CORPUS_AXIS, None, None)
+            mapped = shard_map(
+                ppr_shard,
+                mesh=mesh,
+                in_specs=(
+                    (spec_sharded,) * n_buckets,
+                    (spec_sharded,) * n_buckets,
+                    spec_sharded,
+                    spec_sharded,
+                    P(CORPUS_AXIS, None),
+                    P(CORPUS_AXIS, None),
+                    P(CORPUS_AXIS, None),
+                    P(),
+                    P(DP_AXIS, CORPUS_AXIS),
+                ),
+                out_specs=P(DP_AXIS, CORPUS_AXIS),
+                check_vma=False,
+            )
+            fn = _jitted_by_buckets[n_buckets] = jax.jit(mapped)
+        return fn(
             sg.bucket_idx, sg.bucket_wgt, sg.hub_idx, sg.hub_wgt, sg.hub_seg,
             sg.local_inv, sg.dangling, sg.num_nodes, reset,
         )
