@@ -208,6 +208,56 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"COO PPR variant skipped: {e}")
 
+    # ---------------- end-to-end retrieval pipeline ----------------
+    # Index a synthetic corpus with the deterministic mock providers and
+    # time the full retrieve() path (scoring -> rerank -> seeds -> PPR ->
+    # ranking) for one query batch. BENCH_E2E=0 disables.
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            import tempfile
+
+            from hipporag_tpu import BaseConfig, HippoRAG
+
+            n_docs = int(os.environ.get("BENCH_E2E_DOCS", 2000))
+            n_q = int(os.environ.get("BENCH_E2E_QUERIES", 128))
+            rng_e = np.random.default_rng(3)
+            corpus = [
+                f"Entity{i} of group {rng_e.integers(0, n_docs // 10)} relates to "
+                f"Entity{rng_e.integers(0, n_docs * 3)} and Entity{rng_e.integers(0, n_docs * 3)}."
+                for i in range(n_docs)
+            ]
+            queries = [
+                f"What relates to Entity{rng_e.integers(0, n_docs * 3)}?"
+                for _ in range(n_q)
+            ]
+            tmp = tempfile.mkdtemp()
+            rag = HippoRAG(
+                global_config=BaseConfig(
+                    llm_name="mock", embedding_model_name="mock", save_dir=tmp,
+                    ppr_batch_size=n_q,
+                )
+            )
+            t0 = time.perf_counter()
+            rag.index(corpus)
+            t_index = time.perf_counter() - t0
+            rag.retrieve(queries[:2])  # compile + prepare
+            t0 = time.perf_counter()
+            results = rag.retrieve(queries)
+            t_retr = time.perf_counter() - t0
+            extra["e2e_docs"] = n_docs
+            extra["e2e_index_s"] = round(t_index, 2)
+            extra["e2e_retrieve_qps"] = round(n_q / t_retr, 2)
+            gi = rag.get_graph_info()
+            extra["e2e_graph_nodes"] = gi["num_total_nodes"]
+            log(
+                f"e2e: indexed {n_docs} docs in {t_index:.1f}s "
+                f"({gi['num_total_nodes']} nodes); retrieve {n_q} queries "
+                f"-> {n_q/t_retr:.1f} q/s"
+            )
+            assert results[0].docs
+        except Exception as e:  # noqa: BLE001
+            log(f"e2e section skipped: {e}")
+
     # ---------------- fused Pallas scoring kernel ----------------
     try:
         from hipporag_tpu.ops.fused_topk import fused_score_topk
