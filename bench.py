@@ -116,7 +116,7 @@ def main():
             p = p_next
         return p
 
-    n_cpu = min(8, batch)
+    n_cpu = min(16, batch)
     log(f"CPU baseline: {n_cpu} serial queries...")
     reset_cpu = np.zeros((n_cpu, num_nodes), dtype=np.float64)
     for i in range(n_cpu):

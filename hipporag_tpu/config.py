@@ -104,7 +104,9 @@ class BaseConfig:
     # Batched PPR solver
     ppr_max_iters: int = 64
     ppr_tol: float = 1.0e-8
-    ppr_batch_size: int = 64  # queries per device batch in retrieval
+    # queries per device batch in retrieval; 128 matches the TPU lane width
+    # (the PPR gathers move [B]-lane rows, so B=128 is the throughput knee)
+    ppr_batch_size: int = 128
     # "bfloat16" halves SpMV gather traffic (f32 accumulation); "float32"
     # keeps exact reference-parity scores.
     ppr_compute_dtype: str = "float32"
