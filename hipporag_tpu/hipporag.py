@@ -276,13 +276,21 @@ class HippoRAG:
         rows = self.entity_embedding_store.get_all_id_to_rows()
         contents = {eid: rows[eid]["content"] for eid in entity_ids}
         embs = self.entity_embedding_store.get_embeddings_matrix(entity_ids)
+        # The graph builder consumes at most max_neighbors edges above the
+        # similarity threshold from the descending-sorted neighbor list
+        # (builder.add_synonymy_edges breaks at the threshold), so any
+        # k > max_neighbors + self yields identical edges — no need to
+        # sort the reference's full top-2047 per entity on device.
+        k_needed = min(
+            cfg.synonymy_edge_topk, cfg.synonymy_edge_max_neighbors + 8
+        )
         with self.timers.track("index/synonymy_knn"):
             knn = retrieve_knn(
                 entity_ids,
                 entity_ids,
                 embs,
                 embs,
-                k=cfg.synonymy_edge_topk,
+                k=k_needed,
                 query_batch_size=cfg.synonymy_edge_query_batch_size,
                 key_batch_size=cfg.synonymy_edge_key_batch_size,
             )
