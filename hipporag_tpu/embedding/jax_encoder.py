@@ -215,7 +215,9 @@ class _HashTokenizer:
 class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
     """``jax/<hf-model-or-path>`` or ``jax/random-<dim>x<layers>``."""
 
-    _BUCKETS = (16, 32, 64, 128, 256, 512)  # padded seq lengths → few jit variants
+    # padded seq lengths → few jit variants; extends to the longest inputs
+    # the encoder supports (clamped to embedding_max_seq_len at encode time)
+    _BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
     def __init__(self, global_config=None):
         super().__init__(global_config)
@@ -251,10 +253,16 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
         return text  # symmetric encoder
 
     def _pad_bucket(self, l: int) -> int:
+        max_len = min(
+            self.global_config.embedding_max_seq_len,
+            int(self.params["pos_emb"].shape[0]),
+        )
         for b in self._BUCKETS:
+            if b >= max_len:
+                return max_len
             if l <= b:
                 return b
-        return self._BUCKETS[-1]
+        return max_len
 
     def _encode_batch(self, texts: List[str]) -> np.ndarray:
         ids, mask = self._tokenize(texts, self.global_config.embedding_max_seq_len)

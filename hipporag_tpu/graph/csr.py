@@ -23,10 +23,15 @@ def round_up(x: int, multiple: int) -> int:
 
 
 def pick_capacity(n: int, current: Optional[int], factor: float, multiple: int) -> int:
-    """Keep the current capacity while it fits; otherwise grow by ``factor``."""
-    if current is not None and n <= current:
+    """Keep the current capacity while it fits; otherwise grow by ``factor``.
+
+    The capacity is always strictly greater than ``n``: the last slot is
+    the padding/garbage slot (graph_search routes masked endpoints there),
+    so it must never alias a real node.
+    """
+    if current is not None and n < current:
         return current
-    return round_up(int(np.ceil(max(n, 1) * factor)), multiple)
+    return round_up(int(np.ceil(max(n, 1) * factor)) + 1, multiple)
 
 
 def compile_device_graph(

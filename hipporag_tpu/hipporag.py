@@ -514,16 +514,28 @@ class HippoRAG:
         )
         self._capacities["fact"], self._capacities["passage"] = fact_cap, passage_cap
 
-        dim = None
         pad_slot = node_cap - 1
 
+        # Resolve the embedding dim from ANY non-empty store before padding:
+        # an empty fact store must not fall back to cfg.embedding_dim while
+        # passages use the real encoder width (the query buffers are sized
+        # from the fact matrix).
+        dim = None
+        for store, keys in (
+            (self.fact_embedding_store, self.fact_node_keys),
+            (self.chunk_embedding_store, self.passage_node_keys),
+            (self.entity_embedding_store, self.entity_node_keys),
+        ):
+            if keys:
+                mat = store.get_embeddings_matrix(keys[:1])
+                if mat.size:
+                    dim = mat.shape[1]
+                    break
+        dim = dim or getattr(self.embedding_model, "embedding_dim", None) or cfg.embedding_dim
+
         def padded_matrix(store, keys, cap):
-            nonlocal dim
             mat = store.get_embeddings_matrix(keys)
-            if mat.size:
-                dim = mat.shape[1]
-            d = dim or cfg.embedding_dim
-            out = np.zeros((cap, d), dtype=np.float32)
+            out = np.zeros((cap, dim), dtype=np.float32)
             if mat.size:
                 out[: mat.shape[0]] = mat
             return out
@@ -531,9 +543,6 @@ class HippoRAG:
         self.fact_embeddings = padded_matrix(self.fact_embedding_store, self.fact_node_keys, fact_cap)
         self.passage_embeddings = padded_matrix(
             self.chunk_embedding_store, self.passage_node_keys, passage_cap
-        )
-        self.entity_embeddings = self.entity_embedding_store.get_embeddings_matrix(
-            self.entity_node_keys
         )
 
         # fact endpoint nodes + validity
@@ -658,10 +667,14 @@ class HippoRAG:
         cfg = self.global_config
         results: List[QuerySolution] = []
         bucket = max(1, cfg.ppr_batch_size)
+        # power-of-4 sub-buckets: small/interactive batches don't pay the
+        # full bucket-wide device pipeline, while executables stay stable
+        # (at most a handful of distinct batch shapes ever compile)
+        sub_buckets = [b for b in (8, 32, 128, 512) if b < bucket] + [bucket]
         for start in range(0, len(queries), bucket):
             batch_queries = queries[start : start + bucket]
             b_real = len(batch_queries)
-            b_pad = bucket  # fixed bucket => stable executable
+            b_pad = next(b for b in sub_buckets if b >= b_real)
 
             qf = np.zeros((b_pad, self.fact_embeddings.shape[1]), dtype=np.float32)
             qp = np.zeros_like(qf)
@@ -748,9 +761,10 @@ class HippoRAG:
             else:
                 from .ops.scoring import min_max_normalize as mmn
 
-                pcol = np.arange(dpr_scores.shape[1])[None, :]
+                pcol = jnp.asarray(np.arange(dpr_scores.shape[1])[None, :])
+                valid = pcol < num_passages
                 doc_scores = jnp.where(
-                    jnp.asarray(pcol < num_passages), mmn(dpr_scores), -jnp.inf
+                    valid, mmn(dpr_scores, where=valid), -jnp.inf
                 )
             order_dev, sorted_dev = rank_documents(doc_scores)
             order = np.asarray(order_dev)

@@ -128,6 +128,8 @@ class CacheOpenAILLM(BaseLLM):
         if hit is not None:
             return hit[0], hit[1], True
 
+        import httpx
+
         last_err = None
         for attempt in range(self.max_retries):
             try:
@@ -142,7 +144,9 @@ class CacheOpenAILLM(BaseLLM):
                 }
                 self.cache.put(key, content, metadata)
                 return content, metadata, False
-            except Exception as e:  # noqa: BLE001 — provider errors are opaque
+            except httpx.HTTPStatusError:
+                raise  # deterministic 4xx (bad key/model/request): don't retry
+            except (TransientAPIError, httpx.TransportError, KeyError, ValueError) as e:
                 last_err = e
                 wait = min(2**attempt, 30)
                 logger.warning(

@@ -443,8 +443,6 @@ def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
                 indices_are_sorted=True,
             )[:n_hub_cap]
         )
-    elif n_hub_cap:
-        parts.append(jnp.zeros((n_hub_cap, p_T.shape[1]), jnp.float32))
     parts.append(jnp.zeros((1, p_T.shape[1]), jnp.float32))
     cat = jnp.concatenate(parts, axis=0)
     return cat[graph.local_inv]

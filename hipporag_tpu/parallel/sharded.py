@@ -223,7 +223,9 @@ def make_sharded_score_topk(mesh, k: int, compute_dtype: str = "float32"):
         gidx_l = idx_l + base
         vals_all = jax.lax.all_gather(vals_l, CORPUS_AXIS, axis=1, tiled=True)
         gidx_all = jax.lax.all_gather(gidx_l, CORPUS_AXIS, axis=1, tiled=True)
-        vals, merge_idx = jax.lax.top_k(vals_all, k)
+        # the merged candidate pool can be smaller than k on tiny shards
+        k_merge = min(k, vals_all.shape[1])
+        vals, merge_idx = jax.lax.top_k(vals_all, k_merge)
         gidx = jnp.take_along_axis(gidx_all, merge_idx, axis=1)
         return norm, vals, gidx
 

@@ -153,3 +153,35 @@ def test_offline_openie_two_phase(tmp_path, toy_data):
     )
     assert ner_calls == 0  # resumed from checkpoint
     assert rag2.retrieve(["Who is Mira Voss?"])[0].docs
+
+
+def test_factless_corpus_retrieval_with_nondefault_dim(tmp_path):
+    """Empty fact store must not size the query buffers from
+    cfg.embedding_dim while passages use the real encoder width."""
+    from hipporag_tpu.llm.mock import MockLLM
+
+    cfg = _config(tmp_path / "nf")
+    cfg.embedding_model_name = "mock/dim64"
+    cfg.embedding_dim = 64
+    rag = HippoRAG(global_config=cfg)
+    # canned responses force OpenIE to produce zero triples
+    rag.llm = rag.openie.llm = MockLLM(cfg, canned={
+        "ner": '{"named_entities": []}',
+        "triples": '{"triples": []}',
+    })
+    rag.index(["some passage about nothing capitalized.",
+               "another plain passage."])
+    assert len(rag.fact_embedding_store.get_all_ids()) == 0
+    results = rag.retrieve(["anything"], num_to_retrieve=2)
+    assert results[0].docs
+
+
+def test_capacity_growth_never_aliases_pad_slot():
+    from hipporag_tpu.graph.csr import pick_capacity
+
+    for n in (1, 127, 128, 255, 256, 1000):
+        cap = pick_capacity(n, None, 1.0, 128)
+        assert cap > n, (n, cap)
+        # growth keeps the invariant too
+        cap2 = pick_capacity(cap, cap, 1.0, 128)
+        assert cap2 > cap
