@@ -162,3 +162,131 @@ def test_sharded_ell_ppr_matches_single_device():
     )
     np.testing.assert_allclose(got[:, :node_cap], want, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(got[:, node_cap:], 0.0, atol=1e-9)
+
+
+def test_full_sharded_retrieval_pipeline_matches_single_device():
+    """Compose sharded scoring + seed construction + sharded ELL PPR and
+    check document ranking parity with the single-device pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.models.retrieval import RetrievalIndex, graph_search_batch
+    from hipporag_tpu.ops.pagerank import COOGraph
+    from hipporag_tpu.parallel import (
+        make_mesh,
+        make_sharded_ppr_ell,
+        make_sharded_score_topk,
+        put_sharded_ell,
+        shard_graph_ell,
+    )
+
+    rng = np.random.default_rng(33)
+    n_entities, n_passages, n_facts, dim, b, k = 60, 12, 40, 128, 8, 5
+    n_nodes = n_entities + n_passages
+    node_cap = round_up(n_nodes + 1, 128)
+    pad_slot = node_cap - 1
+
+    # random graph
+    edges = {}
+    for _ in range(200):
+        a, c = rng.integers(0, n_nodes, 2)
+        if a != c:
+            edges[(min(a, c), max(a, c))] = float(rng.uniform(0.2, 2.0))
+    s, d, w = [], [], []
+    for (a, c), wt in edges.items():
+        s += [a, c]; d += [c, a]; w += [wt, wt]
+    s, d, w = np.asarray(s), np.asarray(d), np.asarray(w)
+    o = np.argsort(d, kind="stable"); s, d, w = s[o], d[o], w[o]
+    strength = np.zeros(n_nodes); np.add.at(strength, s, w)
+    wp = (w / strength[s]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n_nodes] = strength == 0
+    ecap = round_up(len(s), 1024)
+    sp = np.zeros(ecap, np.int32); dp = np.full(ecap, pad_slot, np.int32)
+    wpp = np.zeros(ecap, np.float32)
+    sp[: len(s)] = s; dp[: len(s)] = d; wpp[: len(s)] = wp
+    coo = COOGraph(src=sp, dst=dp, w_norm=wpp, dangling=dang,
+                   num_nodes=np.asarray(n_nodes, np.int32))
+
+    fact_cap = round_up(n_facts, 128)
+    fact_subj = np.full(fact_cap, pad_slot, np.int32)
+    fact_obj = np.full(fact_cap, pad_slot, np.int32)
+    fact_valid = np.zeros(fact_cap, np.float32)
+    fact_subj[:n_facts] = rng.integers(0, n_entities, n_facts)
+    fact_obj[:n_facts] = rng.integers(0, n_entities, n_facts)
+    fact_valid[:n_facts] = 1.0
+    pcap = round_up(n_passages, 128)
+    passage_node_ids = np.full(pcap, pad_slot, np.int32)
+    passage_node_ids[:n_passages] = np.arange(n_entities, n_nodes)
+    chunk_counts = np.zeros(node_cap, np.float32)
+    chunk_counts[:n_entities] = rng.integers(1, 4, n_entities)
+
+    fact_emb = rng.standard_normal((fact_cap, dim)).astype(np.float32)
+    fact_emb[n_facts:] = 0
+    qf = rng.standard_normal((b, dim)).astype(np.float32)
+    dpr = rng.standard_normal((b, pcap)).astype(np.float32)
+
+    # ---------------- single-device reference pipeline ----------------
+    index = RetrievalIndex(
+        graph=jax.tree.map(jnp.asarray, coo),
+        fact_subj_node=jnp.asarray(fact_subj),
+        fact_obj_node=jnp.asarray(fact_obj),
+        fact_valid=jnp.asarray(fact_valid),
+        node_chunk_counts=jnp.asarray(chunk_counts),
+        passage_node_ids=jnp.asarray(passage_node_ids),
+        num_facts=jnp.asarray(n_facts, jnp.int32),
+        num_passages=jnp.asarray(n_passages, jnp.int32),
+    )
+    from hipporag_tpu.ops.scoring import score_and_topk
+
+    _, vals, idx = score_and_topk(
+        jnp.asarray(qf), jnp.asarray(fact_emb), jnp.asarray(n_facts, jnp.int32), k
+    )
+    mask = (jnp.asarray(vals) > 0).astype(jnp.float32)
+    want = np.asarray(
+        graph_search_batch(index, vals, idx, mask, jnp.asarray(dpr),
+                           link_top_k=k, ppr_max_iters=96, ppr_tol=1e-10)
+    )[:, :n_passages]
+
+    # ---------------- sharded pipeline ----------------
+    mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+    score = make_sharded_score_topk(mesh, k=k)
+    fpad = round_up(fact_cap, 4)  # divisible by corpus axis
+    fact_emb_p = np.zeros((fpad, dim), np.float32); fact_emb_p[:fact_cap] = fact_emb
+    norm_s, vals_s, idx_s = score(
+        jnp.asarray(qf), jnp.asarray(fact_emb_p), jnp.asarray(n_facts, jnp.int32)
+    )
+    vals_s, idx_s = np.asarray(vals_s), np.asarray(idx_s)
+    np.testing.assert_array_equal(idx_s, np.asarray(idx))
+
+    # host-side seed construction (same math as graph_search_batch)
+    sge = shard_graph_ell(coo, num_shards=4, bucket_widths=(4, 16, 64))
+    n_total = 4 * sge.shard_nodes
+    reset = np.zeros((b, n_total), np.float32)
+    dprn = np.zeros((b, n_passages), np.float32)
+    for i in range(b):
+        dq = dpr[i, :n_passages]
+        rngv = dq.max() - dq.min()
+        dprn[i] = 1.0 if rngv == 0 else (dq - dq.min()) / rngv
+        wsum = np.zeros(node_cap); occ = np.zeros(node_cap)
+        for j in range(k):
+            if vals_s[i, j] <= 0:
+                continue
+            for node in (fact_subj[idx_s[i, j]], fact_obj[idx_s[i, j]]):
+                if node >= n_nodes:
+                    continue
+                wsum[node] += vals_s[i, j] / max(chunk_counts[node], 1.0)
+                occ[node] += 1
+        phrase = np.divide(wsum, occ, where=occ > 0, out=np.zeros(node_cap))
+        top = np.argsort(-phrase, kind="stable")[:k]
+        kept = np.zeros(node_cap)
+        kept[top] = np.where(phrase[top] > 0, phrase[top], 0)
+        kept[passage_node_ids[:n_passages]] += dprn[i] * 0.05
+        reset[i, :node_cap] = kept
+
+    ppr = make_sharded_ppr_ell(mesh, max_iters=96, tol=1e-10, n_hub=sge.n_hub)
+    ranks = np.asarray(ppr(put_sharded_ell(mesh, sge), jnp.asarray(reset)))
+    got = ranks[:, passage_node_ids[:n_passages]]
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
