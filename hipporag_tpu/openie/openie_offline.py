@@ -15,34 +15,18 @@ import json
 from typing import Any, Dict, Tuple
 
 from ..prompts import PromptTemplateManager
-from ..utils.llm_json import extract_named_entities, extract_triples
+from ..utils.llm_json import (
+    PROMPT_JSON_TEMPLATE,
+    extract_named_entities,
+    extract_triples,
+)
 from ..utils.logging import get_logger
 from ..utils.misc import NerRawOutput, TripleRawOutput, filter_invalid_triples
 
 logger = get_logger(__name__)
 
-NER_SCHEMA = {
-    "type": "object",
-    "properties": {
-        "named_entities": {"type": "array", "items": {"type": "string"}}
-    },
-    "required": ["named_entities"],
-}
-TRIPLES_SCHEMA = {
-    "type": "object",
-    "properties": {
-        "triples": {
-            "type": "array",
-            "items": {
-                "type": "array",
-                "items": {"type": "string"},
-                "minItems": 3,
-                "maxItems": 3,
-            },
-        }
-    },
-    "required": ["triples"],
-}
+NER_SCHEMA = PROMPT_JSON_TEMPLATE["ner"]
+TRIPLES_SCHEMA = PROMPT_JSON_TEMPLATE["triples"]
 
 
 class OfflineBatchOpenIE:

@@ -107,3 +107,85 @@ def extract_triples(text: str) -> List[List[str]]:
     """Parse an RE response of the form ``{"triples": [[s, p, o], ...]}``."""
     raw = extract_field_list(text, "triples")
     return [t for t in raw if isinstance(t, list)]
+
+
+# ----------------------------------------------------------------------
+# Guided-decoding schemas (reference: utils/llm_utils.py:257-436 — JSON
+# templates + pydantic twins used by the offline engines)
+# ----------------------------------------------------------------------
+PROMPT_JSON_TEMPLATE = {
+    "ner": {
+        "type": "object",
+        "properties": {
+            "named_entities": {"type": "array", "items": {"type": "string"}}
+        },
+        "required": ["named_entities"],
+    },
+    "triples": {
+        "type": "object",
+        "properties": {
+            "triples": {
+                "type": "array",
+                "items": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "minItems": 3,
+                    "maxItems": 3,
+                },
+            }
+        },
+        "required": ["triples"],
+    },
+    "fact": {
+        "type": "object",
+        "properties": {
+            "fact": {
+                "type": "array",
+                "items": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "minItems": 3,
+                    "maxItems": 3,
+                },
+            }
+        },
+        "required": ["fact"],
+    },
+}
+
+try:  # pydantic twins for engines that take model classes
+    from typing import List as _List
+
+    from pydantic import BaseModel as _BaseModel
+
+    class NerResponse(_BaseModel):
+        named_entities: _List[str]
+
+    class TriplesResponse(_BaseModel):
+        triples: _List[_List[str]]
+
+    class Fact(_BaseModel):
+        """A filtered fact list (reference rerank.py:11-12)."""
+
+        fact: _List[_List[str]]
+
+except ImportError:  # pragma: no cover - pydantic always ships with jax envs
+    NerResponse = TriplesResponse = Fact = None
+
+
+def num_tokens(text: str, encoder_name: str = "gpt-4o") -> int:
+    """Token count helper (reference: utils/llm_utils.py:329-333).
+
+    Falls back to a whitespace count when the tiktoken vocab cannot be
+    loaded (offline environments).
+    """
+    try:
+        import tiktoken
+
+        try:
+            enc = tiktoken.encoding_for_model(encoder_name)
+        except KeyError:
+            enc = tiktoken.get_encoding("cl100k_base")
+        return len(enc.encode(text))
+    except Exception:  # noqa: BLE001
+        return len(text.split())
