@@ -485,24 +485,27 @@ class HippoRAG:
                 self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
 
         # ---------------- device graph ----------------
-        graph_np, node_cap, edge_cap = compile_device_graph(
+        coo_np, node_cap, edge_cap = compile_device_graph(
             self.graph,
             node_capacity=self._capacities["node"],
             edge_capacity=self._capacities["edge"],
             capacity_factor=cfg.graph_capacity_factor,
         )
         self._capacities["node"], self._capacities["edge"] = node_cap, edge_cap
+
+        self._mesh = None  # set by _setup_sharded_backend below when configured
+        graph_np = coo_np
         if cfg.ppr_format == "ell":
             # scatter-free bucketed-ELL operator: ~2x faster PPR on TPU
             # than the COO segment-sum path (see ops/pagerank.py)
             from .ops.pagerank import ell_from_coo
 
             graph_np = ell_from_coo(
-                graph_np.src,
-                graph_np.dst,
-                graph_np.w_norm,
-                graph_np.dangling,
-                int(graph_np.num_nodes),
+                coo_np.src,
+                coo_np.dst,
+                coo_np.w_norm,
+                coo_np.dangling,
+                int(coo_np.num_nodes),
                 node_cap,
             )
 
@@ -585,7 +588,66 @@ class HippoRAG:
         )
         self._fact_emb_dev = device_put(self.fact_embeddings)
         self._passage_emb_dev = device_put(self.passage_embeddings)
+
+        # multi-device backend: corpus-sharded embeddings + sharded PPR
+        mesh_devices = int(np.prod(cfg.mesh_shape))
+        if mesh_devices > 1 and len(jax.devices()) >= mesh_devices:
+            self._setup_sharded_backend(coo_np, fact_subj, fact_obj,
+                                        node_chunk_counts, passage_node_ids)
         self.ready_to_retrieve = True
+
+    def _setup_sharded_backend(self, coo_np, fact_subj, fact_obj,
+                               node_chunk_counts, passage_node_ids):
+        """Corpus-shard the embedding matrices and graph over the mesh
+        (SURVEY.md §7 step 7): scoring reduces partial top-ks across
+        shards, PPR runs the sharded scatter-free solver; seed
+        construction stays host-side (parallel/seeds.py)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import (
+            CORPUS_AXIS,
+            make_mesh,
+            make_sharded_ppr_ell,
+            make_sharded_score_topk,
+            put_sharded_ell,
+            shard_graph_ell,
+        )
+
+        cfg = self.global_config
+        n_mesh = int(np.prod(cfg.mesh_shape))
+        self._mesh = make_mesh(cfg.mesh_shape, devices=jax.devices()[:n_mesh])
+        corpus = cfg.mesh_shape[1]
+
+        def shard_rows(mat):
+            rows = ((mat.shape[0] + corpus - 1) // corpus) * corpus
+            if rows != mat.shape[0]:
+                mat = np.pad(mat, ((0, rows - mat.shape[0]), (0, 0)))
+            return jax.device_put(
+                mat, NamedSharding(self._mesh, P(CORPUS_AXIS, None))
+            )
+
+        self._fact_emb_sharded = shard_rows(self.fact_embeddings)
+        self._passage_emb_sharded = shard_rows(self.passage_embeddings)
+        self._sharded_graph = shard_graph_ell(coo_np, num_shards=corpus)
+        self._sharded_graph_dev = put_sharded_ell(self._mesh, self._sharded_graph)
+        self._sharded_score = make_sharded_score_topk(
+            self._mesh, k=cfg.linking_top_k, compute_dtype=cfg.compute_dtype
+        )
+        self._sharded_ppr = make_sharded_ppr_ell(
+            self._mesh,
+            max_iters=cfg.ppr_max_iters,
+            damping=cfg.damping,
+            tol=cfg.ppr_tol,
+            n_hub=self._sharded_graph.n_hub,
+        )
+        self._sharded_seed_arrays = (
+            fact_subj, fact_obj, node_chunk_counts, passage_node_ids
+        )
+        logger.info(
+            "Sharded retrieval backend: mesh %sx%s over %d devices",
+            cfg.mesh_shape[0], corpus, len(self._mesh.devices.flatten()),
+        )
 
     # ==================================================================
     # Query encoding (ref get_query_embeddings, 1391-1425)
@@ -656,6 +718,46 @@ class HippoRAG:
             return results, overall
         return results
 
+    def _rerank_candidates(
+        self, batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
+    ):
+        """Recognition-memory filtering, fanned out host-side (LLM-bound)."""
+        rerank_start = time.time()
+        top_idx = np.zeros((b_pad, link_top_k), dtype=np.int32)
+        top_mask = np.zeros((b_pad, link_top_k), dtype=np.float32)
+        sel_scores = np.zeros((b_pad, link_top_k), dtype=np.float32)
+        batch_top_facts: List[List[Tuple]] = [[] for _ in range(b_pad)]
+        if num_facts > 0:
+            rerank_inputs = []
+            for i, q in enumerate(batch_queries):
+                cands = [int(j) for j, v in zip(cand_idx[i], cand_vals[i]) if v > -np.inf]
+                items = [self._fact_tuples[j] for j in cands]
+                rerank_inputs.append((q, items, cands))
+
+            def _rerank(args):
+                q, items, cands = args
+                return self.rerank_filter.rerank(q, items, cands, link_top_k)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            if len(rerank_inputs) > 1:
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    reranked = list(pool.map(_rerank, rerank_inputs))
+            else:
+                reranked = [_rerank(r) for r in rerank_inputs]
+
+            for i, (sorted_idx, sorted_items, _) in enumerate(reranked):
+                batch_top_facts[i] = sorted_items
+                val_by_row = {
+                    int(j): float(v) for j, v in zip(cand_idx[i], cand_vals[i])
+                }
+                for k, fact_row in enumerate(sorted_idx[:link_top_k]):
+                    top_idx[i, k] = fact_row
+                    top_mask[i, k] = 1.0
+                    sel_scores[i, k] = val_by_row.get(int(fact_row), 0.0)
+        self.rerank_time += time.time() - rerank_start
+        return top_idx, top_mask, sel_scores, batch_top_facts
+
     def _retrieve_batches(
         self, queries, num_to_retrieve, num_facts, num_passages, link_top_k
     ) -> List[QuerySolution]:
@@ -663,6 +765,11 @@ class HippoRAG:
 
         from .models.retrieval import graph_search_batch, rank_documents
         from .ops.scoring import batched_scores, fact_topk
+
+        if self._mesh is not None:
+            return self._retrieve_batches_sharded(
+                queries, num_to_retrieve, num_facts, num_passages, link_top_k
+            )
 
         cfg = self.global_config
         results: List[QuerySolution] = []
@@ -703,40 +810,9 @@ class HippoRAG:
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
 
             # -------- recognition memory (host LLM, fanned out) --------
-            rerank_start = time.time()
-            top_idx = np.zeros((b_pad, link_top_k), dtype=np.int32)
-            top_mask = np.zeros((b_pad, link_top_k), dtype=np.float32)
-            sel_scores = np.zeros((b_pad, link_top_k), dtype=np.float32)
-            batch_top_facts: List[List[Tuple]] = [[] for _ in range(b_pad)]
-            if num_facts > 0:
-                rerank_inputs = []
-                for i, q in enumerate(batch_queries):
-                    cands = [int(j) for j, v in zip(cand_idx[i], cand_vals[i]) if v > -np.inf]
-                    items = [self._fact_tuples[j] for j in cands]
-                    rerank_inputs.append((q, items, cands))
-
-                def _rerank(args):
-                    q, items, cands = args
-                    return self.rerank_filter.rerank(q, items, cands, link_top_k)
-
-                from concurrent.futures import ThreadPoolExecutor
-
-                if len(rerank_inputs) > 1:
-                    with ThreadPoolExecutor(max_workers=16) as pool:
-                        reranked = list(pool.map(_rerank, rerank_inputs))
-                else:
-                    reranked = [_rerank(r) for r in rerank_inputs]
-
-                for i, (sorted_idx, sorted_items, _) in enumerate(reranked):
-                    batch_top_facts[i] = sorted_items
-                    val_by_row = {
-                        int(j): float(v) for j, v in zip(cand_idx[i], cand_vals[i])
-                    }
-                    for k, fact_row in enumerate(sorted_idx[:link_top_k]):
-                        top_idx[i, k] = fact_row
-                        top_mask[i, k] = 1.0
-                        sel_scores[i, k] = val_by_row.get(int(fact_row), 0.0)
-            self.rerank_time += time.time() - rerank_start
+            top_idx, top_mask, sel_scores, batch_top_facts = self._rerank_candidates(
+                batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
+            )
 
             # -------- graph search: seeds + batched PPR (device) --------
             ppr_start = time.time()
@@ -783,6 +859,89 @@ class HippoRAG:
                 )
                 results.append(result)
 
+        return results
+
+    def _retrieve_batches_sharded(
+        self, queries, num_to_retrieve, num_facts, num_passages, link_top_k
+    ) -> List[QuerySolution]:
+        """Multi-device retrieval: corpus-sharded scoring with distributed
+        top-k, host rerank + seed construction, sharded scatter-free PPR."""
+        import jax.numpy as jnp
+
+        from .parallel.seeds import build_reset_vectors
+
+        cfg = self.global_config
+        dp = cfg.mesh_shape[0]
+        corpus = cfg.mesh_shape[1]
+        results: List[QuerySolution] = []
+        bucket = max(dp, cfg.ppr_batch_size)
+        if bucket % dp:
+            bucket = ((bucket + dp - 1) // dp) * dp
+        fact_subj, fact_obj, chunk_counts, passage_node_ids = self._sharded_seed_arrays
+        real_pids = passage_node_ids[:num_passages]
+        n_total = corpus * self._sharded_graph.shard_nodes
+        n_nodes = self.graph.num_nodes
+
+        for start in range(0, len(queries), bucket):
+            batch_queries = queries[start : start + bucket]
+            b_real = len(batch_queries)
+            b_pad = bucket  # fixed: dp-divisible, stable executable
+
+            qf = np.zeros((b_pad, self.fact_embeddings.shape[1]), dtype=np.float32)
+            qp = np.zeros_like(qf)
+            for i, q in enumerate(batch_queries):
+                qf[i] = self.query_to_embedding["triple"][q]
+                qp[i] = self.query_to_embedding["passage"][q]
+
+            if num_facts > 0:
+                _, vals, idx = self._sharded_score(
+                    jnp.asarray(qf), self._fact_emb_sharded,
+                    jnp.asarray(num_facts, jnp.int32),
+                )
+                cand_vals, cand_idx = np.asarray(vals), np.asarray(idx)
+            else:
+                cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
+                cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
+
+            top_idx, top_mask, sel_scores, batch_top_facts = self._rerank_candidates(
+                batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
+            )
+
+            ppr_start = time.time()
+            norm_p, _, _ = self._sharded_score(
+                jnp.asarray(qp), self._passage_emb_sharded,
+                jnp.asarray(num_passages, jnp.int32),
+            )
+            dpr_norm_full = np.asarray(norm_p)[:, :num_passages]
+
+            reset, dpr_norm, has_facts = build_reset_vectors(
+                sel_scores, top_idx, top_mask, dpr_norm_full,
+                fact_subj, fact_obj, real_pids, chunk_counts,
+                num_nodes=n_nodes, n_total=n_total, link_top_k=link_top_k,
+                passage_node_weight=cfg.passage_node_weight,
+            )
+            if num_facts > 0 and self.graph.num_edges > 0:
+                ranks = np.asarray(
+                    self._sharded_ppr(self._sharded_graph_dev, jnp.asarray(reset))
+                )
+                doc_scores = np.where(
+                    has_facts[:, None], ranks[:, real_pids], dpr_norm
+                )
+            else:
+                doc_scores = dpr_norm
+            order = np.argsort(-doc_scores, axis=1)
+            self.ppr_time += time.time() - ppr_start
+
+            for i in range(b_real):
+                top_n = order[i][:num_to_retrieve]
+                results.append(
+                    self._build_result(
+                        batch_queries[i],
+                        top_n,
+                        doc_scores[i][top_n],
+                        batch_top_facts[i],
+                    )
+                )
         return results
 
     def _build_result(self, query, doc_indices, doc_scores, graph_seeds) -> QuerySolution:

@@ -185,3 +185,25 @@ def test_capacity_growth_never_aliases_pad_slot():
         # growth keeps the invariant too
         cap2 = pick_capacity(cap, cap, 1.0, 128)
         assert cap2 > cap
+
+
+def test_sharded_orchestrator_matches_single_device(tmp_path, toy_data):
+    """HippoRAG with mesh_shape=(2,4) must rank documents like the
+    single-device backend (same stores, same queries)."""
+    docs, queries, _, _ = toy_data
+
+    cfg1 = _config(tmp_path / "single")
+    rag1 = HippoRAG(global_config=cfg1)
+    rag1.index(docs)
+    want = rag1.retrieve(queries, num_to_retrieve=5)
+
+    cfg2 = _config(tmp_path / "mesh")
+    cfg2.mesh_shape = (2, 4)
+    rag2 = HippoRAG(global_config=cfg2)
+    rag2.index(docs)
+    assert rag2.ready_to_retrieve is False
+    got = rag2.retrieve(queries, num_to_retrieve=5)
+    assert rag2._mesh is not None, "sharded backend not active"
+
+    for w, g in zip(want, got):
+        assert w.docs == g.docs, (w.question, w.docs, g.docs)
