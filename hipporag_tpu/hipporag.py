@@ -575,6 +575,22 @@ class HippoRAG:
         for i, pid in enumerate(self.passage_node_keys):
             passage_node_ids[i] = self.graph.node_to_idx[pid]
 
+        # multi-device backend: corpus-sharded embeddings + sharded PPR.
+        # When active, the replicated single-device copies below are skipped
+        # entirely — at mesh scale they would not fit one chip's HBM.
+        mesh_devices = int(np.prod(cfg.mesh_shape))
+        if mesh_devices > 1:
+            if len(jax.devices()) < mesh_devices:
+                raise RuntimeError(
+                    f"mesh_shape {cfg.mesh_shape} needs {mesh_devices} devices "
+                    f"but only {len(jax.devices())} are visible; set "
+                    "mesh_shape=(1, 1) for single-device retrieval"
+                )
+            self._setup_sharded_backend(coo_np, fact_subj, fact_obj,
+                                        node_chunk_counts, passage_node_ids)
+            self.ready_to_retrieve = True
+            return
+
         device_put = jax.device_put
         self._index_state = RetrievalIndex(
             graph=jax.tree.map(device_put, graph_np),
@@ -588,12 +604,6 @@ class HippoRAG:
         )
         self._fact_emb_dev = device_put(self.fact_embeddings)
         self._passage_emb_dev = device_put(self.passage_embeddings)
-
-        # multi-device backend: corpus-sharded embeddings + sharded PPR
-        mesh_devices = int(np.prod(cfg.mesh_shape))
-        if mesh_devices > 1 and len(jax.devices()) >= mesh_devices:
-            self._setup_sharded_backend(coo_np, fact_subj, fact_obj,
-                                        node_chunk_counts, passage_node_ids)
         self.ready_to_retrieve = True
 
     def _setup_sharded_backend(self, coo_np, fact_subj, fact_obj,
@@ -608,6 +618,7 @@ class HippoRAG:
         from .parallel import (
             CORPUS_AXIS,
             make_mesh,
+            make_sharded_norm_scores,
             make_sharded_ppr_ell,
             make_sharded_score_topk,
             put_sharded_ell,
@@ -616,7 +627,21 @@ class HippoRAG:
 
         cfg = self.global_config
         n_mesh = int(np.prod(cfg.mesh_shape))
-        self._mesh = make_mesh(cfg.mesh_shape, devices=jax.devices()[:n_mesh])
+        if getattr(self, "_sharded_factories", None) is None:
+            mesh = make_mesh(cfg.mesh_shape, devices=jax.devices()[:n_mesh])
+            self._sharded_factories = (
+                mesh,
+                make_sharded_score_topk(
+                    mesh, k=cfg.linking_top_k, compute_dtype=cfg.compute_dtype
+                ),
+                make_sharded_norm_scores(mesh, compute_dtype=cfg.compute_dtype),
+                make_sharded_ppr_ell(
+                    mesh, max_iters=cfg.ppr_max_iters,
+                    damping=cfg.damping, tol=cfg.ppr_tol,
+                ),
+            )
+        (self._mesh, self._sharded_score, self._sharded_norm_scores,
+         self._sharded_ppr) = self._sharded_factories
         corpus = cfg.mesh_shape[1]
 
         def shard_rows(mat):
@@ -631,16 +656,6 @@ class HippoRAG:
         self._passage_emb_sharded = shard_rows(self.passage_embeddings)
         self._sharded_graph = shard_graph_ell(coo_np, num_shards=corpus)
         self._sharded_graph_dev = put_sharded_ell(self._mesh, self._sharded_graph)
-        self._sharded_score = make_sharded_score_topk(
-            self._mesh, k=cfg.linking_top_k, compute_dtype=cfg.compute_dtype
-        )
-        self._sharded_ppr = make_sharded_ppr_ell(
-            self._mesh,
-            max_iters=cfg.ppr_max_iters,
-            damping=cfg.damping,
-            tol=cfg.ppr_tol,
-            n_hub=self._sharded_graph.n_hub,
-        )
         self._sharded_seed_arrays = (
             fact_subj, fact_obj, node_chunk_counts, passage_node_ids
         )
@@ -877,6 +892,9 @@ class HippoRAG:
         bucket = max(dp, cfg.ppr_batch_size)
         if bucket % dp:
             bucket = ((bucket + dp - 1) // dp) * dp
+        sub_buckets = [
+            ((b + dp - 1) // dp) * dp for b in (8, 32, 128, 512) if b < bucket
+        ] + [bucket]
         fact_subj, fact_obj, chunk_counts, passage_node_ids = self._sharded_seed_arrays
         real_pids = passage_node_ids[:num_passages]
         n_total = corpus * self._sharded_graph.shard_nodes
@@ -885,7 +903,7 @@ class HippoRAG:
         for start in range(0, len(queries), bucket):
             batch_queries = queries[start : start + bucket]
             b_real = len(batch_queries)
-            b_pad = bucket  # fixed: dp-divisible, stable executable
+            b_pad = next(b for b in sub_buckets if b >= b_real)
 
             qf = np.zeros((b_pad, self.fact_embeddings.shape[1]), dtype=np.float32)
             qp = np.zeros_like(qf)
@@ -908,7 +926,7 @@ class HippoRAG:
             )
 
             ppr_start = time.time()
-            norm_p, _, _ = self._sharded_score(
+            norm_p = self._sharded_norm_scores(
                 jnp.asarray(qp), self._passage_emb_sharded,
                 jnp.asarray(num_passages, jnp.int32),
             )
@@ -929,7 +947,7 @@ class HippoRAG:
                 )
             else:
                 doc_scores = dpr_norm
-            order = np.argsort(-doc_scores, axis=1)
+            order = np.argsort(-doc_scores, axis=1, kind="stable")
             self.ppr_time += time.time() - ppr_start
 
             for i in range(b_real):

@@ -3,6 +3,7 @@ from .sharded import (
     ShardedELLGraph,
     ShardedGraph,
     make_sharded_ppr,
+    make_sharded_norm_scores,
     make_sharded_ppr_ell,
     make_sharded_score_topk,
     put_sharded_ell,
@@ -21,6 +22,7 @@ __all__ = [
     "make_hybrid_mesh",
     "make_mesh",
     "make_sharded_ppr",
+    "make_sharded_norm_scores",
     "make_sharded_ppr_ell",
     "make_sharded_score_topk",
     "put_sharded_ell",

@@ -389,17 +389,21 @@ def put_sharded_ell(mesh, sg: ShardedELLGraph) -> ShardedELLGraph:
 
 def make_sharded_ppr_ell(
     mesh, max_iters: int = 64, damping: float = 0.5, tol: float = 1e-8,
-    n_hub: int = 1,
+    n_hub: int | None = None,
 ):
     """Sharded scatter-free PPR: reset [B, N_total] -> ranks [B, N_total].
 
     Per iteration each shard all-gathers the rank vector over the corpus
     axis (ICI), reduces its ELL row blocks densely, and restores natural
-    node order with one [Ns] gather. ``n_hub`` must match the graph's
-    static hub slot count.
+    node order with one [Ns] gather. Jitted programs are cached per
+    (bucket count, hub slot count), so the returned callable survives
+    re-sharding after incremental indexing without recompiling when the
+    padded shapes are unchanged. ``n_hub`` is taken from the graph.
     """
+    del n_hub  # derived from sg.n_hub (static NamedTuple field)
 
-    def ppr_shard(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, local_inv,
+    def make_ppr_shard(n_hub):
+     def ppr_shard(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, local_inv,
                   dangling, num_nodes, reset):
         b_idx = tuple(x[0] for x in b_idx)
         b_wgt = tuple(x[0] for x in b_wgt)
@@ -451,13 +455,16 @@ def make_sharded_ppr_ell(
 
         p, _, _ = jax.lax.while_loop(cond, body, (r, jnp.asarray(jnp.inf, r.dtype), 0))
         return p
+     return ppr_shard
 
-    _jitted_by_buckets = {}
+    _jitted = {}
 
     def run(sg: ShardedELLGraph, reset: Array) -> Array:
         n_buckets = len(sg.bucket_idx)
-        fn = _jitted_by_buckets.get(n_buckets)
+        key = (n_buckets, sg.n_hub)
+        fn = _jitted.get(key)
         if fn is None:
+            ppr_shard = make_ppr_shard(sg.n_hub)
             spec_sharded = P(CORPUS_AXIS, None, None)
             mapped = shard_map(
                 ppr_shard,
@@ -476,10 +483,54 @@ def make_sharded_ppr_ell(
                 out_specs=P(DP_AXIS, CORPUS_AXIS),
                 check_vma=False,
             )
-            fn = _jitted_by_buckets[n_buckets] = jax.jit(mapped)
+            fn = _jitted[key] = jax.jit(mapped)
         return fn(
             sg.bucket_idx, sg.bucket_wgt, sg.hub_idx, sg.hub_wgt, sg.hub_seg,
             sg.local_inv, sg.dangling, sg.num_nodes, reset,
         )
 
     return run
+
+
+def make_sharded_norm_scores(mesh, compute_dtype: str = "float32"):
+    """Sharded normalized scoring WITHOUT the distributed top-k stage.
+
+    The sharded analog of ops/scoring.batched_normalized_scores — used for
+    DPR passage seeding where the full [B, P] normalized matrix is needed
+    and a top-k merge would be wasted collective traffic.
+    """
+    dtype = jnp.dtype(compute_dtype)
+
+    def score_shard(q, keys, valid_n):
+        nk = keys.shape[0]
+        shard_idx = jax.lax.axis_index(CORPUS_AXIS)
+        base = shard_idx * nk
+        raw = jax.lax.dot_general(
+            q.astype(dtype),
+            keys.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = base + jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+        valid = col < valid_n
+        lo = jax.lax.pmin(
+            jnp.min(jnp.where(valid, raw, jnp.inf), axis=1, keepdims=True),
+            CORPUS_AXIS,
+        )
+        hi = jax.lax.pmax(
+            jnp.max(jnp.where(valid, raw, -jnp.inf), axis=1, keepdims=True),
+            CORPUS_AXIS,
+        )
+        rng = hi - lo
+        norm = jnp.where(rng == 0, 1.0, (raw - lo) / jnp.where(rng == 0, 1.0, rng))
+        return jnp.where(valid, norm, 0.0)
+
+    mapped = shard_map(
+        score_shard,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(CORPUS_AXIS, None), P()),
+        out_specs=P(DP_AXIS, CORPUS_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -260,30 +260,18 @@ def test_full_sharded_retrieval_pipeline_matches_single_device():
     vals_s, idx_s = np.asarray(vals_s), np.asarray(idx_s)
     np.testing.assert_array_equal(idx_s, np.asarray(idx))
 
-    # host-side seed construction (same math as graph_search_batch)
+    # host-side seed construction: the SHIPPED helper the orchestrator uses
+    from hipporag_tpu.parallel.seeds import build_reset_vectors
+
     sge = shard_graph_ell(coo, num_shards=4, bucket_widths=(4, 16, 64))
     n_total = 4 * sge.shard_nodes
-    reset = np.zeros((b, n_total), np.float32)
-    dprn = np.zeros((b, n_passages), np.float32)
-    for i in range(b):
-        dq = dpr[i, :n_passages]
-        rngv = dq.max() - dq.min()
-        dprn[i] = 1.0 if rngv == 0 else (dq - dq.min()) / rngv
-        wsum = np.zeros(node_cap); occ = np.zeros(node_cap)
-        for j in range(k):
-            if vals_s[i, j] <= 0:
-                continue
-            for node in (fact_subj[idx_s[i, j]], fact_obj[idx_s[i, j]]):
-                if node >= n_nodes:
-                    continue
-                wsum[node] += vals_s[i, j] / max(chunk_counts[node], 1.0)
-                occ[node] += 1
-        phrase = np.divide(wsum, occ, where=occ > 0, out=np.zeros(node_cap))
-        top = np.argsort(-phrase, kind="stable")[:k]
-        kept = np.zeros(node_cap)
-        kept[top] = np.where(phrase[top] > 0, phrase[top], 0)
-        kept[passage_node_ids[:n_passages]] += dprn[i] * 0.05
-        reset[i, :node_cap] = kept
+    mask_np = (vals_s > 0).astype(np.float32)
+    reset, _dprn, _has = build_reset_vectors(
+        vals_s, idx_s, mask_np, dpr[:, :n_passages],
+        fact_subj, fact_obj, passage_node_ids[:n_passages], chunk_counts,
+        num_nodes=n_nodes, n_total=n_total, link_top_k=k,
+        passage_node_weight=0.05,
+    )
 
     ppr = make_sharded_ppr_ell(mesh, max_iters=96, tol=1e-10, n_hub=sge.n_hub)
     ranks = np.asarray(ppr(put_sharded_ell(mesh, sge), jnp.asarray(reset)))
