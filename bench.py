@@ -240,7 +240,7 @@ def main():
             t0 = time.perf_counter()
             rag.index(corpus)
             t_index = time.perf_counter() - t0
-            rag.retrieve(queries[:2])  # compile + prepare
+            rag.retrieve(queries)  # full-size warmup: prepare + compile
             t0 = time.perf_counter()
             results = rag.retrieve(queries)
             t_retr = time.perf_counter() - t0

@@ -207,3 +207,13 @@ def test_sharded_orchestrator_matches_single_device(tmp_path, toy_data):
 
     for w, g in zip(want, got):
         assert w.docs == g.docs, (w.question, w.docs, g.docs)
+
+
+def test_mesh_shape_exceeding_devices_raises(tmp_path, toy_data):
+    docs, _, _, _ = toy_data
+    cfg = _config(tmp_path / "badmesh")
+    cfg.mesh_shape = (64, 64)  # far beyond any test host
+    rag = HippoRAG(global_config=cfg)
+    rag.index(docs[:2])
+    with pytest.raises(RuntimeError, match="devices"):
+        rag.retrieve(["q"])
