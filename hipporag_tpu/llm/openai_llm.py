@@ -41,6 +41,7 @@ class OpenAIChatClient:
         api_key: str | None = None,
         azure_endpoint: str | None = None,
         timeout: float = 120.0,
+        transport=None,
     ):
         import httpx
 
@@ -61,6 +62,7 @@ class OpenAIChatClient:
             headers=headers,
             timeout=timeout,
             limits=httpx.Limits(max_connections=500, max_keepalive_connections=100),
+            transport=transport,
         )
 
     def chat(self, model: str, messages: List[TextChatMessage], **gen_kwargs) -> dict:

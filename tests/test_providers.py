@@ -254,3 +254,79 @@ def test_external_store_gating(tmp_path, store_type, module):
         store.insert_strings(["alpha", "beta"])
         assert len(store.get_all_ids()) == 2
         store.close()
+
+
+def test_bedrock_mantle_responses_api(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.llm.bedrock_mantle import BedrockMantleLLM
+
+    monkeypatch.setenv("AWS_BEARER_TOKEN_BEDROCK", "test-bearer")
+    seen = {}
+
+    def handler(request):
+        seen["auth"] = request.headers.get("Authorization")
+        seen["url"] = str(request.url)
+        return httpx.Response(200, json={
+            "status": "completed",
+            "output": [{"content": [{"type": "output_text", "text": "mantle says hi"}]}],
+            "usage": {"input_tokens": 4, "output_tokens": 3},
+        })
+
+    cfg = BaseConfig(llm_name="bedrock-mantle/some-model", save_dir=str(tmp_path))
+    llm = BedrockMantleLLM(cfg, transport=httpx.MockTransport(handler))
+    text, meta, hit = llm.infer([{"role": "user", "content": "hello"}])
+    assert text == "mantle says hi" and not hit
+    assert seen["auth"] == "Bearer test-bearer"
+    assert seen["url"].endswith("/responses")
+    assert meta["prompt_tokens"] == 4
+    # cache hit second time
+    _, _, hit2 = llm.infer([{"role": "user", "content": "hello"}])
+    assert hit2
+
+
+def test_azure_chat_url_and_header(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.llm.openai_llm import OpenAIChatClient
+
+    monkeypatch.setenv("AZURE_OPENAI_API_KEY", "azkey")
+    seen = {}
+
+    def handler(request):
+        seen["url"] = str(request.url)
+        seen["key"] = request.headers.get("api-key")
+        return httpx.Response(200, json={
+            "choices": [{"message": {"content": "ok"}, "finish_reason": "stop"}],
+            "usage": {},
+        })
+
+    client = OpenAIChatClient(
+        azure_endpoint="https://res.openai.azure.com",
+        transport=httpx.MockTransport(handler),
+    )
+    client.chat("mydeploy", [{"role": "user", "content": "x"}])
+    assert "/openai/deployments/mydeploy/chat/completions" in seen["url"]
+    assert "api-version=" in seen["url"]
+    assert seen["key"] == "azkey"
+
+
+def test_openai_4xx_not_retried(tmp_path, monkeypatch):
+    import httpx
+    import pytest as _pytest
+
+    from hipporag_tpu.llm.openai_llm import CacheOpenAILLM
+
+    monkeypatch.setenv("OPENAI_API_KEY", "bad")
+    calls = {"n": 0}
+
+    def handler(request):
+        calls["n"] += 1
+        return httpx.Response(401, text="invalid key")
+
+    cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
+    llm = CacheOpenAILLM(cfg)
+    llm.client._client = httpx.Client(transport=httpx.MockTransport(handler))
+    with _pytest.raises(httpx.HTTPStatusError):
+        llm.infer([{"role": "user", "content": "q"}])
+    assert calls["n"] == 1  # deterministic error: exactly one attempt
