@@ -217,3 +217,23 @@ def test_mesh_shape_exceeding_devices_raises(tmp_path, toy_data):
     rag.index(docs[:2])
     with pytest.raises(RuntimeError, match="devices"):
         rag.retrieve(["q"])
+
+
+def test_bfloat16_compute_dtype_pipeline(tmp_path, toy_data):
+    """compute_dtype='bfloat16' (bf16-resident embedding matrices) keeps
+    retrieval working and top-5 sets close to the f32 pipeline."""
+    docs, queries, _, _ = toy_data
+
+    r32 = HippoRAG(global_config=_config(tmp_path / "f32"))
+    r32.index(docs)
+    want = r32.retrieve(queries, num_to_retrieve=5)
+
+    cfg = _config(tmp_path / "bf16")
+    cfg.compute_dtype = "bfloat16"
+    rbf = HippoRAG(global_config=cfg)
+    rbf.index(docs)
+    got = rbf.retrieve(queries, num_to_retrieve=5)
+
+    for w, g in zip(want, got):
+        overlap = len(set(w.docs) & set(g.docs))
+        assert overlap >= 4, (w.question, w.docs, g.docs)
