@@ -237,3 +237,12 @@ def test_bfloat16_compute_dtype_pipeline(tmp_path, toy_data):
     for w, g in zip(want, got):
         overlap = len(set(w.docs) & set(g.docs))
         assert overlap >= 4, (w.question, w.docs, g.docs)
+
+
+def test_answer_with_ircot(tmp_path, toy_data):
+    docs, queries, _, gold_answers = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "ircot_qa"))
+    rag.index(docs)
+    solutions, _, _ = rag.answer_with_ircot([queries[0]], max_qa_steps=2)
+    assert solutions[0].answer
+    assert solutions[0].docs
