@@ -390,11 +390,11 @@ def ell_from_coo(
     )
 
 
-# escape hatch for extreme bucket sizes: XLA fuses the gather into the
-# einsum reduction (no [rows, W, B] materialization — verified on v5e, and
-# lax.map chunking measured 5x SLOWER), so this only bounds compiler
-# worst-cases on truly enormous buckets.
-_ELL_GATHER_BYTES = 8 << 30
+# Per-bucket gathered-intermediate budget: larger buckets stream through
+# a lax.map in chunks. Measured on v5e: chunking costs ~15% per iteration
+# but bounds peak memory — without it a 2M-node/40M-edge graph OOMs on
+# one chip (XLA materializes the [rows, W, B] einsum input at this size).
+_ELL_GATHER_BYTES = 2 << 30
 
 
 def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
