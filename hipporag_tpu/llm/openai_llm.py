@@ -90,7 +90,8 @@ class TransientAPIError(RuntimeError):
 
 
 class CacheOpenAILLM(BaseLLM):
-    def __init__(self, global_config=None, cache_dir: str = None, cache_filename: str = None):
+    def __init__(self, global_config=None, cache_dir: str = None,
+                 cache_filename: str = None, transport=None):
         super().__init__(global_config)
         cfg = self.global_config
         cache_dir = cache_dir or os.path.join(cfg.save_dir, "llm_cache")
@@ -98,7 +99,8 @@ class CacheOpenAILLM(BaseLLM):
         self.cache = SqliteKVCache(os.path.join(cache_dir, cache_filename), table="llm")
         self.max_retries = cfg.max_retry_attempts
         self.client = OpenAIChatClient(
-            base_url=cfg.llm_base_url, azure_endpoint=cfg.azure_endpoint
+            base_url=cfg.llm_base_url, azure_endpoint=cfg.azure_endpoint,
+            transport=transport,
         )
 
     @classmethod

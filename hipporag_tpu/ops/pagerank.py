@@ -391,9 +391,13 @@ def ell_from_coo(
 
 
 # Per-bucket gathered-intermediate budget: larger buckets stream through
-# a lax.map in chunks. Measured on v5e: chunking costs ~15% per iteration
-# but bounds peak memory — without it a 2M-node/40M-edge graph OOMs on
-# one chip (XLA materializes the [rows, W, B] einsum input at this size).
+# a lax.map in chunks. Measured on v5e with ragged hubs: the 200k-node
+# benchmark graph (largest bucket ~7.6GB gathered) times identically
+# chunked vs unchunked (1154ms/batch), the 1M-node graph is ~15% slower
+# chunked — while the 2M-node/40M-edge graph OOMs UNchunked (XLA
+# materializes the [rows, W, B] einsum input at that size) and solves
+# chunked. An earlier "5x slower" reading predated the ragged-hub fix
+# and was an artifact of the hub-cube padding blowup.
 _ELL_GATHER_BYTES = 2 << 30
 
 

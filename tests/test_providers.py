@@ -100,8 +100,7 @@ def test_cache_openai_llm_roundtrip_and_cache(tmp_path, monkeypatch):
 
     monkeypatch.setenv("OPENAI_API_KEY", "test-key")
     cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
-    llm = CacheOpenAILLM(cfg)
-    llm.client._client = httpx.Client(transport=_chat_response("pong"))
+    llm = CacheOpenAILLM(cfg, transport=_chat_response("pong"))
 
     msgs = [{"role": "user", "content": "ping"}]
     text, meta, hit = llm.infer(msgs)
@@ -109,8 +108,8 @@ def test_cache_openai_llm_roundtrip_and_cache(tmp_path, monkeypatch):
     assert meta["finish_reason"] == "stop" and meta["prompt_tokens"] == 3
 
     # second call served from the SQLite cache even with a dead transport
-    llm.client._client = httpx.Client(transport=_chat_response(status=500))
-    text2, _meta2, hit2 = llm.infer(msgs)
+    llm2 = CacheOpenAILLM(cfg, transport=_chat_response(status=500))
+    text2, _meta2, hit2 = llm2.infer(msgs)
     assert text2 == "pong" and hit2 is True
 
 
@@ -135,8 +134,7 @@ def test_cache_openai_llm_retries_transient_errors(tmp_path, monkeypatch):
         )
 
     cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
-    llm = CacheOpenAILLM(cfg)
-    llm.client._client = httpx.Client(transport=httpx.MockTransport(flaky))
+    llm = CacheOpenAILLM(cfg, transport=httpx.MockTransport(flaky))
     import hipporag_tpu.llm.openai_llm as mod
 
     # no real sleeping in tests
@@ -325,8 +323,7 @@ def test_openai_4xx_not_retried(tmp_path, monkeypatch):
         return httpx.Response(401, text="invalid key")
 
     cfg = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
-    llm = CacheOpenAILLM(cfg)
-    llm.client._client = httpx.Client(transport=httpx.MockTransport(handler))
+    llm = CacheOpenAILLM(cfg, transport=httpx.MockTransport(handler))
     with _pytest.raises(httpx.HTTPStatusError):
         llm.infer([{"role": "user", "content": "q"}])
     assert calls["n"] == 1  # deterministic error: exactly one attempt
