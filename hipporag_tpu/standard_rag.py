@@ -157,7 +157,7 @@ class StandardRAG:
 
         results = []
         for i, q in enumerate(queries):
-            order = np.argsort(-scores[i])[:num_to_retrieve]
+            order = np.argsort(-scores[i], kind="stable")[:num_to_retrieve]
             keys = [self.passage_node_keys[j] for j in order]
             docs = [self.chunk_embedding_store.get_row(k)["content"] for k in keys]
             results.append(
