@@ -139,3 +139,101 @@ def ppr_serial(
         out,
     )
     return out, int(iters)
+
+
+def ell_pack(
+    src: np.ndarray,
+    dst_sorted: np.ndarray,
+    w_norm: np.ndarray,
+    node_cap: int,
+    widths,
+    hub_width: int,
+    row_multiple: int,
+):
+    """Native bucketed-ELL packing; returns the arrays ell_from_coo needs
+    or None when the native library is unavailable.
+
+    Returns (bucket_idx_list, bucket_wgt_list, hub_idx, hub_wgt, hub_seg,
+    n_hub_cap, local_inv).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ell_pack"):
+        return None
+    if lib.ell_pack.restype is None or not getattr(lib, "_ell_sig", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.ell_pack.restype = ctypes.c_int32
+        lib.ell_pack.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._ell_sig = True
+
+    src = np.ascontiguousarray(src, np.int32)
+    dst_sorted = np.ascontiguousarray(dst_sorted, np.int32)
+    w_norm = np.ascontiguousarray(w_norm, np.float32)
+    widths_arr = np.ascontiguousarray(widths, np.int32)
+    n_widths = len(widths_arr)
+
+    bucket_rows = np.zeros(n_widths, np.int64)
+    hub_rows = np.zeros(1, np.int64)
+    hub_count = np.zeros(1, np.int64)
+    lib.ell_pack(
+        src, dst_sorted, w_norm, len(src), node_cap,
+        widths_arr, n_widths, hub_width,
+        bucket_rows.ctypes.data_as(ctypes.c_void_p),
+        hub_rows.ctypes.data_as(ctypes.c_void_p),
+        hub_count.ctypes.data_as(ctypes.c_void_p),
+        None, 0, 0, None, None, None, None, None, None,
+    )
+
+    def cap(n):
+        return ((n + row_multiple - 1) // row_multiple) * row_multiple if n else 0
+
+    bucket_caps = np.asarray([cap(int(r)) for r in bucket_rows], np.int64)
+    hub_row_cap = cap(int(hub_rows[0]))
+    n_hub = int(hub_count[0])
+    n_hub_cap = ((n_hub + 127) // 128) * 128 if n_hub else 0
+
+    total_elems = int(sum(c * w for c, w in zip(bucket_caps, widths_arr)))
+    idx_flat = np.zeros(total_elems, np.int32)
+    wgt_flat = np.zeros(total_elems, np.float32)
+    hub_idx = np.zeros((hub_row_cap, hub_width), np.int32)
+    hub_wgt = np.zeros((hub_row_cap, hub_width), np.float32)
+    hub_seg = np.full(hub_row_cap, n_hub_cap, np.int32)
+    local_inv = np.zeros(node_cap, np.int32)
+
+    rc = lib.ell_pack(
+        src, dst_sorted, w_norm, len(src), node_cap,
+        widths_arr, n_widths, hub_width,
+        bucket_rows.ctypes.data_as(ctypes.c_void_p),
+        hub_rows.ctypes.data_as(ctypes.c_void_p),
+        hub_count.ctypes.data_as(ctypes.c_void_p),
+        bucket_caps.ctypes.data_as(ctypes.c_void_p),
+        hub_row_cap, n_hub_cap,
+        idx_flat.ctypes.data_as(ctypes.c_void_p),
+        wgt_flat.ctypes.data_as(ctypes.c_void_p),
+        hub_idx.ctypes.data_as(ctypes.c_void_p),
+        hub_wgt.ctypes.data_as(ctypes.c_void_p),
+        hub_seg.ctypes.data_as(ctypes.c_void_p),
+        local_inv.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+
+    bucket_idx, bucket_wgt = [], []
+    off = 0
+    for c, w in zip(bucket_caps, widths_arr):
+        n_el = int(c) * int(w)
+        bucket_idx.append(idx_flat[off : off + n_el].reshape(int(c), int(w)))
+        bucket_wgt.append(wgt_flat[off : off + n_el].reshape(int(c), int(w)))
+        off += n_el
+    return bucket_idx, bucket_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv

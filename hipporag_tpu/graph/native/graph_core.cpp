@@ -119,3 +119,111 @@ int32_t ppr_serial(const int32_t* src, const int32_t* dst, const float* w_norm,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Bucketed-ELL packing (host hot path of ops/pagerank.ell_from_coo).
+//
+// Input edges must be the real (weight != 0) entries sorted by dst.
+// Two-call protocol like coo_compile:
+//   pass 1 (out pointers null): writes per-bucket real row counts into
+//     bucket_rows[n_widths], hub chunk rows into hub_rows[0] and hub
+//     node count into hub_count[0]; returns 0.
+//   pass 2: caller passes zero-initialized concatenated idx/wgt buffers
+//     laid out bucket-by-bucket with row capacities bucket_caps[i]
+//     (rows padded to capacity), hub buffers with capacity hub_row_cap,
+//     hub_seg (prefilled with n_hub_cap), and local_inv (length
+//     node_cap) which receives the node -> concat(parts) row map
+//     using the layout [bucket blocks by cap..., n_hub_cap hub slots,
+//     zero row]. Returns 0 on success.
+// ---------------------------------------------------------------------
+int32_t ell_pack(const int32_t* src, const int32_t* dst, const float* w,
+                 int64_t num_edges, int32_t node_cap,
+                 const int32_t* widths, int32_t n_widths, int32_t hub_width,
+                 int64_t* bucket_rows, int64_t* hub_rows, int64_t* hub_count,
+                 const int64_t* bucket_caps, int64_t hub_row_cap,
+                 int64_t n_hub_cap, int32_t* idx_out, float* wgt_out,
+                 int32_t* hub_idx_out, float* hub_wgt_out,
+                 int32_t* hub_seg_out, int32_t* local_inv_out) {
+  std::vector<int64_t> indeg(node_cap, 0);
+  for (int64_t e = 0; e < num_edges; ++e) indeg[dst[e]] += 1;
+  std::vector<int64_t> starts(node_cap + 1, 0);
+  for (int32_t v = 0; v < node_cap; ++v) starts[v + 1] = starts[v] + indeg[v];
+
+  auto bucket_of = [&](int64_t d) -> int32_t {
+    // d > 0; returns bucket index or n_widths for hubs
+    for (int32_t b = 0; b < n_widths; ++b) {
+      if (d <= widths[b]) return b;
+    }
+    return n_widths;
+  };
+
+  if (idx_out == nullptr) {  // sizing pass
+    std::vector<int64_t> rows(n_widths, 0);
+    int64_t hrows = 0, hcount = 0;
+    for (int32_t v = 0; v < node_cap; ++v) {
+      int64_t d = indeg[v];
+      if (d == 0) continue;
+      int32_t b = bucket_of(d);
+      if (b < n_widths) {
+        rows[b] += 1;
+      } else {
+        hcount += 1;
+        hrows += (d + hub_width - 1) / hub_width;
+      }
+    }
+    for (int32_t b = 0; b < n_widths; ++b) bucket_rows[b] = rows[b];
+    hub_rows[0] = hrows;
+    hub_count[0] = hcount;
+    return 0;
+  }
+
+  // fill pass
+  std::vector<int64_t> bucket_base(n_widths, 0);  // element offsets
+  std::vector<int64_t> row_base(n_widths, 0);     // concat row offsets
+  int64_t elem_off = 0, row_off = 0;
+  for (int32_t b = 0; b < n_widths; ++b) {
+    bucket_base[b] = elem_off;
+    row_base[b] = row_off;
+    elem_off += bucket_caps[b] * widths[b];
+    row_off += bucket_caps[b];
+  }
+  const int64_t hub_slot_base = row_off;
+  const int32_t zero_row = static_cast<int32_t>(hub_slot_base + n_hub_cap);
+
+  std::vector<int64_t> rows_used(n_widths, 0);
+  int64_t hub_row = 0, hub_idx_n = 0;
+  for (int32_t v = 0; v < node_cap; ++v) {
+    local_inv_out[v] = zero_row;
+    int64_t d = indeg[v];
+    if (d == 0) continue;
+    int64_t s = starts[v];
+    int32_t b = bucket_of(d);
+    if (b < n_widths) {
+      int64_t row = rows_used[b]++;
+      int64_t base = bucket_base[b] + row * widths[b];
+      std::memcpy(idx_out + base, src + s, sizeof(int32_t) * d);
+      std::memcpy(wgt_out + base, w + s, sizeof(float) * d);
+      local_inv_out[v] = static_cast<int32_t>(row_base[b] + row);
+    } else {
+      int64_t chunks = (d + hub_width - 1) / hub_width;
+      for (int64_t c = 0; c < chunks; ++c) {
+        int64_t len = std::min<int64_t>(hub_width, d - c * hub_width);
+        int64_t base = (hub_row + c) * hub_width;
+        std::memcpy(hub_idx_out + base, src + s + c * hub_width,
+                    sizeof(int32_t) * len);
+        std::memcpy(hub_wgt_out + base, w + s + c * hub_width,
+                    sizeof(float) * len);
+        hub_seg_out[hub_row + c] = static_cast<int32_t>(hub_idx_n);
+      }
+      local_inv_out[v] = static_cast<int32_t>(hub_slot_base + hub_idx_n);
+      hub_row += chunks;
+      hub_idx_n += 1;
+    }
+  }
+  (void)hub_row_cap;
+  return 0;
+}
+
+}  // extern "C"

@@ -319,6 +319,30 @@ def ell_from_coo(
     w_norm = np.asarray(w_norm, dtype=np.float32)
     real = w_norm != 0
     src, dst, w_norm = src[real], dst[real], w_norm[real]
+    widths = sorted(bucket_widths)
+
+    # native C++ packing when available (graph/native/graph_core.cpp);
+    # identical layout to the numpy fallback below
+    from ..graph import native as _native
+
+    packed = _native.ell_pack(
+        src, dst, w_norm, node_cap, widths, hub_width, row_multiple
+    )
+    if packed is not None:
+        b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv = packed
+        dang = np.zeros(node_cap, dtype=np.float32)
+        dang[: len(dangling)] = dangling
+        return ELLGraph(
+            bucket_idx=tuple(jnp.asarray(i) for i in b_idx),
+            bucket_wgt=tuple(jnp.asarray(w) for w in b_wgt),
+            hub_idx=jnp.asarray(hub_idx),
+            hub_wgt=jnp.asarray(hub_wgt),
+            hub_seg=jnp.asarray(hub_seg),
+            hub_zero=jnp.zeros(n_hub_cap, jnp.float32),
+            local_inv=jnp.asarray(local_inv),
+            dangling=jnp.asarray(dang),
+            num_nodes=jnp.asarray(num_nodes, jnp.int32),
+        )
 
     indeg = np.zeros(node_cap, dtype=np.int64)
     np.add.at(indeg, dst, 1)
@@ -326,7 +350,6 @@ def ell_from_coo(
     starts = np.zeros(node_cap + 1, dtype=np.int64)
     np.cumsum(indeg, out=starts[1:])
 
-    widths = sorted(bucket_widths)
     prev = 0
     bucket_node_arrays = []
     for wd in widths:

@@ -86,3 +86,51 @@ def test_native_ppr_matches_numpy_reference():
         sym.append((int(s), int(d), float(wi)))
     expected = ppr_numpy_reference(num_nodes, sym, reset[None, :], damping=0.5)[0]
     np.testing.assert_allclose(ranks, expected, atol=1e-7)
+
+
+def test_native_ell_pack_matches_numpy_fallback(monkeypatch):
+    """Native and numpy ELL packings must be bit-identical."""
+    import numpy as np
+
+    import hipporag_tpu.graph.native as native
+    import hipporag_tpu.ops.pagerank as pr
+    from hipporag_tpu.graph.csr import round_up
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(7)
+    n = 500
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    src = np.concatenate([src, rng.integers(0, n, 900)])
+    dst = np.concatenate([dst, np.full(900, 7)])  # hub
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], rng.uniform(0.5, 2.0, keep.sum())
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    o = np.argsort(d2, kind="stable"); s2, d2, w2 = s2[o], d2[o], w2[o]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128)
+    wp = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+
+    kwargs = dict(bucket_widths=(2, 8, 32), hub_width=64, row_multiple=64)
+    a = pr.ell_from_coo(s2.astype(np.int32), d2.astype(np.int32), wp, dang,
+                        n, node_cap, **kwargs)
+    monkeypatch.setattr(native, "ell_pack", lambda *args, **kw: None)
+    b = pr.ell_from_coo(s2.astype(np.int32), d2.astype(np.int32), wp, dang,
+                        n, node_cap, **kwargs)
+
+    assert len(a.bucket_idx) == len(b.bucket_idx)
+    for x, y in zip(a.bucket_idx, b.bucket_idx):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a.bucket_wgt, b.bucket_wgt):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(a.hub_idx), np.asarray(b.hub_idx))
+    np.testing.assert_array_equal(np.asarray(a.hub_wgt), np.asarray(b.hub_wgt))
+    np.testing.assert_array_equal(np.asarray(a.hub_seg), np.asarray(b.hub_seg))
+    np.testing.assert_array_equal(np.asarray(a.local_inv), np.asarray(b.local_inv))
+    assert a.hub_zero.shape == b.hub_zero.shape
