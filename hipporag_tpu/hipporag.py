@@ -1170,38 +1170,74 @@ class HippoRAG:
         if num_to_retrieve is None:
             num_to_retrieve = cfg.retrieval_top_k
 
-        results = []
-        for query in queries:
-            step = self.retrieve([query], num_to_retrieve=num_to_retrieve)[0]
-            merged_scores = dict(zip(step.docs, step.doc_scores.tolist()))
-            merged_meta = dict(zip(step.docs, step.doc_metadata or []))
-            thoughts: List[str] = []
-            for _ in range(1, max_qa_steps):
-                ranked = sorted(merged_scores, key=merged_scores.get, reverse=True)
-                thought = reason_step(
+        # Batched IRCoT: the reference iterates queries serially
+        # (HippoRAG.py:509-558); here each round runs ONE batched retrieve
+        # for every still-active query and fans the reasoning LLM calls out
+        # across threads. Per-query state evolution is identical — a
+        # query's thoughts depend only on its own retrieval history.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(queries)
+        steps = self.retrieve(queries, num_to_retrieve=num_to_retrieve)
+        merged_scores = [dict(zip(s.docs, s.doc_scores.tolist())) for s in steps]
+        merged_meta = [dict(zip(s.docs, s.doc_metadata or [])) for s in steps]
+        thoughts: List[List[str]] = [[] for _ in range(n)]
+        active = list(range(n))
+
+        for _ in range(1, max_qa_steps):
+            if not active:
+                break
+
+            def _reason(i):
+                ranked = sorted(
+                    merged_scores[i], key=merged_scores[i].get, reverse=True
+                )
+                return reason_step(
                     cfg.dataset,
                     self.prompt_template_manager,
-                    query,
+                    queries[i],
                     ranked[:num_to_retrieve],
-                    thoughts,
+                    thoughts[i],
                     self.qa_llm,
                 )
-                thoughts.append(thought)
-                if "So the answer is:" in thought:
-                    break
-                step = self.retrieve([thought], num_to_retrieve=num_to_retrieve)[0]
-                for doc, score in zip(step.docs, step.doc_scores.tolist()):
-                    merged_scores[doc] = max(merged_scores.get(doc, float("-inf")), score)
-                merged_meta.update(dict(zip(step.docs, step.doc_metadata or [])))
 
-            ranked_items = sorted(merged_scores.items(), key=lambda kv: kv[1], reverse=True)
+            if len(active) > 1:
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    new_thoughts = list(pool.map(_reason, active))
+            else:
+                new_thoughts = [_reason(active[0])]
+
+            followups = []
+            still_active = []
+            for i, thought in zip(active, new_thoughts):
+                thoughts[i].append(thought)
+                if "So the answer is:" not in thought:
+                    followups.append(thought)
+                    still_active.append(i)
+            active = still_active
+            if not active:
+                break
+
+            steps = self.retrieve(followups, num_to_retrieve=num_to_retrieve)
+            for i, step in zip(active, steps):
+                for doc, score in zip(step.docs, step.doc_scores.tolist()):
+                    merged_scores[i][doc] = max(
+                        merged_scores[i].get(doc, float("-inf")), score
+                    )
+                merged_meta[i].update(dict(zip(step.docs, step.doc_metadata or [])))
+
+        results = []
+        for i, query in enumerate(queries):
+            ranked_items = sorted(
+                merged_scores[i].items(), key=lambda kv: kv[1], reverse=True
+            )
             results.append(
                 QuerySolution(
                     question=query,
                     docs=[d for d, _ in ranked_items],
                     doc_scores=np.asarray([s for _, s in ranked_items]),
-                    thoughts=thoughts,
-                    doc_metadata=[merged_meta.get(d, {}) for d, _ in ranked_items],
+                    thoughts=thoughts[i],
+                    doc_metadata=[merged_meta[i].get(d, {}) for d, _ in ranked_items],
                 )
             )
 

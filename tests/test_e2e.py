@@ -246,3 +246,18 @@ def test_answer_with_ircot(tmp_path, toy_data):
     solutions, _, _ = rag.answer_with_ircot([queries[0]], max_qa_steps=2)
     assert solutions[0].answer
     assert solutions[0].docs
+
+
+def test_ircot_multi_query_batch(tmp_path, toy_data):
+    """Batched IRCoT: multiple queries advance together; per-query results
+    match running each query alone."""
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "ircot_batch"))
+    rag.index(docs)
+    batch = rag.retrieve_ircot(queries, max_qa_steps=2, num_to_retrieve=5)
+    assert len(batch) == len(queries)
+    for q in queries:
+        solo = rag.retrieve_ircot([q], max_qa_steps=2, num_to_retrieve=5)[0]
+        match = next(r for r in batch if r.question == q)
+        assert solo.docs[:5] == match.docs[:5], q
+        assert solo.thoughts == match.thoughts
