@@ -145,15 +145,28 @@ class StandardRAG:
             for q, e in zip(todo, embs):
                 self.query_to_embedding[q] = e
 
-        q_mat = np.stack([self.query_to_embedding[q] for q in queries])
-        scores = np.asarray(
-            batched_normalized_scores(
-                jnp.asarray(q_mat),
-                self._passage_emb_dev,
-                jnp.asarray(len(self.passage_node_keys), dtype=jnp.int32),
-                cfg.compute_dtype,
+        # fixed-size buckets keep one compiled executable while bounding the
+        # [B, P] score matrix for large query lists
+        bucket = max(1, cfg.ppr_batch_size)
+        n_passages = len(self.passage_node_keys)
+        score_rows = []
+        for start in range(0, len(queries), bucket):
+            part = queries[start : start + bucket]
+            q_mat = np.zeros(
+                (bucket, self.passage_embeddings.shape[1]), dtype=np.float32
             )
-        )[:, : len(self.passage_node_keys)]
+            for i, q in enumerate(part):
+                q_mat[i] = self.query_to_embedding[q]
+            s = np.asarray(
+                batched_normalized_scores(
+                    jnp.asarray(q_mat),
+                    self._passage_emb_dev,
+                    jnp.asarray(n_passages, dtype=jnp.int32),
+                    cfg.compute_dtype,
+                )
+            )[: len(part), :n_passages]
+            score_rows.append(s)
+        scores = np.concatenate(score_rows, axis=0) if score_rows else np.zeros((0, 0))
 
         results = []
         for i, q in enumerate(queries):
