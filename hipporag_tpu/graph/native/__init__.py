@@ -29,18 +29,21 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s", "libgraph_core.so"],
-                cwd=_THIS_DIR,
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception as e:  # noqa: BLE001 — fall back to numpy
+    # always invoke make: the Makefile dependency makes it a no-op when the
+    # .so is fresh, and rebuilds stale libraries after source updates
+    try:
+        subprocess.run(
+            ["make", "-s", "libgraph_core.so"],
+            cwd=_THIS_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception as e:  # noqa: BLE001 — fall back to numpy
+        if not os.path.exists(_LIB_PATH):
             logger.warning("native graph core build failed (%s); using NumPy path", e)
             return None
+        logger.warning("native graph core rebuild failed (%s); using existing library", e)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:
@@ -164,7 +167,6 @@ def ell_pack(
     if lib.ell_pack.restype is None or not getattr(lib, "_ell_sig", False):
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.ell_pack.restype = ctypes.c_int32
         lib.ell_pack.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
@@ -186,7 +188,7 @@ def ell_pack(
     bucket_rows = np.zeros(n_widths, np.int64)
     hub_rows = np.zeros(1, np.int64)
     hub_count = np.zeros(1, np.int64)
-    lib.ell_pack(
+    rc0 = lib.ell_pack(
         src, dst_sorted, w_norm, len(src), node_cap,
         widths_arr, n_widths, hub_width,
         bucket_rows.ctypes.data_as(ctypes.c_void_p),
@@ -194,6 +196,8 @@ def ell_pack(
         hub_count.ctypes.data_as(ctypes.c_void_p),
         None, 0, 0, None, None, None, None, None, None,
     )
+    if rc0 != 0:
+        return None
 
     def cap(n):
         return ((n + row_multiple - 1) // row_multiple) * row_multiple if n else 0

@@ -146,6 +146,12 @@ int32_t ell_pack(const int32_t* src, const int32_t* dst, const float* w,
                  int64_t n_hub_cap, int32_t* idx_out, float* wgt_out,
                  int32_t* hub_idx_out, float* hub_wgt_out,
                  int32_t* hub_seg_out, int32_t* local_inv_out) {
+  // validate ids up front (sibling coo_compile drops bad entries; here the
+  // layout depends on them, so reject and let the caller fall back)
+  for (int64_t e = 0; e < num_edges; ++e) {
+    if (src[e] < 0 || src[e] >= node_cap || dst[e] < 0 || dst[e] >= node_cap)
+      return -1;
+  }
   std::vector<int64_t> indeg(node_cap, 0);
   for (int64_t e = 0; e < num_edges; ++e) indeg[dst[e]] += 1;
   std::vector<int64_t> starts(node_cap + 1, 0);

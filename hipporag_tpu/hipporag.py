@@ -56,6 +56,17 @@ logger = get_logger(__name__)
 RETRIEVAL_K_LIST = [1, 2, 5, 10, 20, 30, 50, 100, 150, 200]
 
 
+def _fan_out(fn, items, max_workers: int = 16):
+    """Thread fan-out for network-bound LLM calls; serial for one item."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(item) for item in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(fn, items))
+
+
 def _fact_text(triple: Tuple[str, str, str]) -> str:
     """Canonical stored form of a fact (JSON, not Python repr — safe parse)."""
     return json.dumps(list(triple))
@@ -763,13 +774,7 @@ class HippoRAG:
                 q, items, cands = args
                 return self.rerank_filter.rerank(q, items, cands, link_top_k)
 
-            from concurrent.futures import ThreadPoolExecutor
-
-            if len(rerank_inputs) > 1:
-                with ThreadPoolExecutor(max_workers=16) as pool:
-                    reranked = list(pool.map(_rerank, rerank_inputs))
-            else:
-                reranked = [_rerank(r) for r in rerank_inputs]
+            reranked = _fan_out(_rerank, rerank_inputs)
 
             for i, (sorted_idx, sorted_items, _) in enumerate(reranked):
                 batch_top_facts[i] = sorted_items
@@ -1175,8 +1180,6 @@ class HippoRAG:
         # for every still-active query and fans the reasoning LLM calls out
         # across threads. Per-query state evolution is identical — a
         # query's thoughts depend only on its own retrieval history.
-        from concurrent.futures import ThreadPoolExecutor
-
         n = len(queries)
         steps = self.retrieve(queries, num_to_retrieve=num_to_retrieve)
         merged_scores = [dict(zip(s.docs, s.doc_scores.tolist())) for s in steps]
@@ -1201,11 +1204,7 @@ class HippoRAG:
                     self.qa_llm,
                 )
 
-            if len(active) > 1:
-                with ThreadPoolExecutor(max_workers=16) as pool:
-                    new_thoughts = list(pool.map(_reason, active))
-            else:
-                new_thoughts = [_reason(active[0])]
+            new_thoughts = _fan_out(_reason, active)
 
             followups = []
             still_active = []

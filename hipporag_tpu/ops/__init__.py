@@ -1,4 +1,3 @@
-from .fused_topk import fused_score_topk
 from .knn import retrieve_knn, streaming_topk_scores
 from .pagerank import (
     COOGraph,
@@ -34,3 +33,13 @@ __all__ = [
     "score_and_topk",
     "streaming_topk_scores",
 ]
+
+
+def __getattr__(name):
+    # fused_topk pulls in jax.experimental.pallas(+tpu); keep that import
+    # off the package-load path (scoring.fact_topk also imports it lazily)
+    if name == "fused_score_topk":
+        from .fused_topk import fused_score_topk
+
+        return fused_score_topk
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

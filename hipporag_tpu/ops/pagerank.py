@@ -325,11 +325,7 @@ def ell_from_coo(
     # identical layout to the numpy fallback below
     from ..graph import native as _native
 
-    packed = _native.ell_pack(
-        src, dst, w_norm, node_cap, widths, hub_width, row_multiple
-    )
-    if packed is not None:
-        b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv = packed
+    def _build(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv):
         dang = np.zeros(node_cap, dtype=np.float32)
         dang[: len(dangling)] = dangling
         return ELLGraph(
@@ -343,6 +339,12 @@ def ell_from_coo(
             dangling=jnp.asarray(dang),
             num_nodes=jnp.asarray(num_nodes, jnp.int32),
         )
+
+    packed = _native.ell_pack(
+        src, dst, w_norm, node_cap, widths, hub_width, row_multiple
+    )
+    if packed is not None:
+        return _build(*packed)
 
     indeg = np.zeros(node_cap, dtype=np.int64)
     np.add.at(indeg, dst, 1)
@@ -398,19 +400,8 @@ def ell_from_coo(
         base += cap
     local_inv[hub_nodes] = base + np.arange(n_hub, dtype=np.int32)
 
-    dang = np.zeros(node_cap, dtype=np.float32)
-    dang[: len(dangling)] = dangling
-    return ELLGraph(
-        bucket_idx=tuple(jnp.asarray(i) for i in bucket_idx),
-        bucket_wgt=tuple(jnp.asarray(w) for w in bucket_wgt),
-        hub_idx=jnp.asarray(hub_idx),
-        hub_wgt=jnp.asarray(hub_wgt),
-        hub_seg=jnp.asarray(hub_seg),
-        hub_zero=jnp.zeros(n_hub_cap, jnp.float32),
-        local_inv=jnp.asarray(local_inv),
-        dangling=jnp.asarray(dang),
-        num_nodes=jnp.asarray(num_nodes, jnp.int32),
-    )
+    return _build(bucket_idx, bucket_wgt, hub_idx, hub_wgt, hub_seg,
+                  n_hub_cap, local_inv)
 
 
 # Per-bucket gathered-intermediate budget: larger buckets stream through

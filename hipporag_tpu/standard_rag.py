@@ -133,7 +133,7 @@ class StandardRAG:
             num_to_retrieve = cfg.retrieval_top_k
         if not self.ready_to_retrieve:
             self.prepare_retrieval_objects()
-        start = time.time()
+        retrieve_start = time.time()
 
         todo = [q for q in queries if q not in self.query_to_embedding]
         if todo:
@@ -145,15 +145,18 @@ class StandardRAG:
             for q, e in zip(todo, embs):
                 self.query_to_embedding[q] = e
 
-        # fixed-size buckets keep one compiled executable while bounding the
-        # [B, P] score matrix for large query lists
+        # fixed-size sub-buckets keep a handful of compiled executables while
+        # bounding the [B, P] score matrix; small/interactive batches skip
+        # the full bucket width (same scheme as HippoRAG._retrieve_batches)
         bucket = max(1, cfg.ppr_batch_size)
+        sub_buckets = [b for b in (8, 32, 128, 512) if b < bucket] + [bucket]
         n_passages = len(self.passage_node_keys)
         score_rows = []
-        for start in range(0, len(queries), bucket):
-            part = queries[start : start + bucket]
+        for off in range(0, len(queries), bucket):
+            part = queries[off : off + bucket]
+            b_pad = next(b for b in sub_buckets if b >= len(part))
             q_mat = np.zeros(
-                (bucket, self.passage_embeddings.shape[1]), dtype=np.float32
+                (b_pad, self.passage_embeddings.shape[1]), dtype=np.float32
             )
             for i, q in enumerate(part):
                 q_mat[i] = self.query_to_embedding[q]
@@ -181,7 +184,7 @@ class StandardRAG:
                     doc_metadata=[dict(self.chunk_metadata.get(k, {})) for k in keys],
                 )
             )
-        self.all_retrieval_time += time.time() - start
+        self.all_retrieval_time += time.time() - retrieve_start
 
         if gold_docs is not None:
             evaluator = RetrievalRecall(cfg)
