@@ -261,3 +261,21 @@ def test_ircot_multi_query_batch(tmp_path, toy_data):
         match = next(r for r in batch if r.question == q)
         assert solo.docs[:5] == match.docs[:5], q
         assert solo.thoughts == match.thoughts
+
+
+def test_repeated_index_delete_cycles(tmp_path, toy_data):
+    """Stress the incremental lifecycle: several index/delete/retrieve
+    cycles keep stores, graph, and retrieval consistent."""
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "cycles"))
+    rag.index(docs[:4])
+    for cycle in range(3):
+        extra = [f"Cycle {cycle} fact: Entity{cycle}A is linked to Entity{cycle}B."]
+        rag.index(extra)
+        assert rag.retrieve([f"Entity{cycle}A link"], num_to_retrieve=3)[0].docs
+        rag.delete(extra)
+        texts = rag.chunk_embedding_store.get_all_texts()
+        assert extra[0] not in texts
+        assert rag.retrieve([queries[0]], num_to_retrieve=3)[0].docs
+    info = rag.get_graph_info()
+    assert info["num_passage_nodes"] == 4
