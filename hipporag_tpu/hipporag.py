@@ -898,7 +898,7 @@ class HippoRAG:
         top-k, host rerank + seed construction, sharded scatter-free PPR."""
         import jax.numpy as jnp
 
-        from .parallel.seeds import build_reset_vectors
+        from .models.retrieval import build_reset_batch
 
         cfg = self.global_config
         dp = cfg.mesh_shape[0]
@@ -945,17 +945,24 @@ class HippoRAG:
                 jnp.asarray(qp), self._passage_emb_sharded,
                 jnp.asarray(num_passages, jnp.int32),
             )
-            dpr_norm_full = np.asarray(norm_p)[:, :num_passages]
+            dpr_norm_dev = norm_p[:, :num_passages]
+            dpr_norm = np.asarray(dpr_norm_dev)
+            has_facts = top_mask.sum(axis=1) > 0
 
-            reset, dpr_norm, has_facts = build_reset_vectors(
-                sel_scores, top_idx, top_mask, dpr_norm_full,
-                fact_subj, fact_obj, real_pids, chunk_counts,
-                num_nodes=n_nodes, n_total=n_total, link_top_k=link_top_k,
-                passage_node_weight=cfg.passage_node_weight,
-            )
             if num_facts > 0 and self.graph.num_edges > 0:
+                # seeds build on device (models/retrieval.build_reset_batch)
+                # so multi-GB reset matrices never stage through host memory
+                reset_dev = build_reset_batch(
+                    jnp.asarray(sel_scores), jnp.asarray(top_idx),
+                    jnp.asarray(top_mask), dpr_norm_dev,
+                    jnp.asarray(fact_subj), jnp.asarray(fact_obj),
+                    jnp.asarray(chunk_counts), jnp.asarray(real_pids),
+                    jnp.asarray(n_nodes, jnp.int32),
+                    n_total=n_total, link_top_k=link_top_k,
+                    passage_node_weight=cfg.passage_node_weight,
+                )
                 ranks = np.asarray(
-                    self._sharded_ppr(self._sharded_graph_dev, jnp.asarray(reset))
+                    self._sharded_ppr(self._sharded_graph_dev, reset_dev)
                 )
                 doc_scores = np.where(
                     has_facts[:, None], ranks[:, real_pids], dpr_norm

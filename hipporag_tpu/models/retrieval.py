@@ -145,3 +145,60 @@ def rank_documents(doc_scores: Array):
     """Descending argsort of [B, P] scores -> (sorted_idx, sorted_scores)."""
     order = jnp.argsort(-doc_scores, axis=1)
     return order, jnp.take_along_axis(doc_scores, order, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_total", "link_top_k"))
+def build_reset_batch(
+    sel_scores: Array,  # [B, K]
+    top_fact_idx: Array,  # [B, K]
+    top_fact_mask: Array,  # [B, K]
+    dpr_norm: Array,  # [B, P] already min-max normalized over real passages
+    fact_subj_node: Array,  # [F_cap]
+    fact_obj_node: Array,  # [F_cap]
+    node_chunk_counts: Array,  # [N_cap]
+    passage_node_ids: Array,  # [P] real passage node ids
+    num_nodes: Array,  # [] int32
+    n_total: int,
+    link_top_k: int = 5,
+    passage_node_weight: float = 0.05,
+):
+    """Device-side PPR seed construction (the seed half of
+    graph_search_batch), emitting a [B, n_total] reset matrix sized for a
+    sharded node space. Used by the mesh backend so multi-GB reset
+    matrices never stage through host memory (parallel/seeds.py is the
+    host twin for small graphs and tests)."""
+    b, k = top_fact_idx.shape
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    n_cap = node_chunk_counts.shape[0]
+
+    subj = fact_subj_node[top_fact_idx]
+    obj = fact_obj_node[top_fact_idx]
+    endpoints = jnp.concatenate([subj, obj], axis=1)
+    ep_scores = jnp.concatenate([sel_scores, sel_scores], axis=1)
+    ep_mask = jnp.concatenate([top_fact_mask, top_fact_mask], axis=1)
+    ep_valid = ep_mask * (endpoints < num_nodes)
+
+    divisor = jnp.maximum(node_chunk_counts[endpoints], 1.0)
+    contrib = ep_scores / divisor * ep_valid
+    pad_slot = jnp.int32(n_cap - 1)
+    safe_endpoints = jnp.where(ep_valid > 0, endpoints, pad_slot)
+
+    zeros = jnp.zeros((b, n_cap), dtype=jnp.float32)
+    weight_sum = zeros.at[rows, safe_endpoints].add(contrib)
+    occurs = zeros.at[rows, safe_endpoints].add(ep_valid)
+    phrase_weights = jnp.where(occurs > 0, weight_sum / jnp.maximum(occurs, 1.0), 0.0)
+    phrase_weights = phrase_weights.at[:, pad_slot].set(0.0)
+
+    top_vals, top_idx = jax.lax.top_k(phrase_weights, link_top_k)
+    kept = jnp.zeros_like(phrase_weights).at[rows, top_idx].set(
+        jnp.where(top_vals > 0, top_vals, 0.0)
+    )
+
+    passage_weights = jnp.zeros_like(phrase_weights).at[
+        rows, passage_node_ids[None, :].repeat(b, axis=0)
+    ].add(dpr_norm * passage_node_weight)
+
+    reset = kept + passage_weights
+    if n_total > n_cap:
+        reset = jnp.pad(reset, ((0, 0), (0, n_total - n_cap)))
+    return reset[:, :n_total]

@@ -278,3 +278,38 @@ def test_full_sharded_retrieval_pipeline_matches_single_device():
     got = ranks[:, passage_node_ids[:n_passages]]
 
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_device_seed_builder_matches_host_twin():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipporag_tpu.models.retrieval import build_reset_batch
+    from hipporag_tpu.parallel.seeds import build_reset_vectors
+
+    rng = np.random.default_rng(44)
+    b, k, n_cap, n_facts, p = 6, 5, 256, 40, 10
+    n_total = 384
+    fact_subj = rng.integers(0, 100, n_facts).astype(np.int32)
+    fact_obj = rng.integers(0, 100, n_facts).astype(np.int32)
+    chunk_counts = rng.integers(0, 5, n_cap).astype(np.float32)
+    passage_ids = np.arange(100, 100 + p, dtype=np.int32)
+    top_idx = rng.integers(0, n_facts, (b, k)).astype(np.int32)
+    top_mask = (rng.uniform(size=(b, k)) > 0.4).astype(np.float32)
+    top_mask[2] = 0.0
+    sel = (rng.uniform(0.1, 1.0, (b, k)) * top_mask).astype(np.float32)
+    dpr_raw = rng.standard_normal((b, p)).astype(np.float32)
+
+    host_reset, dpr_norm, _ = build_reset_vectors(
+        sel, top_idx, top_mask, dpr_raw, fact_subj, fact_obj, passage_ids,
+        chunk_counts, num_nodes=120, n_total=n_total, link_top_k=k,
+    )
+    dev_reset = np.asarray(
+        build_reset_batch(
+            jnp.asarray(sel), jnp.asarray(top_idx), jnp.asarray(top_mask),
+            jnp.asarray(dpr_norm), jnp.asarray(fact_subj), jnp.asarray(fact_obj),
+            jnp.asarray(chunk_counts), jnp.asarray(passage_ids),
+            jnp.asarray(120, jnp.int32), n_total=n_total, link_top_k=k,
+        )
+    )
+    np.testing.assert_allclose(dev_reset, host_reset, rtol=1e-6, atol=1e-7)
