@@ -121,11 +121,17 @@ def main():
     reset_cpu = np.zeros((n_cpu, num_nodes), dtype=np.float64)
     for i in range(n_cpu):
         reset_cpu[i, seeds[i]] = seed_weights[i]
+    # best-of-two passes: the serial baseline is sensitive to transient
+    # host load, and taking the faster pass is conservative for vs_baseline
     t0 = time.perf_counter()
     cpu_results = [cpu_ppr(reset_cpu[i]) for i in range(n_cpu)]
-    cpu_time = time.perf_counter() - t0
+    pass1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cpu_results = [cpu_ppr(reset_cpu[i]) for i in range(n_cpu)]
+    pass2 = time.perf_counter() - t0
+    cpu_time = min(pass1, pass2)
     cpu_qps = n_cpu / cpu_time
-    log(f"CPU: {cpu_time:.2f}s for {n_cpu} queries -> {cpu_qps:.2f} q/s")
+    log(f"CPU: best of {pass1:.2f}s/{pass2:.2f}s for {n_cpu} queries -> {cpu_qps:.2f} q/s")
 
     # ------------------------- TPU batched -------------------------
     import jax
