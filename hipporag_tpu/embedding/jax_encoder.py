@@ -247,7 +247,20 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
         self.compute_dtype = (
             "bfloat16" if cfg.embedding_model_dtype in ("auto", "bfloat16") else "float32"
         )
-        self.params = jax.device_put(self.params)
+        # multi-device: replicate params and shard the batch over every
+        # mesh device (encoding is embarrassingly data-parallel; XLA
+        # partitions the jitted forward from the input shardings alone)
+        self._batch_sharding = None
+        n_mesh = int(np.prod(cfg.mesh_shape))
+        if n_mesh > 1 and len(jax.devices()) >= n_mesh:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(jax.devices()[:n_mesh]), ("batch",))
+            self._batch_sharding = NamedSharding(mesh, P("batch", None))
+            self._n_mesh = n_mesh
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        else:
+            self.params = jax.device_put(self.params)
 
     def format_with_instruction(self, text: str, instruction: str) -> str:
         return text  # symmetric encoder
@@ -274,8 +287,18 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
             mask = np.pad(mask, ((0, 0), (0, pad)))
         else:
             ids, mask = ids[:, :l], mask[:, :l]
+        b_real = ids.shape[0]
+        if self._batch_sharding is not None:
+            pad_b = (-b_real) % self._n_mesh
+            if pad_b:
+                ids = np.pad(ids, ((0, pad_b), (0, 0)))
+                mask = np.pad(mask, ((0, pad_b), (0, 0)))
+                mask[b_real:, 0] = 1  # avoid all-masked rows (NaN pooling)
+            ids = jax.device_put(jnp.asarray(ids), self._batch_sharding)
+            mask = jax.device_put(jnp.asarray(mask), self._batch_sharding)
+        else:
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         out = encode_forward(
-            self.params, jnp.asarray(ids), jnp.asarray(mask),
-            self.num_heads, self.compute_dtype,
+            self.params, ids, mask, self.num_heads, self.compute_dtype
         )
-        return np.asarray(out, dtype=np.float32)
+        return np.asarray(out, dtype=np.float32)[:b_real]

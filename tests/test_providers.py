@@ -327,3 +327,27 @@ def test_openai_4xx_not_retried(tmp_path, monkeypatch):
     with _pytest.raises(httpx.HTTPStatusError):
         llm.infer([{"role": "user", "content": "q"}])
     assert calls["n"] == 1  # deterministic error: exactly one attempt
+
+
+def test_jax_encoder_multi_device_batch_sharding(tmp_path):
+    import jax
+
+    from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+
+    n = len(jax.devices())
+    cfg = BaseConfig(
+        embedding_model_name="jax/random-64x1", save_dir=str(tmp_path),
+        embedding_model_dtype="float32", mesh_shape=(1, n),
+    )
+    sharded = JaxEncoderEmbeddingModel(cfg)
+    assert sharded._batch_sharding is not None
+    cfg1 = BaseConfig(
+        embedding_model_name="jax/random-64x1", save_dir=str(tmp_path),
+        embedding_model_dtype="float32",
+    )
+    single = JaxEncoderEmbeddingModel(cfg1)
+    texts = [f"sentence number {i} about topic {i%3}" for i in range(11)]  # odd count
+    a = sharded.batch_encode(texts, norm=True)
+    b = single.batch_encode(texts, norm=True)
+    assert a.shape == b.shape == (11, 64)
+    np.testing.assert_allclose(a, b, atol=1e-5)
