@@ -279,3 +279,18 @@ def test_repeated_index_delete_cycles(tmp_path, toy_data):
         assert rag.retrieve([queries[0]], num_to_retrieve=3)[0].docs
     info = rag.get_graph_info()
     assert info["num_passage_nodes"] == 4
+
+
+def test_sharded_backend_survives_delete(tmp_path, toy_data):
+    docs, queries, _, _ = toy_data
+    cfg = _config(tmp_path / "meshdel")
+    cfg.mesh_shape = (2, 4)
+    rag = HippoRAG(global_config=cfg)
+    rag.index(docs)
+    before = rag.retrieve([queries[0]], num_to_retrieve=3)[0]
+    assert rag._mesh is not None
+    rag.delete([docs[-1]])
+    after = rag.retrieve([queries[0]], num_to_retrieve=3)[0]
+    assert after.docs
+    assert docs[-1] not in after.docs
+    assert rag._mesh is not None  # backend rebuilt, still sharded
