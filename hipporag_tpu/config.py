@@ -126,6 +126,10 @@ class BaseConfig:
     # When set, retrieve() wraps its device work in a JAX profiler trace
     # written here (view with TensorBoard / xprof).
     profile_log_dir: Optional[str] = None
+    # Persistent XLA compilation cache directory: repeat runs skip the
+    # (tens of seconds) jit compiles entirely. "auto" places it under
+    # save_dir; None disables.
+    jax_compilation_cache_dir: Optional[str] = "auto"
 
     def __post_init__(self):
         if self.save_dir is None:

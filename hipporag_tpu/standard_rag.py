@@ -51,6 +51,9 @@ class StandardRAG:
         self.working_dir = os.path.join(global_config.save_dir, f"{llm_label}_{emb_label}")
         os.makedirs(self.working_dir, exist_ok=True)
 
+        from .hipporag import _enable_compilation_cache
+
+        _enable_compilation_cache(global_config)
         self.llm = get_llm(global_config)
         self.qa_llm = self.llm
         self.embedding_model = get_embedding_model(global_config)
