@@ -61,6 +61,16 @@ def probe_device_health() -> float:
 
 
 def main():
+    # persistent compilation cache: repeat bench runs skip jit compiles
+    try:
+        import jax
+
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception as e:  # noqa: BLE001
+        log(f"compilation cache unavailable: {e}")
+
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     num_edges = int(os.environ.get("BENCH_EDGES", 2_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 128))
