@@ -144,7 +144,7 @@ def _reference_doc_scores(host, sel_scores, top_idx, top_mask, dpr, link_top_k,
     return out
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_graph_search_matches_reference_semantics(seed):
     rng = np.random.default_rng(seed)
     index, host = _build_random_index(rng)
