@@ -274,6 +274,39 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"e2e section skipped: {e}")
 
+    # ---------------- multi-hop quality: graph vs dense ----------------
+    # The central HippoRAG capability claim, measured: 2-hop questions
+    # where dense retrieval lacks a bridge to the second document.
+    if os.environ.get("BENCH_QUALITY", "1") != "0":
+        try:
+            import tempfile
+
+            from hipporag_tpu import BaseConfig, HippoRAG, StandardRAG
+
+            n_chains = 12
+            qdocs, qqs, qgold = [], [], []
+            for i in range(n_chains):
+                a, bb, c = f"Alpha{i}", f"Bridge{i}", f"Omega{i}"
+                d1, d2_ = f"{a} is linked to {bb}.", f"{bb} is linked to {c}."
+                qdocs += [d1, d2_]
+                qqs.append(f"What does {a} eventually reach?")
+                qgold.append([d1, d2_])
+            qcfg = dict(llm_name="mock", embedding_model_name="mock", ppr_batch_size=16)
+            dense = StandardRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            dense.index(qdocs)
+            _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)
+            g = HippoRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            g.index(qdocs)
+            _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
+            extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
+            extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
+            log(
+                f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
+                f"vs dense {dense_overall['Recall@2']}"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"quality section skipped: {e}")
+
     # ---------------- fused Pallas scoring kernel ----------------
     try:
         from hipporag_tpu.ops.fused_topk import fused_score_topk
