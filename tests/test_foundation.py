@@ -184,3 +184,50 @@ def test_mock_llm_filter():
     resp, _, _ = llm.infer([{"role": "user", "content": user}])
     assert "[[ ## fact_after_filter ## ]]" in resp
     assert "erik hort" in resp and "bananas" not in resp
+
+
+def test_filter_response_parsing_and_matching():
+    """Recognition-memory parsing: sectioned response -> fact list, and
+    difflib matching of generated facts back to candidates."""
+    from hipporag_tpu.rerank import parse_filter_response
+
+    resp = (
+        "[[ ## fact_after_filter ## ]]\n"
+        '{"fact": [["mira voss", "born in", "port ellery"],'
+        ' ["port ellery", "located in", "calder county"]]}\n\n'
+        "[[ ## completed ## ]]"
+    )
+    facts = parse_filter_response(resp)
+    assert facts == [
+        ["mira voss", "born in", "port ellery"],
+        ["port ellery", "located in", "calder county"],
+    ]
+    # malformed section degrades to empty, not an exception
+    assert parse_filter_response("[[ ## fact_after_filter ## ]]\nnot json") == []
+    assert parse_filter_response("no sections at all") == []
+
+
+def test_rerank_filter_matches_back_to_candidates(tmp_path):
+    from hipporag_tpu.config import BaseConfig
+    from hipporag_tpu.llm.mock import MockLLM
+    from hipporag_tpu.rerank import RecognitionMemoryFilter
+
+    cfg = BaseConfig(llm_name="mock", save_dir=str(tmp_path))
+    canned = {
+        "filter": (
+            "[[ ## fact_after_filter ## ]]\n"
+            '{"fact": [["port ellery", "located in", "calder county"]]}\n'
+            "[[ ## completed ## ]]"
+        )
+    }
+    filt = RecognitionMemoryFilter(MockLLM(cfg, canned=canned))
+    candidates = [
+        ("mira voss", "born in", "port ellery"),
+        ("port ellery", "located in", "calder county"),
+        ("aldous finch", "composed", "the glass harbor"),
+    ]
+    sorted_idx, sorted_items, _ = filt.rerank(
+        "Which county is Port Ellery in?", candidates, [10, 20, 30], 2
+    )
+    assert sorted_idx[0] == 20  # maps back to the candidate's row id
+    assert sorted_items[0] == ("port ellery", "located in", "calder county")
