@@ -231,3 +231,42 @@ def test_rerank_filter_matches_back_to_candidates(tmp_path):
     )
     assert sorted_idx[0] == 20  # maps back to the candidate's row id
     assert sorted_items[0] == ("port ellery", "located in", "calder county")
+
+
+def test_parquet_store_order_and_missing_ids(tmp_path):
+    """Reference store-contract behaviors (run_vector_stores.py): fetch
+    order preservation, missing-id diff, idempotent re-insert."""
+    from hipporag_tpu.config import BaseConfig
+    from hipporag_tpu.embedding.mock import MockEmbeddingModel
+    from hipporag_tpu.storage.embedding_store import ParquetEmbeddingStore
+
+    cfg = BaseConfig(embedding_model_name="mock", save_dir=str(tmp_path))
+    model = MockEmbeddingModel(cfg)
+    store = ParquetEmbeddingStore(model, str(tmp_path), 4, "chunk")
+
+    texts = [f"text number {i}" for i in range(6)]
+    store.insert_strings(texts)
+    n = len(store.get_all_ids())
+    store.insert_strings(texts)  # idempotent re-insert
+    assert len(store.get_all_ids()) == n == 6
+
+    # order preservation across arbitrary request order
+    ids = [store.get_hash_id(t) for t in texts]
+    shuffled = [ids[3], ids[0], ids[5], ids[1]]
+    embs = store.get_embeddings(shuffled)
+    direct = [store.get_embedding(h) for h in shuffled]
+    import numpy as np
+    for a, b in zip(embs, direct):
+        np.testing.assert_array_equal(a, b)
+    mat = store.get_embeddings_matrix(shuffled)
+    np.testing.assert_array_equal(mat[2], store.get_embedding(ids[5]))
+
+    # missing-id diff
+    missing = store.get_missing_string_hash_ids(texts + ["brand new text"])
+    assert len(missing) == 1
+    assert next(iter(missing.values()))["content"] == "brand new text"
+
+    # incremental insert + reload keeps everything
+    store.insert_strings(["brand new text"])
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), 4, "chunk")
+    assert set(store2.get_all_texts()) == set(texts + ["brand new text"])
