@@ -62,14 +62,11 @@ def probe_device_health() -> float:
 
 def main():
     # persistent compilation cache: repeat bench runs skip jit compiles
-    try:
-        import jax
+    from hipporag_tpu.utils.compile_cache import enable_compilation_cache
 
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-    except Exception as e:  # noqa: BLE001
-        log(f"compilation cache unavailable: {e}")
+    enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     num_edges = int(os.environ.get("BENCH_EDGES", 2_000_000))
@@ -250,7 +247,7 @@ def main():
             rag = HippoRAG(
                 global_config=BaseConfig(
                     llm_name="mock", embedding_model_name="mock", save_dir=tmp,
-                    ppr_batch_size=n_q,
+                    ppr_batch_size=n_q, jax_compilation_cache_dir=None,
                 )
             )
             t0 = time.perf_counter()
@@ -291,7 +288,8 @@ def main():
                 qdocs += [d1, d2_]
                 qqs.append(f"What does {a} eventually reach?")
                 qgold.append([d1, d2_])
-            qcfg = dict(llm_name="mock", embedding_model_name="mock", ppr_batch_size=16)
+            qcfg = dict(llm_name="mock", embedding_model_name="mock",
+                        ppr_batch_size=16, jax_compilation_cache_dir=None)
             dense = StandardRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
             dense.index(qdocs)
             _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)

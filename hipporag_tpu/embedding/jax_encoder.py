@@ -293,9 +293,11 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
             if pad_b:
                 ids = np.pad(ids, ((0, pad_b), (0, 0)))
                 mask = np.pad(mask, ((0, pad_b), (0, 0)))
-                mask[b_real:, 0] = 1  # avoid all-masked rows (NaN pooling)
-            ids = jax.device_put(jnp.asarray(ids), self._batch_sharding)
-            mask = jax.device_put(jnp.asarray(mask), self._batch_sharding)
+            # device_put on the host arrays slices per device in one
+            # transfer (all-masked pad rows pool to 0 safely and are
+            # sliced off below)
+            ids = jax.device_put(ids, self._batch_sharding)
+            mask = jax.device_put(mask, self._batch_sharding)
         else:
             ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         out = encode_forward(

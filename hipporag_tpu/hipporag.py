@@ -67,25 +67,6 @@ def _fan_out(fn, items, max_workers: int = 16):
         return list(pool.map(fn, items))
 
 
-def _enable_compilation_cache(cfg: BaseConfig) -> None:
-    """Point JAX's persistent compilation cache under the save dir so
-    repeat sessions skip jit compiles (config: jax_compilation_cache_dir;
-    "auto" -> <save_dir>/jax_cache, None disables)."""
-    target = cfg.jax_compilation_cache_dir
-    if not target:
-        return
-    if target == "auto":
-        target = os.path.join(cfg.save_dir, "jax_cache")
-    try:
-        import jax
-
-        os.makedirs(target, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", target)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # noqa: BLE001 — cache is best-effort
-        logger.warning("compilation cache unavailable: %s", e)
-
-
 def _fact_text(triple: Tuple[str, str, str]) -> str:
     """Canonical stored form of a fact (JSON, not Python repr — safe parse)."""
     return json.dumps(list(triple))
@@ -137,7 +118,11 @@ class HippoRAG:
         )
         os.makedirs(self.working_dir, exist_ok=True)
 
-        _enable_compilation_cache(self.global_config)
+        from .utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(
+            self.global_config.jax_compilation_cache_dir, self.global_config.save_dir
+        )
         self.llm = get_llm(self.global_config)
         self.extraction_llm = self.llm  # alias kept for reference API parity
         self.qa_llm = self.llm

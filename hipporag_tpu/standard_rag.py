@@ -51,9 +51,11 @@ class StandardRAG:
         self.working_dir = os.path.join(global_config.save_dir, f"{llm_label}_{emb_label}")
         os.makedirs(self.working_dir, exist_ok=True)
 
-        from .hipporag import _enable_compilation_cache
+        from .utils.compile_cache import enable_compilation_cache
 
-        _enable_compilation_cache(global_config)
+        enable_compilation_cache(
+            global_config.jax_compilation_cache_dir, global_config.save_dir
+        )
         self.llm = get_llm(global_config)
         self.qa_llm = self.llm
         self.embedding_model = get_embedding_model(global_config)
