@@ -49,6 +49,11 @@ class GraphBuilder:
         self.node_names: List[str] = []
         # directed stats entries: (src_name, dst_name) -> weight
         self.edge_weights: Dict[Tuple[str, str], float] = {}
+        # (src_name, dst_name) -> 'fact' | 'passage' | 'synonymy'; tracked at
+        # insertion time so category stats stay exact even when duplicate
+        # facts merge into one edge (ref get_graph_info, HippoRAG.py:1232-1285,
+        # derives them by subtraction — wrong under merges)
+        self.edge_category: Dict[Tuple[str, str], str] = {}
         # entity node name -> set of chunk ids referencing it (refcounts for
         # deletion, ref state_utils.py:4-11)
         self.ent_node_to_chunk_ids: Dict[str, Set[str]] = {}
@@ -98,6 +103,8 @@ class GraphBuilder:
                     self.edge_weights[(obj_key, subj_key)] = (
                         self.edge_weights.get((obj_key, subj_key), 0.0) + 1.0
                     )
+                    self.edge_category[(subj_key, obj_key)] = "fact"
+                    self.edge_category[(obj_key, subj_key)] = "fact"
             for node in entities_in_chunk:
                 self.ent_node_to_chunk_ids.setdefault(node, set()).add(chunk_key)
 
@@ -112,6 +119,7 @@ class GraphBuilder:
             for entity in entities:
                 entity_key = compute_mdhash_id(str(entity), prefix="entity-")
                 self.edge_weights[(chunk_key, entity_key)] = 1.0
+                self.edge_category[(chunk_key, entity_key)] = "passage"
             num_new_chunks += 1
         return num_new_chunks
 
@@ -141,6 +149,10 @@ class GraphBuilder:
                 if not entity_contents.get(nn_key, ""):
                     continue
                 self.edge_weights[(node_key, nn_key)] = score
+                # a fact edge between the same pair keeps its category: the
+                # synonymy score only overwrites the weight (matching the
+                # reference's node_to_node_stats assignment)
+                self.edge_category.setdefault((node_key, nn_key), "synonymy")
                 kept += 1
                 num_added += 1
         return num_added
@@ -188,6 +200,9 @@ class GraphBuilder:
             (a, b): w
             for (a, b), w in self.edge_weights.items()
             if a not in names and b not in names
+        }
+        self.edge_category = {
+            k: c for k, c in self.edge_category.items() if k in self.edge_weights
         }
         self.indexed_chunk_ids -= names
 
@@ -251,6 +266,13 @@ class GraphBuilder:
         w = np.array([v for _, v in items], dtype=np.float32)
         return src, dst, w
 
+    def edge_category_counts(self) -> Dict[str, int]:
+        """Exact directed-entry counts per category, from insertion-time tags."""
+        counts = {"fact": 0, "passage": 0, "synonymy": 0}
+        for key in self.edge_weights:
+            counts[self.edge_category.get(key, "synonymy")] += 1
+        return counts
+
     def graph_info(self) -> Dict[str, int]:
         return {
             "num_nodes": self.num_nodes,
@@ -265,6 +287,7 @@ class GraphBuilder:
         state = {
             "node_names": self.node_names,
             "edge_weights": self.edge_weights,
+            "edge_category": self.edge_category,
             "ent_node_to_chunk_ids": {k: sorted(v) for k, v in self.ent_node_to_chunk_ids.items()},
             "indexed_chunk_ids": sorted(self.indexed_chunk_ids),
         }
@@ -283,6 +306,7 @@ class GraphBuilder:
         builder.node_names = state["node_names"]
         builder.node_to_idx = {n: i for i, n in enumerate(builder.node_names)}
         builder.edge_weights = state["edge_weights"]
+        builder.edge_category = state.get("edge_category", {})
         builder.ent_node_to_chunk_ids = {
             k: set(v) for k, v in state["ent_node_to_chunk_ids"].items()
         }

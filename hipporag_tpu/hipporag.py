@@ -378,25 +378,24 @@ class HippoRAG:
         os.replace(tmp, self._chunk_metadata_path)
 
     def get_graph_info(self) -> Dict[str, int]:
-        """Graph health stats (ref HippoRAG.py:1232-1285)."""
+        """Graph health stats (ref HippoRAG.py:1232-1285).
+
+        Category counts come from insertion-time tags kept by GraphBuilder,
+        so they stay exact when duplicate facts merge into one edge (the
+        reference derives synonymy by subtraction, which drifts there)."""
         num_phrase = len(set(self.entity_embedding_store.get_all_ids()))
         num_passage = len(set(self.chunk_embedding_store.get_all_ids()))
-        passage_set = set(self.chunk_embedding_store.get_all_ids())
-        num_with_passage = sum(
-            1
-            for (a, b) in self.graph.edge_weights
-            if a in passage_set or b in passage_set
-        )
         num_extracted = len(self.fact_embedding_store.get_all_ids())
-        total = self.graph.num_edges
+        cats = self.graph.edge_category_counts()
         return {
             "num_phrase_nodes": num_phrase,
             "num_passage_nodes": num_passage,
             "num_total_nodes": num_phrase + num_passage,
             "num_extracted_triples": num_extracted,
-            "num_triples_with_passage_node": num_with_passage,
-            "num_synonymy_triples": max(0, total - 2 * num_extracted - num_with_passage),
-            "num_total_triples": total,
+            "num_fact_edges": cats["fact"],
+            "num_triples_with_passage_node": cats["passage"],
+            "num_synonymy_triples": cats["synonymy"],
+            "num_total_triples": self.graph.num_edges,
         }
 
     # ==================================================================
@@ -1001,24 +1000,44 @@ class HippoRAG:
             graph_seeds=list(graph_seeds),
         )
 
-    def dense_passage_retrieval(self, query: str):
-        """Pure DPR scores for one query (ref HippoRAG.py:1467-1502)."""
+    def _dpr_normalized_scores(self, qp: np.ndarray, num_passages: int) -> np.ndarray:
+        """Min-max-normalized [B, P] query x passage scores on either backend.
+
+        In mesh mode the replicated single-device passage matrix is never
+        built (it would not fit one chip at mesh scale), so DPR scoring must
+        route through the corpus-sharded matrix; the batch is padded to a
+        multiple of the dp axis for shard_map."""
         import jax.numpy as jnp
 
+        if self._mesh is not None:
+            dp = self.global_config.mesh_shape[0]
+            b = qp.shape[0]
+            b_pad = ((b + dp - 1) // dp) * dp
+            if b_pad != b:
+                qp = np.pad(qp, ((0, b_pad - b), (0, 0)))
+            norm = self._sharded_norm_scores(
+                jnp.asarray(qp), self._passage_emb_sharded,
+                jnp.asarray(num_passages, jnp.int32),
+            )
+            return np.asarray(norm)[:b, :num_passages]
         from .ops.scoring import batched_normalized_scores
 
+        return np.asarray(
+            batched_normalized_scores(
+                jnp.asarray(qp),
+                self._passage_emb_dev,
+                jnp.asarray(num_passages, dtype=jnp.int32),
+                self.global_config.compute_dtype,
+            )
+        )[:, :num_passages]
+
+    def dense_passage_retrieval(self, query: str):
+        """Pure DPR scores for one query (ref HippoRAG.py:1467-1502)."""
         if not self.ready_to_retrieve:
             self.prepare_retrieval_objects()
         self.get_query_embeddings([query])
         qp = self.query_to_embedding["passage"][query][None]
-        scores = np.asarray(
-            batched_normalized_scores(
-                jnp.asarray(qp),
-                self._passage_emb_dev,
-                jnp.asarray(len(self.passage_node_keys), dtype=jnp.int32),
-                self.global_config.compute_dtype,
-            )
-        )[0][: len(self.passage_node_keys)]
+        scores = self._dpr_normalized_scores(qp, len(self.passage_node_keys))[0]
         order = np.argsort(-scores)
         return order, scores[order]
 
@@ -1096,10 +1115,6 @@ class HippoRAG:
     ):
         """Dense-only retrieval sharing the HippoRAG index: one batched
         query×passage matmul + argsort on device, no graph search."""
-        import jax.numpy as jnp
-
-        from .ops.scoring import batched_normalized_scores
-
         cfg = self.global_config
         if num_to_retrieve is None:
             num_to_retrieve = cfg.retrieval_top_k
@@ -1112,14 +1127,7 @@ class HippoRAG:
         qp = np.stack(
             [self.query_to_embedding["passage"][q] for q in queries]
         ).astype(np.float32)
-        scores = np.asarray(
-            batched_normalized_scores(
-                jnp.asarray(qp),
-                self._passage_emb_dev,
-                jnp.asarray(num_passages, dtype=jnp.int32),
-                cfg.compute_dtype,
-            )
-        )[:, :num_passages]
+        scores = self._dpr_normalized_scores(qp, num_passages)
         results = []
         for i, q in enumerate(queries):
             order = np.argsort(-scores[i])[:num_to_retrieve]

@@ -54,8 +54,16 @@ class OpenAIChatClient:
         else:
             self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
             key = api_key or os.environ.get("OPENAI_API_KEY")
-            if key is None and ("localhost" in self.base_url or "127.0.0.1" in self.base_url):
-                key = "EMPTY"
+            if key is None:
+                if "localhost" in self.base_url or "127.0.0.1" in self.base_url:
+                    key = "EMPTY"
+                else:
+                    # fail fast like the reference SDK: a missing key would
+                    # otherwise send 'Bearer None' and surface as opaque 401s
+                    raise ValueError(
+                        "No OpenAI API key: set OPENAI_API_KEY or pass "
+                        f"api_key for remote endpoint {self.base_url}"
+                    )
             headers = {"Authorization": f"Bearer {key}"}
         headers["Content-Type"] = "application/json"
         self._client = httpx.Client(

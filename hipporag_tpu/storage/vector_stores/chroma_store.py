@@ -42,11 +42,16 @@ class ChromaEmbeddingStore(InMemoryEmbeddingStore):
 
     def _rebuild_caches(self):
         got = self.collection.get(include=["documents", "embeddings"])
-        for h, text, emb in zip(
-            got["ids"], got["documents"], got["embeddings"] or []
-        ):
+        # chromadb may return embeddings as a numpy array (truthiness is
+        # ambiguous) or None; rows must still be cached when embeddings
+        # are absent so dedup/diff logic keeps working.
+        embs = got.get("embeddings")
+        if embs is None:
+            embs = [None] * len(got["ids"])
+        for h, text, emb in zip(got["ids"], got["documents"], embs):
             self._rows[h] = {"hash_id": h, "content": text}
-            self._embeddings[h] = np.asarray(emb, dtype=np.float32)
+            if emb is not None:
+                self._embeddings[h] = np.asarray(emb, dtype=np.float32)
             self.text_to_hash_id[text] = h
 
     def insert_strings(self, texts: List[str]) -> None:

@@ -87,12 +87,18 @@ class MilvusEmbeddingStore(InMemoryEmbeddingStore):
                 batch_size=1024,
             )
         except Exception:  # collection empty / iterator unsupported in Lite
-            rows = self.client.query(
-                self.collection, filter="", limit=16384,
-                output_fields=["hash_id", "content", "embedding"],
-            )
-            self._ingest_rows(rows)
-            return
+            # paginate to exhaustion: a single capped query would silently
+            # truncate large collections and make existing rows look missing
+            page, offset = 16384, 0
+            while True:
+                rows = self.client.query(
+                    self.collection, filter="", limit=page, offset=offset,
+                    output_fields=["hash_id", "content", "embedding"],
+                )
+                self._ingest_rows(rows)
+                if len(rows) < page:
+                    return
+                offset += page
         while True:
             rows = it.next()
             if not rows:

@@ -270,3 +270,59 @@ def test_parquet_store_order_and_missing_ids(tmp_path):
     store.insert_strings(["brand new text"])
     store2 = ParquetEmbeddingStore(model, str(tmp_path), 4, "chunk")
     assert set(store2.get_all_texts()) == set(texts + ["brand new text"])
+
+
+def test_graph_category_counts_exact(tmp_path):
+    """Edge-category stats stay exact when duplicate facts merge into one
+    edge (VERDICT r1 #8; ref get_graph_info, HippoRAG.py:1232-1285)."""
+    from hipporag_tpu.graph.builder import GraphBuilder
+
+    g = GraphBuilder()
+    # two DIFFERENT facts over the same entity pair -> the directed entries
+    # merge; the old subtraction heuristic (total - 2*extracted - passage)
+    # would go negative here
+    g.add_fact_edges(
+        ["chunk-1"],
+        [[("alice", "likes", "bob"), ("alice", "knows", "bob")]],
+    )
+    # a second chunk repeating one of the facts (weights accumulate,
+    # still the same 2 directed entries)
+    g.add_fact_edges(["chunk-2"], [[("alice", "likes", "bob")]])
+    g.add_passage_edges(["chunk-1"], [["alice", "bob"]])
+    g.mark_chunks_indexed(["chunk-1", "chunk-2"])
+
+    a = compute_mdhash_id("alice", prefix="entity-")
+    b = compute_mdhash_id("bob", prefix="entity-")
+    g.register_nodes([a, b, "chunk-1"])
+
+    cats = g.edge_category_counts()
+    assert cats == {"fact": 2, "passage": 2, "synonymy": 0}
+    # weights merged: each direction saw +1 (likes), +1 (knows), +1 (likes again)
+    assert g.edge_weights[(a, b)] == 3.0
+    assert g.edge_weights[(b, a)] == 3.0
+
+    # synonymy over a NEW pair counts; over an existing fact pair it only
+    # updates the weight, not the category
+    g.register_nodes([compute_mdhash_id("carol", prefix="entity-")])
+    c = compute_mdhash_id("carol", prefix="entity-")
+    contents = {a: "alice", b: "bob", c: "carol"}
+    g.add_synonymy_edges(
+        [a, b, c], contents,
+        np.array([[1, 2], [0, 2], [0, 1]]),  # neighbor indices
+        np.array([[0.95, 0.9], [0.95, 0.9], [0.1, 0.1]]),
+        sim_threshold=0.8,
+    )
+    cats = g.edge_category_counts()
+    assert cats["fact"] == 2          # a<->b kept fact category
+    assert cats["synonymy"] == 2      # a->c and b->c
+    assert g.edge_weights[(a, b)] == 0.95  # weight overwritten like the ref
+
+    # persistence round-trip keeps categories
+    path = str(tmp_path / "graph.pickle")
+    g.save(path)
+    g2 = GraphBuilder.load(path)
+    assert g2.edge_category_counts() == cats
+
+    # deleting a vertex prunes its categories
+    g2.delete_vertices({c})
+    assert g2.edge_category_counts() == {"fact": 2, "passage": 2, "synonymy": 0}
