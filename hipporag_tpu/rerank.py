@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import difflib
 import json
+import os
 import re
 from copy import deepcopy
 from typing import Dict, List, Optional, Tuple
@@ -71,7 +72,17 @@ class RecognitionMemoryFilter:
         self.llm = llm
         prompt_spec = best_filter_prompt
         if dspy_file_path:
-            with open(dspy_file_path) as f:
+            path = dspy_file_path
+            if not os.path.exists(path):
+                # bare filename resolves against the packaged compiled
+                # prompts (ref main.py:96-100 joins the package dir)
+                packaged = os.path.join(
+                    os.path.dirname(__file__), "prompts", "dspy_prompts",
+                    os.path.basename(path),
+                )
+                if os.path.exists(packaged):
+                    path = packaged
+            with open(path) as f:
                 prompt_spec = json.load(f)
         prog = prompt_spec["prog"]
         self.message_template = [{"role": "system", "content": prog["system"]}]

@@ -326,3 +326,60 @@ def test_graph_category_counts_exact(tmp_path):
     # deleting a vertex prunes its categories
     g2.delete_vertices({c})
     assert g2.edge_category_counts() == {"fact": 2, "passage": 2, "synonymy": 0}
+
+
+def test_per_dataset_templates_distinct():
+    """Each dataset ships its own few-shot demo (VERDICT r1 #5), and IRCoT
+    templates follow the reference shape: demo in the system turn, user turn
+    only ${prompt_user} (ref ircot_musique.py:1-30)."""
+    mgr = PromptTemplateManager()
+    rendered = {}
+    for ds in ("musique", "hotpotqa", "2wikimultihopqa"):
+        qa = mgr.render(f"rag_qa_{ds}", prompt_user="Question: test\nThought: ")
+        assert qa[0]["role"] == "system"
+        assert qa[-1]["content"].startswith("Question: test")
+        # 4-message one-shot structure: system, demo user, demo assistant, user
+        assert [m["role"] for m in qa] == ["system", "user", "assistant", "user"]
+        assert "Answer:" in qa[2]["content"]
+        rendered[f"qa_{ds}"] = qa[1]["content"]
+
+        ircot = mgr.render(f"ircot_{ds}", prompt_user="Question: test\nThought: ")
+        assert [m["role"] for m in ircot] == ["system", "user"]
+        assert "So the answer is:" in ircot[0]["content"]
+        assert ircot[1]["content"] == "Question: test\nThought: "
+        rendered[f"ircot_{ds}"] = ircot[0]["content"]
+
+    # the demos genuinely differ per dataset (no alias collapse)
+    assert len({rendered[f"qa_{ds}"] for ds in ("musique", "hotpotqa", "2wikimultihopqa")}) == 3
+    assert len({rendered[f"ircot_{ds}"] for ds in ("musique", "hotpotqa", "2wikimultihopqa")}) == 3
+    # dataset style: 2wiki = comparison, musique = composition chain
+    assert "same country" in rendered["ircot_2wikimultihopqa"]
+
+
+def test_compiled_filter_prompt_loads(tmp_path):
+    """The shipped per-model compiled filter JSON loads via
+    rerank_dspy_file_path (ref prompts/dspy_prompts/filter_llama3.3-70B-Instruct.json)."""
+    from hipporag_tpu.rerank import RecognitionMemoryFilter
+
+    llm = MockLLM(BaseConfig(llm_name="mock", save_dir=str(tmp_path)))
+    default = RecognitionMemoryFilter(llm)
+    compiled = RecognitionMemoryFilter(llm, "filter_llama3.3-70B-Instruct.json")
+    # compiled prompt: system + 10 demos x 2 turns
+    assert len(compiled.message_template) == 21
+    assert len(compiled.message_template) > len(default.message_template)
+    for turn in compiled.message_template[1::2]:
+        assert "[[ ## question ## ]]" in turn["content"]
+    # absolute path also works
+    import os as _os
+    abs_path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "hipporag_tpu", "prompts", "dspy_prompts", "filter_llama3.3-70B-Instruct.json",
+    )
+    compiled2 = RecognitionMemoryFilter(llm, abs_path)
+    assert [m["content"] for m in compiled2.message_template] == [
+        m["content"] for m in compiled.message_template
+    ]
+    # end-to-end: filter still reranks with the compiled prompt
+    cands = [("alice", "likes", "bob"), ("x", "y", "z")]
+    idx, items, meta = compiled.rerank("Does alice like bob?", cands, [0, 1], 2)
+    assert set(idx) <= {0, 1}
