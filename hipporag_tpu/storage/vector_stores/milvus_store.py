@@ -27,6 +27,10 @@ def safe_collection_name(name: str) -> str:
 
 
 class MilvusEmbeddingStore(InMemoryEmbeddingStore):
+    # Milvus servers cap a single query window at 16384 rows; the cache
+    # rebuild fallback pages by this much (class attr so tests can shrink it)
+    FALLBACK_QUERY_PAGE = 16384
+
     def __init__(self, embedding_model, db_dirname: str, batch_size: int,
                  namespace: str, config=None):
         try:
@@ -89,7 +93,7 @@ class MilvusEmbeddingStore(InMemoryEmbeddingStore):
         except Exception:  # collection empty / iterator unsupported in Lite
             # paginate to exhaustion: a single capped query would silently
             # truncate large collections and make existing rows look missing
-            page, offset = 16384, 0
+            page, offset = self.FALLBACK_QUERY_PAGE, 0
             while True:
                 rows = self.client.query(
                     self.collection, filter="", limit=page, offset=offset,
