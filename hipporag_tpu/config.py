@@ -116,6 +116,12 @@ class BaseConfig:
     # "ell": scatter-free bucketed-ELL SpMV (~2x faster on TPU);
     # "coo": segment-sum form (supports edge_chunks + bf16 gathers).
     ppr_format: Literal["ell", "coo"] = "ell"
+    # Overlap bucket N's host-side recognition-memory LLM calls with bucket
+    # N-1's device graph search (per-bucket results are independent, so
+    # output is bit-identical to the serial ordering). Depth = how many
+    # buckets may be in the score+rerank stage at once.
+    pipeline_rerank: bool = True
+    pipeline_depth: int = 2
     # Kernel configuration
     score_block_n: int = 2048  # fact/passage tile size for chunked scoring
     use_pallas_kernels: bool = True  # auto-falls back to XLA off-TPU
