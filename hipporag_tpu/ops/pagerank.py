@@ -142,8 +142,11 @@ def batched_ppr(
     d = jnp.asarray(damping, dtype=r_T.dtype)
 
     def cond(state):
-        _, err, it = state
-        return jnp.logical_and(err > tol, it < max_iters)
+        _, err_prev, err, it = state
+        return jnp.logical_and(
+            jnp.logical_and(err > tol, it < max_iters),
+            jnp.logical_not(_stalled(err, err_prev, tol)),
+        )
 
     gather_dtype = (
         jnp.dtype(compute_dtype)
@@ -152,14 +155,15 @@ def batched_ppr(
     )
 
     def body(state):
-        p_T, _, it = state
+        p_T, _, err, it = state
         y_T = _spmv_T(graph, p_T, gather_dtype, edge_chunks)
         dangling_mass = jnp.sum(p_T * graph.dangling[:, None], axis=0, keepdims=True)
         p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
-        err = jnp.max(jnp.abs(p_next - p_T))
-        return p_next, err, it + 1
+        err_next = jnp.max(jnp.abs(p_next - p_T))
+        return p_next, err, err_next, it + 1
 
-    p_T, _, _ = jax.lax.while_loop(cond, body, (r_T, jnp.asarray(jnp.inf, r_T.dtype), 0))
+    inf = jnp.asarray(jnp.inf, r_T.dtype)
+    p_T, _, _, _ = jax.lax.while_loop(cond, body, (r_T, inf, inf, 0))
     return p_T.T
 
 
@@ -264,7 +268,7 @@ def pack_hub_chunks(src, w_norm, indeg, starts, hub_nodes, hub_width: int):
 # Scatter-free bucketed-ELL SpMV
 # ======================================================================
 class ELLGraph(NamedTuple):
-    """Transition operator in bucketed ELLPACK form.
+    """Transition operator in bucketed ELLPACK form, iterated in SLOT space.
 
     ``jax.ops.segment_sum`` over a COO edge list lowers to scatter-style
     updates, which leave a lot of TPU bandwidth on the table. Here rows
@@ -275,23 +279,46 @@ class ELLGraph(NamedTuple):
     per hub, no cross-hub padding — reduced densely per row and combined
     with one tiny sorted segment-sum over the chunk rows.
 
-    Bucket outputs are produced in bucket-row order; ``local_inv`` maps
-    every natural node slot to its row in the concatenated parts (the
-    final row is a guaranteed-zero row for zero-in-degree nodes), so one
-    [N, B] gather per iteration restores natural order. Source ids are
-    natural node ids. Bucket/hub row counts are padded to capacity
-    multiples so incremental graph growth reuses compiled executables.
+    The PPR gather is per-row latency-bound on TPU (~20 ns per gathered
+    [B]-row, independent of row bytes — measured v5e), so the layout is
+    tuned to minimize GATHERED ROW COUNT:
+
+    - **Slot space**: ``bucket_idx``/``hub_idx`` store *slot* ids — rows in
+      the concatenated bucket/hub output layout — not natural node ids.
+      The power iteration runs entirely in slot space, so the per-iteration
+      [N, B]-row reorder gather through ``local_inv`` disappears; natural
+      order is restored once at the end. Zero-in-degree nodes share the
+      single guaranteed-zero slot; their PPR values follow the scalar
+      recurrence c_{k+1} = (1-d) + d·c_k·R_d (see batched_ppr_ell), which
+      also replaces the per-iteration [N, B] dangling-mass reduction.
+    - **Fine-grained widths + small row capacity multiples**: ELL padding
+      entries are gathered like real ones, so width padding is kept small
+      (default widths cover every small degree) and row counts round to
+      128 rather than 1024.
+
+    Bucket/hub row counts are padded to capacity multiples so incremental
+    graph growth reuses compiled executables.
     """
 
-    bucket_idx: tuple  # per bucket: [nbcap_i, W_i] int32 src ids (pad rows 0)
+    bucket_idx: tuple  # per bucket: [nbcap_i, W_i] int32 SLOT ids (pad rows 0)
     bucket_wgt: tuple  # per bucket: [nbcap_i, W_i] float32 (0 = padding)
-    hub_idx: Array  # [Rcap, W_hub] int32
+    hub_idx: Array  # [Rcap, W_hub] int32 SLOT ids
     hub_wgt: Array  # [Rcap, W_hub] float32
     hub_seg: Array  # [Rcap] int32 — owning hub slot; pad rows -> n_hub_cap
     hub_zero: Array  # [n_hub_cap] float32 zeros (static shape carrier)
-    local_inv: Array  # [N_pad] int32: node -> row in concat(parts)
+    local_inv: Array  # [N_pad] int32: node -> slot in concat(parts)
+    slot_to_node: Array  # [S] int32: slot -> node (junk/zero slots -> N_pad)
     dangling: Array  # [N_pad] float32 (natural order)
     num_nodes: Array  # [] int32 real node count
+
+
+# Default bucket widths: exact widths for the small degrees that dominate
+# KG mass, then ~25%-step geometric growth. Every padding entry costs a
+# full gathered row, so tight widths buy back most of the 9-55% row
+# overhead the old power-of-two widths (2..256) paid.
+DEFAULT_BUCKET_WIDTHS = tuple(range(1, 17)) + (
+    20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+)
 
 
 def ell_from_coo(
@@ -301,9 +328,9 @@ def ell_from_coo(
     dangling,
     num_nodes: int,
     node_cap: int,
-    bucket_widths=(2, 4, 8, 16, 32, 64, 128, 256),
+    bucket_widths=DEFAULT_BUCKET_WIDTHS,
     hub_width: int = 512,
-    row_multiple: int = 1024,
+    row_multiple: int = 128,
 ) -> ELLGraph:
     """Host-side conversion from dst-sorted COO (numpy) to ELLGraph.
 
@@ -326,6 +353,19 @@ def ell_from_coo(
     from ..graph import native as _native
 
     def _build(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv):
+        local_inv = np.asarray(local_inv)
+        caps = [i.shape[0] for i in b_idx]
+        zero_row = sum(caps) + n_hub_cap
+        n_slots = zero_row + 1
+        # slot -> node inverse (zero/junk slots -> node_cap = appended zero row)
+        slot_to_node = np.full(n_slots, node_cap, dtype=np.int32)
+        nodes = np.arange(node_cap, dtype=np.int32)
+        live = local_inv != zero_row
+        slot_to_node[local_inv[live]] = nodes[live]
+        # remap gather indices from natural node ids to slot ids so the
+        # iteration never leaves slot space
+        b_idx = [local_inv[i] for i in b_idx]
+        hub_idx = local_inv[np.asarray(hub_idx)]
         dang = np.zeros(node_cap, dtype=np.float32)
         dang[: len(dangling)] = dangling
         return ELLGraph(
@@ -336,6 +376,7 @@ def ell_from_coo(
             hub_seg=jnp.asarray(hub_seg),
             hub_zero=jnp.zeros(n_hub_cap, jnp.float32),
             local_inv=jnp.asarray(local_inv),
+            slot_to_node=jnp.asarray(slot_to_node),
             dangling=jnp.asarray(dang),
             num_nodes=jnp.asarray(num_nodes, jnp.int32),
         )
@@ -439,14 +480,19 @@ def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
     return out.reshape(n_chunks * chunk, -1)[:nb]
 
 
-def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
-    """y_T[N, B] in natural node order: per-bucket gather + reduce, then
-    one [N] gather through ``local_inv``.
+def _spmv_ell(graph: ELLGraph, p_slot: Array, gather_dtype=None) -> Array:
+    """y_slot[S, B] = T @ p in SLOT space: per-bucket gather + reduce.
+
+    Both input and output live in the concatenated bucket/hub slot layout,
+    so no reorder gather is needed inside the iteration (the bucket parts
+    concatenate directly into the next state). Junk capacity rows have all
+    weights 0 and produce 0.
 
     ``gather_dtype=bfloat16`` halves the gathered-row traffic (float32
-    accumulation in the reduce); see _spmv_T for the accuracy tradeoff.
+    accumulation in the reduce); per-row latency dominates on v5e though,
+    so f32 is the default.
     """
-    p_g = p_T.astype(gather_dtype) if gather_dtype is not None else p_T
+    p_g = p_slot.astype(gather_dtype) if gather_dtype is not None else p_slot
     parts = []
     for idx, wgt in zip(graph.bucket_idx, graph.bucket_wgt):
         parts.append(_bucket_reduce(p_g, idx, wgt))
@@ -461,9 +507,21 @@ def _spmv_ell(graph: ELLGraph, p_T: Array, gather_dtype=None) -> Array:
                 indices_are_sorted=True,
             )[:n_hub_cap]
         )
-    parts.append(jnp.zeros((1, p_T.shape[1]), jnp.float32))
-    cat = jnp.concatenate(parts, axis=0)
-    return cat[graph.local_inv]
+    parts.append(jnp.zeros((1, p_slot.shape[1]), jnp.float32))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _stalled(err: Array, err_prev: Array, tol) -> Array:
+    """True when the residual has hit its floating-point floor.
+
+    Power iteration in f32 plateaus around 1e-8·scale; a tol just below the
+    floor would otherwise silently run every iteration to max_iters (a ~5x
+    latency cliff observed on the 200k-node bench graph, where the floor sat
+    at 1.5e-8 against tol=1e-8). Declared stalled when the residual stopped
+    improving while already within 100x of tol — at that point further
+    iterations cannot change the answer.
+    """
+    return jnp.logical_and(err >= 0.9 * err_prev, err < tol * 100.0)
 
 
 @functools.partial(
@@ -479,6 +537,14 @@ def batched_ppr_ell(
     accel: str = "power",
 ) -> Array:
     """batched_ppr over the scatter-free ELL operator (same semantics).
+
+    The iteration runs in slot space (see ELLGraph): reset is permuted in
+    once, the result permuted out once. Zero-in-degree nodes are carried by
+    the scalar coefficient c: their iterates are p_k[v] = c_k·r[v] with
+    c_{k+1} = (1-d) + d·dm_k and dm_k = c_k·R_d (R_d = reset mass on
+    dangling nodes), which is exact because such nodes receive no graph
+    mass — this removes both their rows and the per-iteration [N, B]
+    dangling reduction from the loop.
 
     ``accel="chebyshev"`` runs the Chebyshev semi-iteration for the affine
     fixed point x = d*M(x) + (1-d)r (spectral radius of d*M is <= d since
@@ -497,12 +563,16 @@ def batched_ppr_ell(
     uniform = jnp.where(node_ids < graph.num_nodes, 1.0 / n_real, 0.0)
     r = jnp.where(row_sum > 0, reset / jnp.where(row_sum > 0, row_sum, 1.0), uniform)
 
-    r_T = r.T  # [N, B]
+    r_T = r.T  # [N, B] natural order
     d = jnp.asarray(damping, dtype=r_T.dtype)
 
-    def cond(state):
-        _, err, it = state
-        return jnp.logical_and(err > tol, it < max_iters)
+    # move into slot space: one [S]-row gather (junk slots read the appended
+    # zero row), plus the dangling reset mass per batch column
+    r_ext = jnp.concatenate([r_T, jnp.zeros((1, r_T.shape[1]), r_T.dtype)], axis=0)
+    r_slot = r_ext[graph.slot_to_node]  # [S, B]
+    reset_dangling_mass = jnp.sum(
+        r_T * graph.dangling[:, None], axis=0, keepdims=True
+    )  # [1, B]
 
     gather_dtype = (
         jnp.dtype(compute_dtype)
@@ -510,44 +580,73 @@ def batched_ppr_ell(
         else None
     )
 
-    def step(p_T):
-        """One affine application: d*M(p) + (1-d)r."""
-        y_T = _spmv_ell(graph, p_T, gather_dtype)
-        dangling_mass = jnp.sum(p_T * graph.dangling[:, None], axis=0, keepdims=True)
-        return (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
+    def step(p_slot, c):
+        """One affine application in slot space + the zero-row coefficient."""
+        y = _spmv_ell(graph, p_slot, gather_dtype)
+        dm = c * reset_dangling_mass
+        p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
+        c_next = (1.0 - d) + d * dm
+        return p_next, c_next
+
+    one = jnp.ones((1, r_T.shape[1]), r_T.dtype)
 
     if accel == "chebyshev":
         rho2 = d * d
 
         def cond_c(state):
-            _, _, _, err, it = state
-            return jnp.logical_and(err > tol, it < max_iters)
+            _, _, _, _, _, err_prev, err, it = state
+            return jnp.logical_and(
+                jnp.logical_and(err > tol, it < max_iters),
+                jnp.logical_not(_stalled(err, err_prev, tol)),
+            )
 
         def body_c(state):
-            x_prev, x, omega, _, it = state
-            x_next = omega * (step(x) - x_prev) + x_prev
-            err = jnp.max(jnp.abs(x_next - x))
+            x_prev, c_prev, x, c, omega, _, err, it = state
+            sx, sc = step(x, c)
+            x_next = omega * (sx - x_prev) + x_prev
+            c_next = omega * (sc - c_prev) + c_prev
+            err_next = jnp.maximum(
+                jnp.max(jnp.abs(x_next - x)), jnp.max(jnp.abs(c_next - c))
+            )
             omega_next = 1.0 / (1.0 - rho2 / 4.0 * omega)
-            return x, x_next, omega_next, err, it + 1
+            return x, c, x_next, c_next, omega_next, err, err_next, it + 1
 
-        x0 = r_T
-        x1 = step(x0)
+        x0, c0 = r_slot, one
+        x1, c1 = step(x0, c0)
         omega1 = 1.0 / (1.0 - rho2 / 2.0)
-        _, p_T, _, _, _ = jax.lax.while_loop(
+        inf = jnp.asarray(jnp.inf, r_T.dtype)
+        _, _, p_slot, c, _, _, _, _ = jax.lax.while_loop(
             cond_c,
             body_c,
-            (x0, x1, jnp.asarray(omega1, r_T.dtype),
-             jnp.asarray(jnp.inf, r_T.dtype), 1),
+            (x0, c0, x1, c1, jnp.asarray(omega1, r_T.dtype), inf, inf, 1),
         )
     else:
 
-        def body(state):
-            p_T, _, it = state
-            p_next = step(p_T)
-            err = jnp.max(jnp.abs(p_next - p_T))
-            return p_next, err, it + 1
+        def cond(state):
+            _, _, err_prev, err, it = state
+            return jnp.logical_and(
+                jnp.logical_and(err > tol, it < max_iters),
+                jnp.logical_not(_stalled(err, err_prev, tol)),
+            )
 
-        p_T, _, _ = jax.lax.while_loop(
-            cond, body, (r_T, jnp.asarray(jnp.inf, r_T.dtype), 0)
+        def body(state):
+            p_slot, c, _, err, it = state
+            p_next, c_next = step(p_slot, c)
+            err_next = jnp.maximum(
+                jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
+            )
+            return p_next, c_next, err, err_next, it + 1
+
+        inf = jnp.asarray(jnp.inf, r_T.dtype)
+        p_slot, c, _, _, _ = jax.lax.while_loop(
+            cond, body, (r_slot, one, inf, inf, 0)
         )
+
+    # back to natural order: slots for live nodes, c·r for zero-in-degree
+    zero_row = graph.slot_to_node.shape[0] - 1
+    p_T = jnp.where(
+        (graph.local_inv == zero_row)[:, None],
+        c * r_T,
+        p_slot[graph.local_inv],
+    )
     return p_T.T
