@@ -28,7 +28,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.pagerank import COOGraph, pack_ell_rows, pack_hub_chunks
+from ..utils.logging import get_logger
 from .mesh import CORPUS_AXIS, DP_AXIS
+
+logger = get_logger(__name__)
 
 Array = jax.Array
 
@@ -249,37 +252,61 @@ def make_sharded_score_topk(mesh, k: int, compute_dtype: str = "float32"):
 # ---------------------------------------------------------------------------
 
 class ShardedELLGraph(NamedTuple):
-    """Destination-sharded bucketed-ELL operator (see ops/pagerank.ELLGraph).
+    """Destination-sharded bucketed-ELL operator with HALO EXCHANGE.
 
-    Every array carries a leading shard axis C. Source ids are GLOBAL node
-    ids (each iteration gathers from the all-gathered rank vector); each
-    shard's output rows are assembled in bucket order and restored to the
-    shard's natural local node order with one small ``local_inv`` gather,
-    so no global node permutation is needed.
+    Every array carries a leading shard axis C. The graph must be the
+    symmetric (undirected) transition operator — the builder guarantees it;
+    dst-partitioning then means each shard computes the full in-mass of its
+    own nodes, so shard-local zero-in-degree equals global isolation.
 
-    Per-bucket row counts are padded to the max across shards (padded rows
-    have weight 0 and are never referenced by local_inv).
+    Unlike the round-1 design — which all-gathered the whole rank vector
+    every iteration, O(B·N_total) ICI bytes per device — each shard now
+    exchanges only the *boundary* rank rows its edges actually reference
+    (SURVEY.md §2b "ICI halo exchange"):
+
+    - ``send_ids[t, s]`` holds the slot ids (in owner t's slot space) of the
+      rows t must ship to shard s each iteration, padded to the static halo
+      capacity H = max cut over all (t, s) pairs.
+    - Per iteration: one [C, H, B] gather + ``all_to_all`` over the corpus
+      axis, then the local SpMV reads from q = [own slots ; halo blocks].
+      ICI bytes/iteration/device = C·H·B·4 — scaling with the edge cut,
+      not with N_total.
+
+    The per-shard layout mirrors ops/pagerank.ELLGraph slot space: bucket
+    and hub gather indices are q-space ids, the iteration state is the
+    concatenated bucket/hub output, zero-in-degree nodes ride the shared
+    scalar coefficient recurrence, and natural local order is restored once
+    at the end through ``local_inv``.
     """
 
-    bucket_idx: tuple  # per bucket: [C, nb_i, W_i] int32
+    bucket_idx: tuple  # per bucket: [C, nb_i, W_i] int32 q-space ids
     bucket_wgt: tuple  # per bucket: [C, nb_i, W_i] float32
-    hub_idx: Array  # [C, R, W_hub] int32
+    hub_idx: Array  # [C, R, W_hub] int32 q-space ids
     hub_wgt: Array  # [C, R, W_hub] float32
     hub_seg: Array  # [C, R] int32 (local hub row; padded rows -> n_hub slot)
-    local_inv: Array  # [C, Ns] int32: local node slot -> concat(parts) row
+    local_inv: Array  # [C, Ns] int32: local node -> slot
+    slot_to_node: Array  # [C, S] int32: slot -> local node (junk -> Ns)
+    send_ids: Array  # [C, C, H] int32: slot ids owner c ships to each peer
     dangling: Array  # [C, Ns]
     num_nodes: Array  # [] int32
     shard_nodes: int
     n_hub: int  # static hub slot count (max across shards)
+    n_slots: int  # static per-shard slot count S (incl. zero row)
+    halo_width: int  # static H: halo rows exchanged per (owner, peer) pair
 
 
 def shard_graph_ell(
     graph: COOGraph,
     num_shards: int,
-    bucket_widths=(2, 4, 8, 16, 32, 64, 128, 256),
+    bucket_widths=(1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256),
     hub_width: int = 512,
 ) -> ShardedELLGraph:
-    """Partition a host COOGraph into per-shard ELL structures (numpy)."""
+    """Partition a host COOGraph into per-shard halo-ELL structures (numpy).
+
+    Logs the halo-exchange comm volume so the cut-vs-N_total scaling is
+    visible: bytes/iter/device = C·H·B·4 (vs Ns·C·B·4 for the old
+    all_gather design).
+    """
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
     w = np.asarray(graph.w_norm)
@@ -289,13 +316,40 @@ def shard_graph_ell(
     ns = ((ns + 127) // 128) * 128
     widths = sorted(bucket_widths)
 
-    shards = []
+    # ---- pass 1: halo lists. halo[s][t] = sorted unique global src ids
+    # owned by t that appear in shard s's edges (t != s).
+    owner_all = np.minimum(src // ns, num_shards - 1)
+    halo: list[list[np.ndarray]] = []
+    per_shard_edges = []
     for s in range(num_shards):
         lo, hi = s * ns, (s + 1) * ns
         mask = (dst >= lo) & (dst < hi) & (w != 0)
         ss, dd, ww = src[mask], (dst[mask] - lo).astype(np.int64), w[mask]
         order = np.argsort(dd, kind="stable")
         ss, dd, ww = ss[order], dd[order], ww[order]
+        per_shard_edges.append((ss, dd, ww))
+        owners = owner_all[mask][order]
+        lists = []
+        for t in range(num_shards):
+            if t == s:
+                lists.append(np.zeros(0, dtype=np.int64))
+            else:
+                lists.append(np.unique(ss[owners == t]))
+        halo.append(lists)
+
+    cut = sum(len(l) for ls in halo for l in ls)
+    h_cap = max((len(l) for ls in halo for l in ls), default=0)
+    h_cap = max(8, ((h_cap + 7) // 8) * 8)  # sublane-aligned halo rows
+    logger.info(
+        "halo exchange: C=%d, H=%d, cut=%d boundary rows; "
+        "ICI bytes/iter/device = C*H*B*4 = %d*B vs all_gather %d*B",
+        num_shards, h_cap, cut,
+        num_shards * h_cap * 4, ns * num_shards * 4,
+    )
+
+    shards = []
+    for s in range(num_shards):
+        ss, dd, ww = per_shard_edges[s]
         indeg = np.zeros(ns, dtype=np.int64)
         np.add.at(indeg, dd, 1)
         starts = np.zeros(ns + 1, dtype=np.int64)
@@ -335,6 +389,10 @@ def shard_graph_ell(
 
     # concat(parts) layout per shard: bucket rows..., hub slots, one zero row
     zero_row = sum(nb_max) + nhub_max
+    n_slots = zero_row + 1
+    slot_to_node = np.full((num_shards, n_slots), ns, dtype=np.int32)
+    send_ids = np.full((num_shards, num_shards, h_cap), zero_row, dtype=np.int32)
+
     for s, (b_nodes, b_idx, b_wgt, hub_nodes, hidx, hwgt, hseg) in enumerate(shards):
         local_inv[s, :] = zero_row
         base = 0
@@ -348,9 +406,53 @@ def shard_graph_ell(
         hub_wgt[s, : hwgt.shape[0]] = hwgt
         hub_seg[s, : len(hseg)] = hseg
         local_inv[s, hub_nodes] = base + np.arange(len(hub_nodes))
+        live = local_inv[s] != zero_row
+        slot_to_node[s, local_inv[s, live]] = np.nonzero(live)[0].astype(np.int32)
         lo, hi = s * ns, min((s + 1) * ns, n_pad)
         if hi > lo:
             dang[s, : hi - lo] = dangling[lo:hi]
+
+    # owner t -> peer s send lists, as slot ids in t's slot space
+    for t in range(num_shards):
+        for s in range(num_shards):
+            ids = halo[s][t]  # global ids owned by t needed by s
+            if len(ids):
+                send_ids[t, s, : len(ids)] = local_inv[t, ids - t * ns]
+
+    # remap each shard's gather indices from GLOBAL node ids to q space:
+    # q = [own slots (S rows) ; halo block per owner (C x H rows)]
+    def to_q(s: int, g_idx: np.ndarray) -> np.ndarray:
+        out = np.full(g_idx.shape, zero_row, dtype=np.int32)  # pad -> zero slot
+        owner = np.minimum(g_idx // ns, num_shards - 1)
+        own = owner == s
+        out[own] = local_inv[s, g_idx[own] - s * ns]
+        for t in range(num_shards):
+            if t == s:
+                continue
+            m = owner == t
+            if not m.any():
+                continue
+            pos = np.searchsorted(halo[s][t], g_idx[m])
+            out[m] = n_slots + t * h_cap + pos
+        return out
+
+    for s, (b_nodes, b_idx, b_wgt, hub_nodes, hidx, hwgt, hseg) in enumerate(shards):
+        base = 0
+        for i in range(len(widths)):
+            nb = len(b_nodes[i])
+            if nb:
+                # padding entries inside rows have weight 0; their index is
+                # remapped like a real one (bounded by to_q's zero fallback)
+                real = b_wgt[i] != 0
+                q_idx = np.full(b_idx[i].shape, zero_row, dtype=np.int32)
+                q_idx[real] = to_q(s, b_idx[i][real])
+                bucket_idx[i][s, :nb] = q_idx
+            base += nb_max[i]
+        if hidx.shape[0]:
+            real = hwgt != 0
+            q_idx = np.full(hidx.shape, zero_row, dtype=np.int32)
+            q_idx[real] = to_q(s, hidx[real])
+            hub_idx[s, : hidx.shape[0]] = q_idx
 
     return ShardedELLGraph(
         bucket_idx=bucket_idx,
@@ -359,10 +461,14 @@ def shard_graph_ell(
         hub_wgt=hub_wgt,
         hub_seg=hub_seg,
         local_inv=local_inv,
+        slot_to_node=slot_to_node,
+        send_ids=send_ids,
         dangling=dang,
         num_nodes=np.asarray(graph.num_nodes, dtype=np.int32),
         shard_nodes=ns,
         n_hub=nhub_max,
+        n_slots=n_slots,
+        halo_width=h_cap,
     )
 
 
@@ -380,10 +486,14 @@ def put_sharded_ell(mesh, sg: ShardedELLGraph) -> ShardedELLGraph:
         hub_wgt=place(sg.hub_wgt),
         hub_seg=place(sg.hub_seg),
         local_inv=place(sg.local_inv),
+        slot_to_node=place(sg.slot_to_node),
+        send_ids=place(sg.send_ids),
         dangling=place(sg.dangling),
         num_nodes=jax.device_put(jnp.asarray(sg.num_nodes), rep),
         shard_nodes=sg.shard_nodes,
         n_hub=sg.n_hub,
+        n_slots=sg.n_slots,
+        halo_width=sg.halo_width,
     )
 
 
@@ -391,25 +501,35 @@ def make_sharded_ppr_ell(
     mesh, max_iters: int = 64, damping: float = 0.5, tol: float = 1e-8,
     n_hub: int | None = None,
 ):
-    """Sharded scatter-free PPR: reset [B, N_total] -> ranks [B, N_total].
+    """Sharded scatter-free halo-exchange PPR: reset [B, N_total] -> ranks.
 
-    Per iteration each shard all-gathers the rank vector over the corpus
-    axis (ICI), reduces its ELL row blocks densely, and restores natural
-    node order with one [Ns] gather. Jitted programs are cached per
-    (bucket count, hub slot count), so the returned callable survives
-    re-sharding after incremental indexing without recompiling when the
-    padded shapes are unchanged. ``n_hub`` is taken from the graph.
+    Per iteration each shard gathers its boundary rows into a [C, H, B]
+    send buffer, swaps them with ``all_to_all`` over the corpus axis (ICI
+    bytes scale with the edge cut, not N_total), reduces its ELL row
+    blocks densely from q = [own slots ; halo], and advances the shared
+    zero-row coefficient by the scalar dangling recurrence (see
+    ops/pagerank.batched_ppr_ell). Early exit is stall-aware. Jitted
+    programs are cached per padded-shape signature, so the returned
+    callable survives re-sharding after incremental indexing without
+    recompiling when shapes are unchanged. ``n_hub`` is taken from the
+    graph (parameter kept for API compatibility).
     """
-    del n_hub  # derived from sg.n_hub (static NamedTuple field)
+    del n_hub  # derived from sg (static NamedTuple fields)
+    num_shards = 1
+    for axis, size in zip(mesh.axis_names, mesh.devices.shape):
+        if axis == CORPUS_AXIS:
+            num_shards = size
 
-    def make_ppr_shard(n_hub):
+    def make_ppr_shard(n_hub, n_slots, h_cap):
      def ppr_shard(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, local_inv,
-                  dangling, num_nodes, reset):
+                  slot_to_node, send_ids, dangling, num_nodes, reset):
         b_idx = tuple(x[0] for x in b_idx)
         b_wgt = tuple(x[0] for x in b_wgt)
         hub_idx, hub_wgt, hub_seg = hub_idx[0], hub_wgt[0], hub_seg[0]
         local_inv, dangling = local_inv[0], dangling[0]
+        slot_to_node, send_ids = slot_to_node[0], send_ids[0]
         ns = reset.shape[1]
+        zero_row = n_slots - 1
 
         reset = jnp.maximum(jnp.nan_to_num(reset, nan=0.0), 0.0)
         local_sum = jnp.sum(reset, axis=1, keepdims=True)
@@ -421,17 +541,33 @@ def make_sharded_ppr_ell(
         r = jnp.where(total > 0, reset / jnp.where(total > 0, total, 1.0), uniform)
         d = jnp.asarray(damping, r.dtype)
 
+        # slot space: one [S]-row gather in, scalar dangling mass
+        r_T = r.T  # [Ns, B/dp]
+        r_ext = jnp.concatenate([r_T, jnp.zeros((1, r_T.shape[1]), r_T.dtype)], axis=0)
+        r_slot = r_ext[slot_to_node]  # [S, B/dp]
+        rdm_local = jnp.sum(r_T * dangling[:, None], axis=0, keepdims=True)
+        reset_dangling_mass = jax.lax.psum(rdm_local, CORPUS_AXIS)  # [1, B/dp]
+
         def body(state):
-            p, _, it = state
-            p_full = jax.lax.all_gather(p, CORPUS_AXIS, axis=1, tiled=True)
-            pT = p_full.T  # [N, B/dp]
+            p_slot, c, _, err, it = state
+            # ---- halo exchange: ship boundary rows over ICI ----
+            send = p_slot[send_ids]  # [C, H, B/dp]
+            if num_shards > 1:
+                recv = jax.lax.all_to_all(
+                    send, CORPUS_AXIS, split_axis=0, concat_axis=0, tiled=True
+                )
+            else:
+                recv = send
+            q = jnp.concatenate(
+                [p_slot, recv.reshape(num_shards * h_cap, -1)], axis=0
+            )
             parts = [
-                jnp.einsum("nwb,nw->nb", pT[i], g,
+                jnp.einsum("nwb,nw->nb", q[i], g,
                            preferred_element_type=jnp.float32)
                 for i, g in zip(b_idx, b_wgt)
             ]
             hub_partial = jnp.einsum(
-                "rwb,rw->rb", pT[hub_idx], hub_wgt,
+                "rwb,rw->rb", q[hub_idx], hub_wgt,
                 preferred_element_type=jnp.float32,
             )
             parts.append(
@@ -440,31 +576,44 @@ def make_sharded_ppr_ell(
                     indices_are_sorted=True,
                 )[:n_hub]
             )
-            parts.append(jnp.zeros((1, pT.shape[1]), pT.dtype))
-            cat = jnp.concatenate(parts, axis=0)
-            y = cat[local_inv].T  # [B/dp, Ns]
-            dm_local = jnp.sum(p * dangling[None, :], axis=1, keepdims=True)
-            dm = jax.lax.psum(dm_local, CORPUS_AXIS)
-            p_next = (1.0 - d) * r + d * (y + dm * r)
-            err = jax.lax.pmax(jnp.max(jnp.abs(p_next - p)), CORPUS_AXIS)
-            return p_next, err, it + 1
+            parts.append(jnp.zeros((1, q.shape[1]), q.dtype))
+            y = jnp.concatenate(parts, axis=0)  # [S, B/dp] slot order
+            dm = c * reset_dangling_mass
+            p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
+            c_next = (1.0 - d) + d * dm
+            err_next = jnp.maximum(
+                jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
+            )
+            err_next = jax.lax.pmax(err_next, CORPUS_AXIS)
+            return p_next, c_next, err, err_next, it + 1
 
         def cond(state):
-            _, err, it = state
-            return jnp.logical_and(err > tol, it < max_iters)
+            _, _, err_prev, err, it = state
+            stalled = jnp.logical_and(err >= 0.9 * err_prev, err < tol * 100.0)
+            return jnp.logical_and(
+                jnp.logical_and(err > tol, it < max_iters),
+                jnp.logical_not(stalled),
+            )
 
-        p, _, _ = jax.lax.while_loop(cond, body, (r, jnp.asarray(jnp.inf, r.dtype), 0))
-        return p
+        one = jnp.ones((1, r_T.shape[1]), r_T.dtype)
+        inf = jnp.asarray(jnp.inf, r.dtype)
+        p_slot, c, _, _, _ = jax.lax.while_loop(
+            cond, body, (r_slot, one, inf, inf, 0)
+        )
+        p_T = jnp.where(
+            (local_inv == zero_row)[:, None], c * r_T, p_slot[local_inv]
+        )
+        return p_T.T
      return ppr_shard
 
     _jitted = {}
 
     def run(sg: ShardedELLGraph, reset: Array) -> Array:
         n_buckets = len(sg.bucket_idx)
-        key = (n_buckets, sg.n_hub)
+        key = (n_buckets, sg.n_hub, sg.n_slots, sg.halo_width)
         fn = _jitted.get(key)
         if fn is None:
-            ppr_shard = make_ppr_shard(sg.n_hub)
+            ppr_shard = make_ppr_shard(sg.n_hub, sg.n_slots, sg.halo_width)
             spec_sharded = P(CORPUS_AXIS, None, None)
             mapped = shard_map(
                 ppr_shard,
@@ -477,6 +626,8 @@ def make_sharded_ppr_ell(
                     P(CORPUS_AXIS, None),
                     P(CORPUS_AXIS, None),
                     P(CORPUS_AXIS, None),
+                    spec_sharded,
+                    P(CORPUS_AXIS, None),
                     P(),
                     P(DP_AXIS, CORPUS_AXIS),
                 ),
@@ -486,7 +637,8 @@ def make_sharded_ppr_ell(
             fn = _jitted[key] = jax.jit(mapped)
         return fn(
             sg.bucket_idx, sg.bucket_wgt, sg.hub_idx, sg.hub_wgt, sg.hub_seg,
-            sg.local_inv, sg.dangling, sg.num_nodes, reset,
+            sg.local_inv, sg.slot_to_node, sg.send_ids, sg.dangling,
+            sg.num_nodes, reset,
         )
 
     return run

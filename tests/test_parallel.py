@@ -313,3 +313,76 @@ def test_device_seed_builder_matches_host_twin():
         )
     )
     np.testing.assert_allclose(dev_reset, host_reset, rtol=1e-6, atol=1e-7)
+
+
+def test_halo_exchange_comm_scales_with_cut():
+    """VERDICT r1 #2: ICI bytes/iteration must scale with the edge cut, not
+    N_total. A near-block-diagonal graph (shards almost disconnected) must
+    produce a tiny halo capacity, and the solve must still match the
+    single-device solver."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import COOGraph, batched_ppr
+    from hipporag_tpu.parallel import make_mesh
+    from hipporag_tpu.parallel.sharded import (
+        make_sharded_ppr_ell, put_sharded_ell, shard_graph_ell,
+    )
+
+    rng = np.random.default_rng(5)
+    n, b, shards = 2048, 8, 4
+    per = n // shards  # 512 (= shard width after 128-alignment)
+    # dense-ish edges WITHIN each shard's node range
+    src_l, dst_l = [], []
+    for s in range(shards):
+        lo = s * per
+        src_l.append(rng.integers(lo, lo + per, 4000))
+        dst_l.append(rng.integers(lo, lo + per, 4000))
+    # only 6 cross-shard edges: the entire cut
+    src_l.append(np.array([10, 600, 1100, 1700, 20, 1500]))
+    dst_l.append(np.array([600, 1100, 1700, 10, 1040, 30]))
+    src = np.concatenate(src_l); dst = np.concatenate(dst_l)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src))
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)
+    o = np.argsort(d2, kind="stable"); s2, d2, w2 = s2[o], d2[o], w2[o]
+    strength = np.zeros(n); np.add.at(strength, s2, w2)
+    node_cap = round_up(n, 128)
+    wp = (w2 / strength[s2]).astype(np.float32)
+    dang = np.zeros(node_cap, np.float32); dang[:n] = (strength == 0)
+    coo = COOGraph(src=s2.astype(np.int32), dst=d2.astype(np.int32),
+                   w_norm=wp, dangling=dang, num_nodes=np.asarray(n, np.int32))
+
+    sg = shard_graph_ell(coo, num_shards=shards)
+    # halo capacity bounded by the cut (aligned to 8), NOT by shard width
+    assert sg.halo_width <= 8, sg.halo_width
+    assert sg.shard_nodes == 512
+    # bytes/iter/device: C*H*B*4 vs the old all_gather Ns*C*B*4
+    halo_bytes = shards * sg.halo_width * b * 4
+    allgather_bytes = sg.shard_nodes * shards * b * 4
+    assert halo_bytes < allgather_bytes / 20
+
+    mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+    sg_dev = put_sharded_ell(mesh, sg)
+    reset = np.zeros((b, shards * sg.shard_nodes), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+    ppr = make_sharded_ppr_ell(mesh, max_iters=64)
+    got = np.asarray(ppr(sg_dev, jnp.asarray(reset)))
+
+    coo_dev = COOGraph(
+        src=jnp.asarray(np.pad(s2.astype(np.int32), (0, 1024 - len(s2) % 1024))),
+        dst=jnp.asarray(np.pad(d2.astype(np.int32), (0, 1024 - len(s2) % 1024),
+                               constant_values=node_cap - 1)),
+        w_norm=jnp.asarray(np.pad(wp, (0, 1024 - len(s2) % 1024))),
+        dangling=jnp.asarray(dang),
+        num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    want = np.asarray(
+        batched_ppr(coo_dev, jnp.asarray(reset[:, :node_cap]), max_iters=64)
+    )
+    np.testing.assert_allclose(got[:, :node_cap], want, rtol=1e-5, atol=1e-7)
