@@ -221,6 +221,62 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"COO PPR variant skipped: {e}")
 
+    # ---------------- big-graph capacity point ----------------
+    # Records the single-chip latency at BASELINE.md scale (1M nodes / 20M
+    # directed edges by default) so capacity regressions are visible to the
+    # driver. BENCH_BIG=0 disables; skipped on a degraded tunnel.
+    if os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0:
+        try:
+            big_nodes = int(os.environ.get("BENCH_BIG_NODES", 1_000_000))
+            big_edges = int(os.environ.get("BENCH_BIG_EDGES", 10_000_000))
+            bsrc, bdst, bw = build_synthetic_graph(big_nodes, big_edges, seed=11)
+            bs2 = np.concatenate([bsrc, bdst])
+            bd2 = np.concatenate([bdst, bsrc])
+            bw2 = np.concatenate([bw, bw])
+            border = np.argsort(bd2, kind="stable")
+            bs2, bd2, bw2 = bs2[border], bd2[border], bw2[border]
+            bstrength = np.zeros(big_nodes, dtype=np.float64)
+            np.add.at(bstrength, bs2, bw2.astype(np.float64))
+            big_cap = round_up(big_nodes, 128)
+            bwn = (bw2 / bstrength[bs2]).astype(np.float32)
+            bdang = np.zeros(big_cap, np.float32)
+            bdang[:big_nodes] = (bstrength == 0)
+            big_ell = ell_from_coo(
+                bs2.astype(np.int32), bd2.astype(np.int32), bwn, bdang,
+                big_nodes, big_cap,
+            )
+            big_ell = jax.tree.map(jax.device_put, big_ell)
+            big_reset = np.zeros((batch, big_cap), dtype=np.float32)
+            rng_b = np.random.default_rng(12)
+            for i in range(batch):
+                big_reset[i, rng_b.integers(0, big_nodes, 5)] = rng_b.uniform(
+                    0.1, 1.0, 5
+                )
+            big_reset_dev = jax.device_put(jnp.asarray(big_reset))
+            outb = batched_ppr_ell(
+                big_ell, big_reset_dev, damping=damping,
+                max_iters=max_iters, tol=tol,
+            )
+            np.asarray(outb[0, 0])  # compile + warmup
+            t0 = time.perf_counter()
+            outb = batched_ppr_ell(
+                big_ell, big_reset_dev, damping=damping,
+                max_iters=max_iters, tol=tol,
+            )
+            np.asarray(outb[0, 0])
+            t_big = time.perf_counter() - t0
+            extra["big_graph_nodes"] = big_nodes
+            extra["big_graph_edges"] = len(bs2)
+            extra["big_graph_batch_ms"] = round(t_big * 1e3, 1)
+            log(
+                f"big graph: {big_nodes} nodes / {len(bs2)} directed edges, "
+                f"{t_big*1e3:.0f}ms per {batch}-query batch "
+                f"-> {batch/t_big:.1f} q/s"
+            )
+            del big_ell, big_reset_dev, outb
+        except Exception as e:  # noqa: BLE001
+            log(f"big-graph section skipped: {e}")
+
     # ---------------- end-to-end retrieval pipeline ----------------
     # Index a synthetic corpus with the deterministic mock providers and
     # time the full retrieve() path (scoring -> rerank -> seeds -> PPR ->
@@ -304,6 +360,51 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             log(f"quality section skipped: {e}")
+
+    # ---------------- dataset-scale quality: 2WikiMultihopQA ----------------
+    # Real 6k-passage corpus through the production pipeline with the
+    # deterministic OpenIE stand-in + hashing embedder, plus a NumPy twin of
+    # the retrieval math (evaluation/twiki.py). BENCH_2WIKI=0 disables.
+    twiki_corpus = os.environ.get(
+        "BENCH_2WIKI_CORPUS",
+        "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json",
+    )
+    if (
+        os.environ.get("BENCH_2WIKI", "1") != "0"
+        and os.path.exists(twiki_corpus)
+        and probe <= 5.0
+    ):
+        try:
+            import tempfile
+
+            from hipporag_tpu.evaluation.twiki import run_2wiki_eval
+
+            res = run_2wiki_eval(
+                twiki_corpus,
+                save_dir=tempfile.mkdtemp(),
+                n_queries=int(os.environ.get("BENCH_2WIKI_QUERIES", 600)),
+                n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
+                top_k=20,
+                twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
+            )
+            extra["2wiki_docs"] = res["corpus_docs"]
+            extra["2wiki_queries"] = res["num_queries"]
+            extra["2wiki_graph_nodes"] = res["graph_nodes"]
+            for kk in (2, 5, 20):
+                extra[f"2wiki_recall@{kk}_graph"] = res["recall"][kk]
+                extra[f"2wiki_recall@{kk}_dense"] = res["dense_recall"][kk]
+                extra[f"2wiki_recall@{kk}_twin"] = res["twin_recall"][kk]
+            extra["2wiki_rank_agreement"] = res["rank_agreement"]
+            extra["2wiki_index_s"] = res["index_s"]
+            extra["2wiki_retrieve_s"] = res["retrieve_s"]
+            log(
+                f"2wiki ({res['corpus_docs']} docs, {res['num_queries']} queries): "
+                f"Recall@5 graph {res['recall'][5]} vs dense {res['dense_recall'][5]}; "
+                f"Recall@20 graph {res['recall'][20]} vs dense {res['dense_recall'][20]}; "
+                f"twin rank agreement {res['rank_agreement']}"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"2wiki section skipped: {e}")
 
     # ---------------- fused Pallas scoring kernel ----------------
     try:

@@ -75,6 +75,24 @@ def load_dataset(
     samples_path = os.path.join(data_dir, f"{dataset_name}.json")
     with open(corpus_path) as f:
         corpus = json.load(f)
+    if not os.path.exists(samples_path):
+        # corpus-only dataset (e.g. the reference ships the 2wiki corpus but
+        # its query file is stripped): synthesize deterministic 2-hop
+        # queries from real title cross-references (evaluation/twiki.py)
+        from .evaluation.twiki import synthesize_multihop_queries
+
+        synth = synthesize_multihop_queries(corpus, max_queries=600)
+        if not synth:
+            raise FileNotFoundError(samples_path)
+        logger.warning(
+            "%s not found; synthesized %d deterministic 2-hop queries "
+            "from corpus title cross-references", samples_path, len(synth)
+        )
+        docs = [f"{doc['title']}\n{doc['text']}" for doc in corpus]
+        queries = [q for q, _, _ in synth]
+        gold_docs = [g for _, g, _ in synth]
+        gold_answers = [[bridge] for _, _, bridge in synth]
+        return docs, queries, gold_docs, gold_answers
     with open(samples_path) as f:
         samples = json.load(f)
 

@@ -19,6 +19,10 @@ def get_embedding_model(config: BaseConfig) -> BaseEmbeddingModel:
     name = config.embedding_model_name
     if name == "mock" or name.startswith("mock/"):
         return MockEmbeddingModel(config)
+    if name == "hashing" or name.startswith("hashing/"):
+        from .hashing import HashingNgramEmbeddingModel
+
+        return HashingNgramEmbeddingModel(config)
     if name.startswith("jax/"):
         from .jax_encoder import JaxEncoderEmbeddingModel
 

@@ -1,0 +1,299 @@
+"""Dataset-scale replay harness over the 2WikiMultihopQA corpus.
+
+The reference ships the real 6k-passage corpus
+(/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json, loaded by
+main.py:76-79) but its query file is stripped from this environment and no
+live LLM exists here. This harness therefore measures retrieval quality at
+corpus scale with fully deterministic components:
+
+- **Rule-based OpenIE stand-in**: the deterministic MockLLM's capitalized-
+  phrase NER + co-sentence relation extraction (llm/mock.py) — driven
+  through the UNMODIFIED production pipeline (index/retrieve), exactly as a
+  real LLM would be.
+- **Deterministic embedder**: the hashing n-gram model (embedding/hashing.py)
+  gives real lexical similarity with no model weights.
+- **Synthesized 2-hop queries** from real title cross-references: passage A
+  mentions passage B's title; the question quotes A's opening (with the
+  bridge mention REMOVED) and asks about the linked subject. Dense
+  retrieval can find A but by construction shares no tokens with B; graph
+  retrieval must hop A -> bridge entity -> B. Gold = {A, B}. Real text,
+  real entity aliasing, real distractors — synthetic only in the pairing.
+- **NumPy twin**: an independent host-side implementation of the
+  reference's retrieval math (fact scoring -> recognition-memory filter ->
+  seed construction -> PPR -> ranking; HippoRAG.py:1427-1656) used to
+  verify the TPU pipeline's rankings at scale (rank agreement >= 0.99).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from ..utils.misc import compute_mdhash_id
+
+logger = get_logger(__name__)
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def load_corpus(path: str) -> List[Dict[str, str]]:
+    with open(path) as f:
+        corpus = json.load(f)
+    return corpus
+
+
+def doc_text(item: Dict[str, str]) -> str:
+    return f"{item['title']}\n{item['text']}"
+
+
+def synthesize_multihop_queries(
+    corpus: List[Dict[str, str]],
+    max_queries: int = 600,
+    min_title_len: int = 10,
+) -> List[Tuple[str, List[str], str]]:
+    """Deterministic 2-hop (question, gold_docs, bridge_title) triples.
+
+    For passages A != B where A's text mentions B's title verbatim: the
+    question is A's opening words with every bridge mention removed, plus a
+    fixed connective suffix. One query per bridge title (first mention in
+    corpus order), capped at ``max_queries``.
+    """
+    # first-word index over eligible titles keeps the scan near-linear
+    # (a naive title x passage substring scan is ~40M checks on 6k docs)
+    by_first_word: Dict[str, List[Tuple[str, int]]] = {}
+    for i, item in enumerate(corpus):
+        title = item["title"]
+        if len(title) < min_title_len or " " not in title:
+            continue
+        by_first_word.setdefault(title.split()[0], []).append((title, i))
+
+    queries: List[Tuple[str, List[str], str]] = []
+    used_bridges = set()
+    for a_idx, item in enumerate(corpus):
+        text = item["text"]
+        for word in dict.fromkeys(text.split()):
+            for title, b_idx in by_first_word.get(word.strip(",.;:()'\""), ()):
+                if (
+                    b_idx == a_idx
+                    or title in used_bridges
+                    or title not in text
+                    or title in item["title"]
+                    or item["title"] in title
+                ):
+                    continue
+                lead = text.replace(title, " ").split()
+                question = (
+                    " ".join(lead[:24])
+                    + " — which subject is this connected to, and what is known about it?"
+                )
+                queries.append(
+                    (question, [doc_text(item), doc_text(corpus[b_idx])], title)
+                )
+                used_bridges.add(title)
+                if len(queries) >= max_queries:
+                    return queries
+    return queries
+
+
+# ----------------------------------------------------------------------
+# NumPy twin of the retrieval math (independent derivation)
+# ----------------------------------------------------------------------
+def _mock_filter_kept(question: str, cands: List[Tuple[str, str, str]]) -> List[int]:
+    """Replicates MockLLM's recognition-memory rule (llm/mock.py): keep the
+    candidate facts sharing a token with the question (score order), fall
+    back to all when none overlap."""
+    q_tokens = set(_TOKEN.findall(question.lower()))
+    kept = [
+        i
+        for i, fact in enumerate(cands)
+        if q_tokens & set(_TOKEN.findall(" ".join(map(str, fact)).lower()))
+    ]
+    return kept if kept else list(range(len(cands)))
+
+
+def numpy_retrieval_twin(rag, queries: List[str], top_k: int = 20) -> List[List[str]]:
+    """Host-side reimplementation of retrieve() (ref HippoRAG.py:1427-1656).
+
+    Uses only host data (GraphBuilder dicts, parquet stores, the embedder)
+    and scipy/numpy math — no JAX. Returns top_k doc texts per query.
+    """
+    import scipy.sparse as sp
+
+    from ..parallel.seeds import build_reset_vectors
+    from ..prompts.linking import get_query_instruction
+
+    cfg = rag.global_config
+    graph = rag.graph
+    n = graph.num_nodes
+    link_top_k = cfg.linking_top_k
+
+    # independent graph operator from the builder's edge dict
+    src, dst, w = graph.symmetric_coo()
+    strength = np.zeros(n, dtype=np.float64)
+    np.add.at(strength, src, w.astype(np.float64))
+    w_norm = w.astype(np.float64) / np.maximum(strength[src], 1e-300)
+    T = sp.csr_matrix((w_norm, (dst, src)), shape=(n, n))
+    dangling = (strength == 0).astype(np.float64)
+
+    fact_keys = rag.fact_node_keys
+    passage_keys = rag.passage_node_keys
+    fact_emb = rag.fact_embedding_store.get_embeddings_matrix(fact_keys)
+    passage_emb = rag.chunk_embedding_store.get_embeddings_matrix(passage_keys)
+
+    fact_subj = np.zeros(len(fact_keys), dtype=np.int64)
+    fact_obj = np.zeros(len(fact_keys), dtype=np.int64)
+    for i, triple in enumerate(rag._fact_tuples):
+        fact_subj[i] = graph.node_to_idx[compute_mdhash_id(triple[0], prefix="entity-")]
+        fact_obj[i] = graph.node_to_idx[compute_mdhash_id(triple[2], prefix="entity-")]
+    passage_node_ids = np.asarray(
+        [graph.node_to_idx[k] for k in passage_keys], dtype=np.int64
+    )
+    chunk_counts = np.zeros(n, dtype=np.float64)
+    for ent, chunks in graph.ent_node_to_chunk_ids.items():
+        idx = graph.node_to_idx.get(ent)
+        if idx is not None:
+            chunk_counts[idx] = len(chunks)
+
+    qf = rag.embedding_model.batch_encode(
+        queries, instruction=get_query_instruction("query_to_fact"), norm=True
+    )
+    qp = rag.embedding_model.batch_encode(
+        queries, instruction=get_query_instruction("query_to_passage"), norm=True
+    )
+    b = len(queries)
+    k = min(link_top_k, len(fact_keys))
+
+    # fact scoring + mock recognition memory (ref 1427-1465, 1659-1707)
+    raw_f = qf @ fact_emb.T  # [B, F]
+    lo = raw_f.min(axis=1, keepdims=True)
+    rng = raw_f.max(axis=1, keepdims=True) - lo
+    norm_f = np.where(rng == 0, 1.0, (raw_f - lo) / np.where(rng == 0, 1.0, rng))
+    top_idx = np.zeros((b, k), dtype=np.int64)
+    top_mask = np.zeros((b, k), dtype=np.float32)
+    sel_scores = np.zeros((b, k), dtype=np.float32)
+    for i in range(b):
+        cand = np.argsort(-norm_f[i], kind="stable")[:k]
+        kept = _mock_filter_kept(queries[i], [rag._fact_tuples[j] for j in cand])
+        for slot, ci in enumerate(kept[:k]):
+            top_idx[i, slot] = cand[ci]
+            top_mask[i, slot] = 1.0
+            sel_scores[i, slot] = norm_f[i, cand[ci]]
+
+    # seeds (host twin, parity-pinned vs the device builder) + scipy PPR
+    dpr_raw = qp @ passage_emb.T  # [B, P]
+    reset, dpr_norm, has_facts = build_reset_vectors(
+        sel_scores, top_idx, top_mask, dpr_raw,
+        fact_subj, fact_obj, passage_node_ids, chunk_counts,
+        num_nodes=n, n_total=n, link_top_k=link_top_k,
+        passage_node_weight=cfg.passage_node_weight,
+    )
+    r = reset.astype(np.float64)
+    rs = r.sum(axis=1, keepdims=True)
+    r = np.where(rs > 0, r / np.where(rs > 0, rs, 1.0), 1.0 / n)
+    p = r.copy()
+    d = cfg.damping
+    for _ in range(cfg.ppr_max_iters):
+        y = p @ T.T  # y[b, v] = sum_u T[v, u] p[b, u]
+        dm = p @ dangling
+        p_next = (1 - d) * r + d * (y + dm[:, None] * r)
+        if np.max(np.abs(p_next - p)) < cfg.ppr_tol:
+            p = p_next
+            break
+        p = p_next
+
+    doc_scores = np.where(has_facts[:, None], p[:, passage_node_ids], dpr_norm)
+    results = []
+    doc_texts = [rag.chunk_embedding_store.get_row(kk)["content"] for kk in passage_keys]
+    for i in range(b):
+        order = np.argsort(-doc_scores[i], kind="stable")[:top_k]
+        results.append([doc_texts[j] for j in order])
+    return results
+
+
+# ----------------------------------------------------------------------
+# End-to-end runner
+# ----------------------------------------------------------------------
+def run_2wiki_eval(
+    corpus_path: str,
+    save_dir: str,
+    n_queries: int = 600,
+    n_docs: int | None = None,
+    top_k: int = 20,
+    twin_queries: int | None = None,
+    config_overrides: Dict | None = None,
+) -> Dict:
+    """Index the real corpus through the production pipeline and measure:
+
+    - graph vs dense Recall@{1,2,5,10,20} on synthesized 2-hop queries;
+    - rank agreement (mean top-k overlap fraction) between the TPU pipeline
+      and the NumPy twin on ``twin_queries`` queries (default: all).
+    """
+    from ..config import BaseConfig
+    from ..hipporag import HippoRAG
+    from .metrics import RetrievalRecall
+
+    corpus = load_corpus(corpus_path)
+    if n_docs:
+        corpus = corpus[:n_docs]
+    docs = [doc_text(item) for item in corpus]
+    queries = synthesize_multihop_queries(corpus, max_queries=n_queries)
+    if not queries:
+        raise ValueError("no multi-hop queries could be synthesized")
+    questions = [q for q, _, _ in queries]
+    gold_docs = [g for _, g, _ in queries]
+
+    cfg_kw = dict(
+        llm_name="mock",
+        embedding_model_name="hashing",
+        save_dir=save_dir,
+        embedding_dim=1024,
+        retrieval_top_k=top_k,
+        embedding_batch_size=256,
+    )
+    cfg_kw.update(config_overrides or {})
+    rag = HippoRAG(global_config=BaseConfig(**cfg_kw))
+
+    t0 = time.time()
+    rag.index(docs)
+    index_s = time.time() - t0
+    info = rag.get_graph_info()
+    logger.info("2wiki index: %.1fs, %s", index_s, info)
+
+    t0 = time.time()
+    results, recall = rag.retrieve(questions, gold_docs=gold_docs)
+    retrieve_s = time.time() - t0
+
+    dense_results, dense_recall = rag.retrieve_dpr(questions, gold_docs=gold_docs)
+
+    nt = twin_queries or len(questions)
+    t0 = time.time()
+    twin_docs = numpy_retrieval_twin(rag, questions[:nt], top_k=top_k)
+    twin_s = time.time() - t0
+    overlaps = []
+    for got, want in zip(results[:nt], twin_docs):
+        a, b = set(got.docs[:top_k]), set(want[:top_k])
+        overlaps.append(len(a & b) / max(len(b), 1))
+    agreement = float(np.mean(overlaps))
+    twin_recall, _ = RetrievalRecall(rag.global_config).calculate_metric_scores(
+        gold_docs[:nt], twin_docs, [2, 5, top_k]
+    )
+
+    return {
+        "corpus_docs": len(docs),
+        "num_queries": len(questions),
+        "graph_nodes": info["num_total_nodes"],
+        "graph_edges": info["num_total_triples"],
+        "index_s": round(index_s, 1),
+        "retrieve_s": round(retrieve_s, 1),
+        "twin_s": round(twin_s, 1),
+        "recall": {kk: recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
+        "dense_recall": {kk: dense_recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
+        "twin_recall": {kk: twin_recall[f"Recall@{kk}"] for kk in (2, 5, top_k)},
+        "rank_agreement": round(agreement, 4),
+        "twin_queries": nt,
+    }
