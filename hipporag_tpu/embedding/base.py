@@ -67,7 +67,12 @@ class BaseEmbeddingModel(ABC):
                 key = hash_key("emb", self.embedding_model_name, p)
                 hit = self._cache.get(key)
                 if hit is not None:
-                    results[i] = np.asarray(hit[0], dtype=np.float32)
+                    value = hit[0]
+                    results[i] = (
+                        np.frombuffer(value, dtype=np.float32).copy()
+                        if isinstance(value, bytes)
+                        else np.asarray(value, dtype=np.float32)  # legacy JSON rows
+                    )
                 else:
                     to_compute.append(i)
         else:
@@ -82,11 +87,14 @@ class BaseEmbeddingModel(ABC):
                     np.asarray(self._encode_batch([prefixed[i] for i in batch_idx]))
                 )
             computed_arr = np.concatenate(computed, axis=0)
+            puts = []
             for j, i in enumerate(to_compute):
                 results[i] = computed_arr[j].astype(np.float32)
                 if self._cache is not None:
                     key = hash_key("emb", self.embedding_model_name, prefixed[i])
-                    self._cache.put(key, results[i].tolist())
+                    puts.append((key, results[i].tobytes()))
+            if puts:
+                self._cache.put_many(puts)
 
         out = np.stack(results).astype(np.float32)
         if norm:

