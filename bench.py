@@ -76,6 +76,17 @@ def main():
 
     probe = probe_device_health()
     log(f"device probe: {probe:.2f}s")
+    # soft deadline: optional sections are skipped once the elapsed budget
+    # is spent, so a mid-run tunnel degradation still yields a JSON line
+    bench_start = time.perf_counter()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+
+    def over_deadline(section: str) -> bool:
+        elapsed = time.perf_counter() - bench_start
+        if elapsed > deadline_s:
+            log(f"{section} skipped: {elapsed:.0f}s elapsed > {deadline_s:.0f}s deadline")
+            return True
+        return False
     overridden = any(
         k in os.environ for k in ("BENCH_NODES", "BENCH_EDGES", "BENCH_BATCH", "BENCH_ITERS")
     )
@@ -225,7 +236,8 @@ def main():
     # Records the single-chip latency at BASELINE.md scale (1M nodes / 20M
     # directed edges by default) so capacity regressions are visible to the
     # driver. BENCH_BIG=0 disables; skipped on a degraded tunnel.
-    if os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0:
+    if (os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0
+            and not over_deadline("big-graph")):
         try:
             big_nodes = int(os.environ.get("BENCH_BIG_NODES", 1_000_000))
             big_edges = int(os.environ.get("BENCH_BIG_EDGES", 10_000_000))
@@ -281,7 +293,7 @@ def main():
     # Index a synthetic corpus with the deterministic mock providers and
     # time the full retrieve() path (scoring -> rerank -> seeds -> PPR ->
     # ranking) for one query batch. BENCH_E2E=0 disables.
-    if os.environ.get("BENCH_E2E", "1") != "0":
+    if os.environ.get("BENCH_E2E", "1") != "0" and not over_deadline("e2e"):
         try:
             import tempfile
 
@@ -330,7 +342,7 @@ def main():
     # ---------------- multi-hop quality: graph vs dense ----------------
     # The central HippoRAG capability claim, measured: 2-hop questions
     # where dense retrieval lacks a bridge to the second document.
-    if os.environ.get("BENCH_QUALITY", "1") != "0":
+    if os.environ.get("BENCH_QUALITY", "1") != "0" and not over_deadline("quality"):
         try:
             import tempfile
 
@@ -373,6 +385,7 @@ def main():
         os.environ.get("BENCH_2WIKI", "1") != "0"
         and os.path.exists(twiki_corpus)
         and probe <= 5.0
+        and not over_deadline("2wiki")
     ):
         try:
             import tempfile
@@ -407,12 +420,15 @@ def main():
             log(f"2wiki section skipped: {e}")
 
     # ---------------- fused Pallas scoring kernel ----------------
-    try:
+    # TPU-only: the Pallas kernel compiled for the CPU backend runs
+    # minutes-slow emulation (tests use interpret=True instead).
+    if jax.default_backend() == "tpu" and not over_deadline("fused-topk"):
+      try:
         from hipporag_tpu.ops.fused_topk import fused_score_topk
         from hipporag_tpu.ops.scoring import score_and_topk
 
         nf, dim, bq, kk = 1_000_000, 768, 32, 8
-        if probe > 5.0 or jax.default_backend() != "tpu":
+        if probe > 5.0:
             nf = 65_536
         rngs = np.random.default_rng(7)
         qv = jnp.asarray(rngs.standard_normal((bq, dim)).astype(np.float32))
@@ -437,7 +453,7 @@ def main():
             f"fused score+topk ({nf} x {dim} facts): pallas {t_pl*1e3:.2f}ms "
             f"({nf*dim*4/t_pl/1e9:.0f} GB/s) vs xla {t_xla*1e3:.2f}ms"
         )
-    except Exception as e:  # noqa: BLE001
+      except Exception as e:  # noqa: BLE001
         log(f"fused scoring bench skipped: {e}")
 
     # effective SpMV bandwidth: per iteration touch ~E*(4B w + 4B idx*2 + 4B gather)
