@@ -239,24 +239,16 @@ def main():
     if (os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0
             and not over_deadline("big-graph")):
         try:
+            from hipporag_tpu.ops.pagerank import normalize_symmetric_coo
+
             big_nodes = int(os.environ.get("BENCH_BIG_NODES", 1_000_000))
             big_edges = int(os.environ.get("BENCH_BIG_EDGES", 10_000_000))
             bsrc, bdst, bw = build_synthetic_graph(big_nodes, big_edges, seed=11)
-            bs2 = np.concatenate([bsrc, bdst])
-            bd2 = np.concatenate([bdst, bsrc])
-            bw2 = np.concatenate([bw, bw])
-            border = np.argsort(bd2, kind="stable")
-            bs2, bd2, bw2 = bs2[border], bd2[border], bw2[border]
-            bstrength = np.zeros(big_nodes, dtype=np.float64)
-            np.add.at(bstrength, bs2, bw2.astype(np.float64))
             big_cap = round_up(big_nodes, 128)
-            bwn = (bw2 / bstrength[bs2]).astype(np.float32)
-            bdang = np.zeros(big_cap, np.float32)
-            bdang[:big_nodes] = (bstrength == 0)
-            big_ell = ell_from_coo(
-                bs2.astype(np.int32), bd2.astype(np.int32), bwn, bdang,
-                big_nodes, big_cap,
+            bs2, bd2, bwn, bdang = normalize_symmetric_coo(
+                bsrc, bdst, bw, big_nodes, big_cap
             )
+            big_ell = ell_from_coo(bs2, bd2, bwn, bdang, big_nodes, big_cap)
             big_ell = jax.tree.map(jax.device_put, big_ell)
             big_reset = np.zeros((batch, big_cap), dtype=np.float32)
             rng_b = np.random.default_rng(12)

@@ -766,7 +766,14 @@ class HippoRAG:
     def _rerank_candidates(
         self, batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
     ):
-        """Recognition-memory filtering, fanned out host-side (LLM-bound)."""
+        """Recognition-memory filtering, fanned out host-side (LLM-bound).
+
+        Returns (..., elapsed_s) instead of mutating self.rerank_time:
+        with bucket pipelining this runs on worker threads, and unguarded
+        read-modify-write on the shared counter would lose updates. The
+        main thread accumulates the returned elapsed (note: pipelined
+        stage times overlap wall clock, so rerank+graph-search can exceed
+        total retrieval time by design)."""
         rerank_start = time.time()
         top_idx = np.zeros((b_pad, link_top_k), dtype=np.int32)
         top_mask = np.zeros((b_pad, link_top_k), dtype=np.float32)
@@ -794,8 +801,7 @@ class HippoRAG:
                     top_idx[i, k] = fact_row
                     top_mask[i, k] = 1.0
                     sel_scores[i, k] = val_by_row.get(int(fact_row), 0.0)
-        self.rerank_time += time.time() - rerank_start
-        return top_idx, top_mask, sel_scores, batch_top_facts
+        return top_idx, top_mask, sel_scores, batch_top_facts, time.time() - rerank_start
 
     def _run_bucket_pipeline(self, slices, prep, finish) -> List[QuerySolution]:
         """Run per-bucket (prep → finish) stages, overlapping when enabled.
@@ -875,13 +881,16 @@ class HippoRAG:
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
 
             # -------- recognition memory (host LLM, fanned out) --------
-            top_idx, top_mask, sel_scores, batch_top_facts = self._rerank_candidates(
+            top_idx, top_mask, sel_scores, batch_top_facts, rerank_s = self._rerank_candidates(
                 batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
             )
-            return batch_queries, b_real, qp, top_idx, top_mask, sel_scores, batch_top_facts
+            return (batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
+                    batch_top_facts, rerank_s)
 
-        def finish(batch_queries, b_real, qp, top_idx, top_mask, sel_scores, batch_top_facts):
+        def finish(batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
+                   batch_top_facts, rerank_s):
             # -------- graph search: seeds + batched PPR (device) --------
+            self.rerank_time += rerank_s  # accumulated on the main thread
             ppr_start = time.time()
             dpr_scores = batched_scores(
                 jnp.asarray(qp), self._passage_emb_dev, cfg.compute_dtype
@@ -978,12 +987,15 @@ class HippoRAG:
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
 
-            top_idx, top_mask, sel_scores, batch_top_facts = self._rerank_candidates(
+            top_idx, top_mask, sel_scores, batch_top_facts, rerank_s = self._rerank_candidates(
                 batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
             )
-            return batch_queries, b_real, qp, top_idx, top_mask, sel_scores, batch_top_facts
+            return (batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
+                    batch_top_facts, rerank_s)
 
-        def finish(batch_queries, b_real, qp, top_idx, top_mask, sel_scores, batch_top_facts):
+        def finish(batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
+                   batch_top_facts, rerank_s):
+            self.rerank_time += rerank_s  # accumulated on the main thread
             ppr_start = time.time()
             norm_p = self._sharded_norm_scores(
                 jnp.asarray(qp), self._passage_emb_sharded,

@@ -149,38 +149,35 @@ def retrieve_knn_pairs(
     valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
     thr = jnp.asarray(sim_threshold, jnp.float32)
 
-    parts = []  # device-resident (pos, col, score, count, base, bs, cap)
-    for start in range(0, n, query_batch_size):
+    def batch_compact(start: int, cap: int):
+        """Score + compact one padded batch; padded rows are always masked
+        to -inf so they can never pass the threshold (even thr <= 0)."""
         q = queries[start : start + query_batch_size]
-        bs = q.shape[0]
-        if bs < query_batch_size and n > query_batch_size:
-            q = np.pad(q, ((0, query_batch_size - bs), (0, 0)))
+        real_bs = q.shape[0]
+        if real_bs < query_batch_size and n > query_batch_size:
+            q = np.pad(q, ((0, query_batch_size - real_bs), (0, 0)))
         vals, idxs = streaming_topk_scores(
             jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
         )
-        # mask out padded query rows before compaction
-        if q.shape[0] != bs:
+        if q.shape[0] != real_bs:
             row_ids = jnp.arange(q.shape[0])[:, None]
-            vals = jnp.where(row_ids < bs, vals, -jnp.inf)
-        cap = q.shape[0] * cap_per_row
-        pos, col, score, count = _compact_above_threshold(vals, idxs, thr, cap)
-        parts.append([pos, col, score, count, start, q.shape[0], cap])
+            vals = jnp.where(row_ids < real_bs, vals, -jnp.inf)
+        return _compact_above_threshold(vals, idxs, thr, cap)
+
+    parts = []  # [pos, col, score, count, base, real_bs, cap] per batch
+    for start in range(0, n, query_batch_size):
+        real_bs = min(query_batch_size, n - start)
+        cap = max(real_bs, query_batch_size if n > query_batch_size else real_bs)
+        cap *= cap_per_row
+        pos, col, score, count = batch_compact(start, cap)
+        parts.append([pos, col, score, count, start, real_bs, cap])
 
     counts = np.asarray(jnp.stack([p[3] for p in parts]))  # one tiny transfer
     for i, p in enumerate(parts):
         while counts[i] > p[6]:  # overflow: retry with doubled capacity
             p[6] *= 2
-            q = queries[p[4] : p[4] + p[5]]
-            if q.shape[0] < p[5]:
-                q = np.pad(q, ((0, p[5] - q.shape[0]), (0, 0)))
-            vals, idxs = streaming_topk_scores(
-                jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
-            )
-            pos, col, score, count = _compact_above_threshold(
-                vals, idxs, thr, p[6]
-            )
-            p[0], p[1], p[2], p[3] = pos, col, score, count
-            counts[i] = int(np.asarray(count))
+            p[0], p[1], p[2], p[3] = batch_compact(p[4], p[6])
+            counts[i] = int(np.asarray(p[3]))
 
     pos_all = np.asarray(jnp.concatenate([p[0] for p in parts]))
     col_all = np.asarray(jnp.concatenate([p[1] for p in parts]))
@@ -189,12 +186,12 @@ def retrieve_knn_pairs(
     rows_out, cols_out, scores_out = [], [], []
     off = 0
     for p in parts:
-        cap, base, bs = p[6], p[4], p[5]
+        cap, base, real_bs = p[6], p[4], p[5]
         pos, col, score = (
             pos_all[off : off + cap], col_all[off : off + cap],
             score_all[off : off + cap],
         )
-        real = pos < bs * k
+        real = pos < real_bs * k  # real (unpadded) rows only; fill = b_pad*k
         rows_out.append(base + pos[real] // k)
         cols_out.append(col[real])
         scores_out.append(score[real])

@@ -589,10 +589,11 @@ def make_sharded_ppr_ell(
 
         def cond(state):
             _, _, err_prev, err, it = state
-            stalled = jnp.logical_and(err >= 0.9 * err_prev, err < tol * 100.0)
+            from ..ops.pagerank import _stalled
+
             return jnp.logical_and(
                 jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(stalled),
+                jnp.logical_not(_stalled(err, err_prev, tol)),
             )
 
         one = jnp.ones((1, r_T.shape[1]), r_T.dtype)

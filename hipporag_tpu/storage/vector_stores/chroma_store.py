@@ -43,15 +43,19 @@ class ChromaEmbeddingStore(InMemoryEmbeddingStore):
     def _rebuild_caches(self):
         got = self.collection.get(include=["documents", "embeddings"])
         # chromadb may return embeddings as a numpy array (truthiness is
-        # ambiguous) or None; rows must still be cached when embeddings
-        # are absent so dedup/diff logic keeps working.
+        # ambiguous) or None. Rows WITHOUT an embedding are deliberately
+        # not cached: caching them would make dedup treat the row as
+        # present, so it would never be re-encoded and get_embeddings
+        # would later KeyError; leaving it "missing" re-embeds and
+        # re-upserts it on the next insert_strings.
         embs = got.get("embeddings")
         if embs is None:
             embs = [None] * len(got["ids"])
         for h, text, emb in zip(got["ids"], got["documents"], embs):
+            if emb is None:
+                continue
             self._rows[h] = {"hash_id": h, "content": text}
-            if emb is not None:
-                self._embeddings[h] = np.asarray(emb, dtype=np.float32)
+            self._embeddings[h] = np.asarray(emb, dtype=np.float32)
             self.text_to_hash_id[text] = h
 
     def insert_strings(self, texts: List[str]) -> None:

@@ -15,7 +15,10 @@ from typing import List
 
 import numpy as np
 
+from ...utils.logging import get_logger
 from ..embedding_store import InMemoryEmbeddingStore
+
+logger = get_logger(__name__)
 
 
 def safe_collection_name(name: str) -> str:
@@ -91,18 +94,23 @@ class MilvusEmbeddingStore(InMemoryEmbeddingStore):
                 batch_size=1024,
             )
         except Exception:  # collection empty / iterator unsupported in Lite
-            # paginate to exhaustion: a single capped query would silently
-            # truncate large collections and make existing rows look missing
-            page, offset = self.FALLBACK_QUERY_PAGE, 0
-            while True:
-                rows = self.client.query(
-                    self.collection, filter="", limit=page, offset=offset,
-                    output_fields=["hash_id", "content", "embedding"],
+            # Milvus caps a query window at offset + limit <= 16384, so
+            # offset pagination CANNOT exceed one window — a single capped
+            # query with a loud warning on truncation is the honest
+            # fallback (query_iterator above is the complete path).
+            rows = self.client.query(
+                self.collection, filter="", limit=self.FALLBACK_QUERY_PAGE,
+                output_fields=["hash_id", "content", "embedding"],
+            )
+            self._ingest_rows(rows)
+            if len(rows) >= self.FALLBACK_QUERY_PAGE:
+                logger.warning(
+                    "Milvus cache rebuild truncated at %d rows (server "
+                    "lacks query_iterator and caps query windows at "
+                    "16384); rows beyond the cap will be re-embedded and "
+                    "re-upserted on insert", len(rows),
                 )
-                self._ingest_rows(rows)
-                if len(rows) < page:
-                    return
-                offset += page
+            return
         while True:
             rows = it.next()
             if not rows:

@@ -382,3 +382,75 @@ def test_retrieve_knn_pairs_matches_dense():
         for (gc, gs), (wc, ws) in zip(got, want):
             assert gc == wc
             assert abs(gs - ws) < 1e-5
+
+
+def test_ppr_slow_damping_reaches_tol():
+    """Stall detection must not fire on slow geometric convergence (review
+    r2): damping=0.95 on a chain graph contracts ~0.95/iter and must keep
+    iterating to tol, matching the independent NumPy derivation."""
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        COOGraph, batched_ppr, batched_ppr_ell, ell_from_coo,
+        normalize_symmetric_coo, ppr_numpy_reference,
+    )
+
+    n = 256
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    w = np.ones(n - 1, np.float32)
+    node_cap = round_up(n, 128)
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, node_cap)
+
+    reset = np.zeros((2, node_cap), np.float32)
+    reset[0, 0] = 1.0
+    reset[1, n // 2] = 1.0
+
+    edges = list(zip(s2.tolist(), d2.tolist(), wn.tolist()))
+    want = ppr_numpy_reference(n, edges, reset[:, :n], damping=0.95, iters=2000)
+
+    coo = COOGraph(
+        src=s2, dst=d2, w_norm=wn, dangling=dang,
+        num_nodes=np.asarray(n, np.int32),
+    )
+    got = np.asarray(batched_ppr(coo, reset, damping=0.95, max_iters=2000, tol=1e-8))
+    # tol=1e-8 residual bounds solution error by ~tol*d/(1-d) = 1.9e-7
+    # at d=0.95; the old 0.9 stall factor measured 5.1e-7 here
+    err = np.max(np.abs(got[:, :n] - want))
+    assert err < 2.5e-7, f"COO stalled early: err {err:.2e}"
+
+    ell = ell_from_coo(s2, d2, wn, dang, n, node_cap)
+    got_e = np.asarray(
+        batched_ppr_ell(ell, reset, damping=0.95, max_iters=2000, tol=1e-8)
+    )
+    err_e = np.max(np.abs(got_e[:, :n] - want))
+    assert err_e < 2.5e-7, f"ELL stalled early: err {err_e:.2e}"
+
+
+def test_ell_rejects_directed_operator():
+    """The slot-space ELL solver requires the symmetrized operator; a
+    directed edge list with zero-in-degree sources would silently drop
+    rank mass, so ell_from_coo must refuse it (review r2)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hipporag_tpu.ops.pagerank import ell_from_coo
+
+    # node 0 has out-edges but no in-edges
+    src = np.array([0, 1], np.int32)
+    dst = np.array([1, 2], np.int32)
+    w = np.array([1.0, 1.0], np.float32)
+    dang = np.zeros(128, np.float32)
+    with _pytest.raises(ValueError, match="symmetrized"):
+        ell_from_coo(src, dst, w, dang, 3, 128)
+
+    # a dangling node (no out-edges) that still receives edges is also
+    # a directed-only structure
+    dang2 = np.zeros(128, np.float32)
+    dang2[2] = 1.0
+    src2 = np.array([0, 1, 2], np.int32)  # make node 0 receive an edge too
+    dst2 = np.array([1, 2, 0], np.int32)
+    w2 = np.array([1.0, 1.0, 1.0], np.float32)
+    with _pytest.raises(ValueError, match="dangling"):
+        ell_from_coo(src2, dst2, w2, dang2, 3, 128)

@@ -335,9 +335,13 @@ def test_milvus_store_contract(tmp_path, monkeypatch, iterator_supported):
     run_contract(make)
 
 
-def test_milvus_fallback_query_paginates(tmp_path, monkeypatch):
-    """The capped-query fallback must page with offset to exhaustion
-    (ADVICE r1: a single capped query silently truncated big collections)."""
+def test_milvus_fallback_query_warns_on_truncation(tmp_path, monkeypatch, caplog):
+    """Milvus caps query windows at offset+limit <= 16384, so the no-iterator
+    fallback cannot page past one window; it must warn loudly instead of
+    silently treating truncated rows as missing (ADVICE r1). The truncated
+    rows remain 'missing' and get re-embedded on the next insert."""
+    import logging
+
     install_fake_milvus(monkeypatch, iterator_supported=False)
     _MILVUS_DBS.clear()
     from hipporag_tpu.storage.vector_stores.milvus_store import MilvusEmbeddingStore
@@ -346,10 +350,19 @@ def test_milvus_fallback_query_paginates(tmp_path, monkeypatch):
     cfg = _factory_config("milvus")
     model = _model()
     store = MilvusEmbeddingStore(model, str(tmp_path), 2, "chunk", cfg)
-    store.insert_strings(TEXTS)  # 5 rows > 2-row page
-    reloaded = MilvusEmbeddingStore(model, str(tmp_path), 2, "chunk", cfg)
-    assert len(reloaded.get_all_ids()) == 5
+    store.insert_strings(TEXTS)  # 5 rows > 2-row window
+    with caplog.at_level(logging.WARNING):
+        reloaded = MilvusEmbeddingStore(model, str(tmp_path), 2, "chunk", cfg)
+    assert any("truncated" in r.message for r in caplog.records)
+    assert len(reloaded.get_all_ids()) == 2  # one window's worth
+    # truncated rows look missing -> re-insert restores them (idempotent)
+    reloaded.insert_strings(TEXTS)
     assert reloaded.get_missing_string_hash_ids(TEXTS) == {}
+
+    # with the iterator available the rebuild is complete, no warning
+    install_fake_milvus(monkeypatch, iterator_supported=True)
+    full = MilvusEmbeddingStore(model, str(tmp_path), 2, "chunk", cfg)
+    assert len(full.get_all_ids()) == 5
 
 
 def test_chroma_empty_collection_embeddings_none(tmp_path, monkeypatch):
