@@ -579,6 +579,16 @@ def _stalled(err: Array, err_prev: Array, tol) -> Array:
     return jnp.logical_and(err >= 0.995 * err_prev, err < tol * 100.0)
 
 
+# Batch-axis tile for the ELL solve. XLA's ELL gather hits a latency
+# cliff once the trailing (lane) axis exceeds one 128-lane tile: on v5e
+# the 200k-node bench graph costs 16.8 ms/iter at B<=128 but 60 ms/iter
+# at B=192..256 (3.6x for 1.5-2x the work). Solving 128-wide column
+# tiles sequentially via lax.map keeps each gather in the fast layout
+# (42 ms/iter at B=256) and gives every tile its own early-exit loop, so
+# one slow-converging query only delays its own tile.
+_PPR_BATCH_TILE = 128
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "compute_dtype", "accel")
 )
@@ -635,67 +645,98 @@ def batched_ppr_ell(
         else None
     )
 
-    def step(p_slot, c):
-        """One affine application in slot space + the zero-row coefficient."""
-        y = _spmv_ell(graph, p_slot, gather_dtype)
-        dm = c * reset_dangling_mass
-        p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
-        c_next = (1.0 - d) + d * dm
-        return p_next, c_next
+    def _solve(r_slot, reset_dangling_mass):
+        """Full while-loop solve for one [S, b<=tile] column block."""
 
-    one = jnp.ones((1, r_T.shape[1]), r_T.dtype)
+        def step(p_slot, c):
+            """One affine application in slot space + the zero-row coeff."""
+            y = _spmv_ell(graph, p_slot, gather_dtype)
+            dm = c * reset_dangling_mass
+            p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
+            c_next = (1.0 - d) + d * dm
+            return p_next, c_next
 
-    if accel == "chebyshev":
-        rho2 = d * d
+        one = jnp.ones((1, r_slot.shape[1]), r_slot.dtype)
 
-        def cond_c(state):
-            _, _, _, _, _, err_prev, err, it = state
-            return jnp.logical_and(
-                jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(_stalled(err, err_prev, tol)),
+        if accel == "chebyshev":
+            rho2 = d * d
+
+            def cond_c(state):
+                _, _, _, _, _, err_prev, err, it = state
+                return jnp.logical_and(
+                    jnp.logical_and(err > tol, it < max_iters),
+                    jnp.logical_not(_stalled(err, err_prev, tol)),
+                )
+
+            def body_c(state):
+                x_prev, c_prev, x, c, omega, _, err, it = state
+                sx, sc = step(x, c)
+                x_next = omega * (sx - x_prev) + x_prev
+                c_next = omega * (sc - c_prev) + c_prev
+                err_next = jnp.maximum(
+                    jnp.max(jnp.abs(x_next - x)), jnp.max(jnp.abs(c_next - c))
+                )
+                omega_next = 1.0 / (1.0 - rho2 / 4.0 * omega)
+                return x, c, x_next, c_next, omega_next, err, err_next, it + 1
+
+            x0, c0 = r_slot, one
+            x1, c1 = step(x0, c0)
+            omega1 = 1.0 / (1.0 - rho2 / 2.0)
+            inf = jnp.asarray(jnp.inf, r_slot.dtype)
+            _, _, p_slot, c, _, _, _, _ = jax.lax.while_loop(
+                cond_c,
+                body_c,
+                (x0, c0, x1, c1, jnp.asarray(omega1, r_slot.dtype), inf, inf, 1),
             )
+        else:
 
-        def body_c(state):
-            x_prev, c_prev, x, c, omega, _, err, it = state
-            sx, sc = step(x, c)
-            x_next = omega * (sx - x_prev) + x_prev
-            c_next = omega * (sc - c_prev) + c_prev
-            err_next = jnp.maximum(
-                jnp.max(jnp.abs(x_next - x)), jnp.max(jnp.abs(c_next - c))
+            def cond(state):
+                _, _, err_prev, err, it = state
+                return jnp.logical_and(
+                    jnp.logical_and(err > tol, it < max_iters),
+                    jnp.logical_not(_stalled(err, err_prev, tol)),
+                )
+
+            def body(state):
+                p_slot, c, _, err, it = state
+                p_next, c_next = step(p_slot, c)
+                err_next = jnp.maximum(
+                    jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
+                )
+                return p_next, c_next, err, err_next, it + 1
+
+            inf = jnp.asarray(jnp.inf, r_slot.dtype)
+            p_slot, c, _, _, _ = jax.lax.while_loop(
+                cond, body, (r_slot, one, inf, inf, 0)
             )
-            omega_next = 1.0 / (1.0 - rho2 / 4.0 * omega)
-            return x, c, x_next, c_next, omega_next, err, err_next, it + 1
+        return p_slot, c
 
-        x0, c0 = r_slot, one
-        x1, c1 = step(x0, c0)
-        omega1 = 1.0 / (1.0 - rho2 / 2.0)
-        inf = jnp.asarray(jnp.inf, r_T.dtype)
-        _, _, p_slot, c, _, _, _, _ = jax.lax.while_loop(
-            cond_c,
-            body_c,
-            (x0, c0, x1, c1, jnp.asarray(omega1, r_T.dtype), inf, inf, 1),
-        )
+    b = r_slot.shape[1]
+    if b <= _PPR_BATCH_TILE:
+        p_slot, c = _solve(r_slot, reset_dangling_mass)
     else:
-
-        def cond(state):
-            _, _, err_prev, err, it = state
-            return jnp.logical_and(
-                jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(_stalled(err, err_prev, tol)),
-            )
-
-        def body(state):
-            p_slot, c, _, err, it = state
-            p_next, c_next = step(p_slot, c)
-            err_next = jnp.maximum(
-                jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
-            )
-            return p_next, c_next, err, err_next, it + 1
-
-        inf = jnp.asarray(jnp.inf, r_T.dtype)
-        p_slot, c, _, _, _ = jax.lax.while_loop(
-            cond, body, (r_slot, one, inf, inf, 0)
+        # solve 128-wide column tiles sequentially (see _PPR_BATCH_TILE).
+        # Padded columns have r = 0 and stay identically 0, contributing
+        # nothing to their tile's residual.
+        tile = _PPR_BATCH_TILE
+        n_tiles = -(-b // tile)
+        pad = n_tiles * tile - b
+        s = r_slot.shape[0]
+        r_tiles = jnp.moveaxis(
+            jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile), 1, 0
         )
+        rdm_tiles = jnp.moveaxis(
+            jnp.pad(reset_dangling_mass, ((0, 0), (0, pad))).reshape(
+                1, n_tiles, tile
+            ),
+            1,
+            0,
+        )
+        p_tiles, c_tiles = jax.lax.map(
+            lambda args: _solve(*args), (r_tiles, rdm_tiles)
+        )
+        p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(s, n_tiles * tile)[:, :b]
+        c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[:, :b]
 
     # back to natural order: slots for live nodes, c·r for zero-in-degree
     zero_row = graph.slot_to_node.shape[0] - 1

@@ -314,6 +314,43 @@ def test_batched_ppr_ell_matches_coo():
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
 
 
+def test_batched_ppr_ell_tiled_batch_matches_coo():
+    """B > 128 engages the lax.map batch-tiling path (the XLA gather has a
+    latency cliff past one 128-lane tile); results must be identical to the
+    COO solver, including the non-multiple-of-128 padding columns."""
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        COOGraph, batched_ppr, batched_ppr_ell, ell_from_coo,
+        normalize_symmetric_coo,
+    )
+
+    rng = np.random.default_rng(17)
+    n, b = 500, 160  # 160 > 128 and not a multiple of the tile
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    node_cap = round_up(n, 128)
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, node_cap)
+
+    coo = COOGraph(
+        src=jnp.asarray(s2), dst=jnp.asarray(d2), w_norm=jnp.asarray(wn),
+        dangling=jnp.asarray(dang), num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    ell = ell_from_coo(s2, d2, wn, dang, n, node_cap,
+                       bucket_widths=(4, 16, 64), hub_width=128)
+    reset = np.zeros((b, node_cap), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+
+    base = np.asarray(batched_ppr(coo, jnp.asarray(reset)))
+    got = np.asarray(batched_ppr_ell(ell, jnp.asarray(reset)))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
+
+
 def test_batched_ppr_ell_chebyshev_matches_power():
     import numpy as np
 
