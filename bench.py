@@ -232,6 +232,41 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"COO PPR variant skipped: {e}")
 
+    # ---------------- large-batch scaling point ----------------
+    # B=2x the headline batch exercises the 128-lane batch tiling in
+    # batched_ppr_ell (lax.map over column tiles); throughput must stay
+    # monotone in batch size (pre-fix, B=256 was 3.4x the B=128 time).
+    if (os.environ.get("BENCH_B2X", "1") != "0" and probe <= 5.0
+            and not over_deadline("large-batch")):
+        try:
+            b2 = 2 * batch
+            seeds2 = rng.integers(0, num_nodes, size=(b2, 5))
+            sw2 = rng.uniform(0.1, 1.0, size=(b2, 5)).astype(np.float32)
+            reset2 = np.zeros((b2, node_cap), dtype=np.float32)
+            for i in range(b2):
+                reset2[i, seeds2[i]] = sw2[i]
+            reset2_dev = jax.device_put(jnp.asarray(reset2))
+            out2 = batched_ppr_ell(
+                ell, reset2_dev, damping=damping, max_iters=max_iters, tol=tol
+            )
+            np.asarray(out2[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out2 = batched_ppr_ell(
+                    ell, reset2_dev, damping=damping, max_iters=max_iters,
+                    tol=tol,
+                )
+            np.asarray(out2[0, 0])
+            t_b2 = (time.perf_counter() - t0) / reps
+            extra["b2x_batch"] = b2
+            extra["b2x_batch_ms"] = round(t_b2 * 1e3, 2)
+            log(
+                f"TPU ELL B={b2}: {t_b2*1e3:.1f}ms per batch -> "
+                f"{b2/t_b2:.1f} q/s"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"large-batch point skipped: {e}")
+
     # ---------------- big-graph capacity point ----------------
     # Records the single-chip latency at BASELINE.md scale (1M nodes / 20M
     # directed edges by default) so capacity regressions are visible to the

@@ -264,6 +264,11 @@ def run_2wiki_eval(
     info = rag.get_graph_info()
     logger.info("2wiki index: %.1fs, %s", index_s, info)
 
+    # warm the retrieval executables (jit compile + retrieval-object prep)
+    # so retrieve_s reflects steady-state serving, not first-call compiles —
+    # production amortizes those across the persistent compilation cache
+    warm_n = min(rag.global_config.ppr_batch_size, len(questions))
+    rag.retrieve(questions[:warm_n])
     t0 = time.time()
     results, recall = rag.retrieve(questions, gold_docs=gold_docs)
     retrieve_s = time.time() - t0
