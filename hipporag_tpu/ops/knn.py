@@ -18,15 +18,15 @@ import numpy as np
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("k", "key_chunk"))
-def streaming_topk_scores(
-    queries: Array,  # [B, D] (L2-normalized)
-    keys: Array,  # [Nk, D] (L2-normalized; may include zero-padding rows)
-    valid_k: Array,  # [] int32 — number of real key rows
+def _streaming_topk(
+    queries: Array,  # [B, D]
+    keys: Array,  # [Nk, D]
+    valid_k: Array,  # [] int32
     k: int,
-    key_chunk: int = 8192,
+    key_chunk: int,
 ) -> Tuple[Array, Array]:
-    """Return per-query (scores [B, k], indices [B, k]) of the top-k keys."""
+    """Traceable core of streaming_topk_scores (shared with the jitted
+    batch-compact wrapper below)."""
     nk = keys.shape[0]
     key_chunk = min(key_chunk, nk)
     num_chunks = -(-nk // key_chunk)
@@ -64,6 +64,18 @@ def streaming_topk_scores(
         body, init, (chunks, jnp.arange(num_chunks, dtype=jnp.int32))
     )
     return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "key_chunk"))
+def streaming_topk_scores(
+    queries: Array,  # [B, D] (L2-normalized)
+    keys: Array,  # [Nk, D] (L2-normalized; may include zero-padding rows)
+    valid_k: Array,  # [] int32 — number of real key rows
+    k: int,
+    key_chunk: int = 8192,
+) -> Tuple[Array, Array]:
+    """Return per-query (scores [B, k], indices [B, k]) of the top-k keys."""
+    return _streaming_topk(queries, keys, valid_k, k, key_chunk)
 
 
 def retrieve_knn_arrays(
@@ -105,6 +117,30 @@ def retrieve_knn_arrays(
     return vals, idxs
 
 
+@functools.partial(jax.jit, static_argnames=("qbs", "k", "key_chunk"))
+def _batch_topk(
+    queries_pad: Array,  # [N_pad, D] device-resident (uploaded once)
+    keys: Array,  # [Nk, D]
+    start: Array,  # [] int32 — batch offset (traced: one executable total)
+    n_real: Array,  # [] int32 — real query count (tail rows masked)
+    valid_k: Array,  # [] int32
+    qbs: int,
+    k: int,
+    key_chunk: int,
+):
+    """Slice one query batch on device and streaming-top-k it. Padded query
+    rows (start+i >= n_real) are masked to -inf so they can never pass a
+    downstream threshold (even thr <= 0). Kept as a SEPARATE executable
+    from the compaction: fusing slice+scan+nonzero into one XLA module was
+    measured to inflate the cold compile ~5x on v5e."""
+    d = queries_pad.shape[1]
+    q = jax.lax.dynamic_slice(queries_pad, (start, jnp.int32(0)), (qbs, d))
+    vals, idxs = _streaming_topk(q, keys, valid_k, k, key_chunk)
+    row_ids = start + jnp.arange(qbs, dtype=jnp.int32)[:, None]
+    vals = jnp.where(row_ids < n_real, vals, -jnp.inf)
+    return vals, idxs
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _compact_above_threshold(vals: Array, idxs: Array, thr, cap: int):
     """Flatten [B, k] top-k results to above-threshold (pos, col, score)
@@ -138,45 +174,52 @@ def retrieve_knn_pairs(
     are compacted ON DEVICE and only the surviving pairs cross the
     device->host link — O(pairs) bytes instead of O(Nq*k), which matters
     enormously on a bandwidth-degraded tunnel. Per-row order (descending
-    score) is preserved. Batches whose above-threshold count overflows the
-    capacity are retried with a doubled cap (new executable, rare).
+    score) is preserved. Host→device traffic is one upload: queries live
+    padded on device and each batch is a dynamic_slice with a traced
+    offset (one executable for every batch incl. the tail), and in the
+    synonymy case (``query_vecs is key_vecs``) keys reuse the same upload.
+    Batches whose above-threshold count overflows the capacity are retried
+    with a doubled cap (new executable, rare).
     """
     queries = np.ascontiguousarray(query_vecs, dtype=np.float32)
     keys = np.ascontiguousarray(key_vecs, dtype=np.float32)
     k = min(k, num_keys)
     n = queries.shape[0]
-    keys_dev = jax.device_put(keys)
+    qbs = min(query_batch_size, n)
+    n_pad = -(-n // qbs) * qbs
+    q_host = (
+        np.pad(queries, ((0, n_pad - n), (0, 0))) if n_pad != n else queries
+    )
+    queries_dev = jax.device_put(q_host)
+    shared = (
+        queries.shape == keys.shape
+        and queries.ctypes.data == keys.ctypes.data
+    )
+    # key padding rows (from the shared query padding) are masked by valid_k
+    keys_dev = queries_dev if shared else jax.device_put(keys)
     valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
+    n_real = jnp.asarray(n, jnp.int32)
     thr = jnp.asarray(sim_threshold, jnp.float32)
+    k_eff = min(k, keys_dev.shape[0])
+    cap0 = qbs * cap_per_row
 
     def batch_compact(start: int, cap: int):
-        """Score + compact one padded batch; padded rows are always masked
-        to -inf so they can never pass the threshold (even thr <= 0)."""
-        q = queries[start : start + query_batch_size]
-        real_bs = q.shape[0]
-        if real_bs < query_batch_size and n > query_batch_size:
-            q = np.pad(q, ((0, query_batch_size - real_bs), (0, 0)))
-        vals, idxs = streaming_topk_scores(
-            jax.device_put(q), keys_dev, valid_k, k, key_chunk=key_batch_size
+        vals, idxs = _batch_topk(
+            queries_dev, keys_dev, jnp.asarray(start, jnp.int32), n_real,
+            valid_k, qbs=qbs, k=k, key_chunk=key_batch_size,
         )
-        if q.shape[0] != real_bs:
-            row_ids = jnp.arange(q.shape[0])[:, None]
-            vals = jnp.where(row_ids < real_bs, vals, -jnp.inf)
         return _compact_above_threshold(vals, idxs, thr, cap)
 
-    parts = []  # [pos, col, score, count, base, real_bs, cap] per batch
-    for start in range(0, n, query_batch_size):
-        real_bs = min(query_batch_size, n - start)
-        cap = max(real_bs, query_batch_size if n > query_batch_size else real_bs)
-        cap *= cap_per_row
-        pos, col, score, count = batch_compact(start, cap)
-        parts.append([pos, col, score, count, start, real_bs, cap])
+    parts = []  # [pos, col, score, count, base, cap] per batch
+    for start in range(0, n_pad, qbs):
+        pos, col, score, count = batch_compact(start, cap0)
+        parts.append([pos, col, score, count, start, cap0])
 
     counts = np.asarray(jnp.stack([p[3] for p in parts]))  # one tiny transfer
     for i, p in enumerate(parts):
-        while counts[i] > p[6]:  # overflow: retry with doubled capacity
-            p[6] *= 2
-            p[0], p[1], p[2], p[3] = batch_compact(p[4], p[6])
+        while counts[i] > p[5]:  # overflow: retry with doubled capacity
+            p[5] *= 2
+            p[0], p[1], p[2], p[3] = batch_compact(p[4], p[5])
             counts[i] = int(np.asarray(p[3]))
 
     pos_all = np.asarray(jnp.concatenate([p[0] for p in parts]))
@@ -186,13 +229,13 @@ def retrieve_knn_pairs(
     rows_out, cols_out, scores_out = [], [], []
     off = 0
     for p in parts:
-        cap, base, real_bs = p[6], p[4], p[5]
+        cap, base = p[5], p[4]
         pos, col, score = (
             pos_all[off : off + cap], col_all[off : off + cap],
             score_all[off : off + cap],
         )
-        real = pos < real_bs * k  # real (unpadded) rows only; fill = b_pad*k
-        rows_out.append(base + pos[real] // k)
+        real = pos < qbs * k_eff  # padding slots carry pos = qbs*k_eff
+        rows_out.append(base + pos[real] // k_eff)
         cols_out.append(col[real])
         scores_out.append(score[real])
         off += cap

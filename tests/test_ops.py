@@ -421,6 +421,42 @@ def test_retrieve_knn_pairs_matches_dense():
             assert abs(gs - ws) < 1e-5
 
 
+def test_retrieve_knn_pairs_truncates_to_k():
+    """A row with more above-threshold neighbors than k must keep only the
+    k best (reference 'top-k then threshold' semantics), and distinct
+    query/key matrices must take the two-upload path."""
+    import numpy as np
+
+    from hipporag_tpu.ops.knn import retrieve_knn_pairs
+
+    rng = np.random.default_rng(21)
+    d = 24
+    hub = rng.standard_normal(d).astype(np.float32)
+    # per-key noise scale grows with index so similarities are distinct
+    # (near-ties would make the order float-noise-dependent)
+    noise = rng.standard_normal((40, d)).astype(np.float32)
+    keys = hub[None, :] + (0.02 + 0.01 * np.arange(40))[:, None] * noise
+    keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+    queries = np.tile(hub, (3, 1)) + 0.001 * rng.standard_normal((3, d)).astype(
+        np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    k = 8
+    rows, cols, scores = retrieve_knn_pairs(
+        queries, keys, len(keys), k=k, sim_threshold=0.8,
+        query_batch_size=2, key_batch_size=16, cap_per_row=64,
+    )
+    sims = queries @ keys.T
+    for r in range(len(queries)):
+        want_cols = np.argsort(-sims[r], kind="stable")[:k]
+        want = [(int(c), float(sims[r, c])) for c in want_cols if sims[r, c] >= 0.8]
+        got = [(int(c), float(s)) for rr, c, s in zip(rows, cols, scores) if rr == r]
+        assert len(got) == len(want) == k
+        for (gc, gs), (wc, ws) in zip(got, want):
+            assert gc == wc and abs(gs - ws) < 1e-5
+
+
 def test_ppr_slow_damping_reaches_tol():
     """Stall detection must not fire on slow geometric convergence (review
     r2): damping=0.95 on a chain graph contracts ~0.95/iter and must keep
