@@ -163,28 +163,62 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
     def _load(self):
         if not os.path.exists(self.filename):
             return
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        df = pd.read_parquet(self.filename)
-        for h, text, emb in zip(df["hash_id"], df["content"], df["embedding"]):
-            self._rows[h] = {"hash_id": h, "content": text}
-            self._embeddings[h] = np.asarray(emb, dtype=np.float32)
-            self.text_to_hash_id[text] = h
+        tbl = pq.read_table(self.filename, memory_map=True)
+        ids = tbl["hash_id"].to_pylist()
+        contents = tbl["content"].to_pylist()
+        emb_col = tbl["embedding"].combine_chunks()
+        if ids:
+            if pa.types.is_fixed_size_list(emb_col.type):
+                flat = emb_col.values.to_numpy(zero_copy_only=False)
+                embs = np.ascontiguousarray(flat, dtype=np.float32).reshape(
+                    len(ids), emb_col.type.list_size
+                )
+            else:  # legacy variable-length list layout (e.g. pandas-written)
+                embs = np.asarray(emb_col.to_pylist(), dtype=np.float32)
+            for i, (h, text) in enumerate(zip(ids, contents)):
+                self._rows[h] = {"hash_id": h, "content": text}
+                self._embeddings[h] = embs[i]
+                self.text_to_hash_id[text] = h
         logger.info("Loaded %d rows from %s", len(self._rows), self.filename)
 
     def _persist(self):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         ids = list(self._rows.keys())
-        df = pd.DataFrame(
+        contents = [self._rows[h]["content"] for h in ids]
+        if ids:
+            # fixed-size-list over one contiguous f32 buffer: ~10x faster
+            # than a python-list object column through pandas, at corpus
+            # scale (100k+ rows x 1024 dims) the difference is seconds
+            emb = np.stack([self._embeddings[h] for h in ids]).astype(
+                np.float32, copy=False
+            )
+            emb_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), emb.shape[1]
+            )
+        else:
+            emb_arr = pa.array([], type=pa.list_(pa.float32()))
+        table = pa.table(
             {
-                "hash_id": ids,
-                "content": [self._rows[h]["content"] for h in ids],
-                "embedding": [self._embeddings[h].tolist() for h in ids],
+                "hash_id": pa.array(ids, type=pa.string()),
+                "content": pa.array(contents, type=pa.string()),
+                "embedding": emb_arr,
             }
         )
         tmp = self.filename + ".tmp"
-        df.to_parquet(tmp, index=False)
+        # float32 embeddings are incompressible; NONE + memory_map makes
+        # the reload path a near-zero-copy read
+        pq.write_table(
+            table,
+            tmp,
+            compression={
+                "hash_id": "SNAPPY", "content": "SNAPPY", "embedding": "NONE",
+            },
+        )
         os.replace(tmp, self.filename)
 
     def insert_strings(self, texts: List[str]) -> None:

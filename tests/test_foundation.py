@@ -127,6 +127,33 @@ def test_parquet_store_roundtrip(tmp_path):
     assert h not in store3.get_all_ids()
 
 
+def test_parquet_store_loads_legacy_list_layout(tmp_path):
+    """Stores written by the old pandas object-list column (variable-length
+    list<float> parquet type) must still load after the switch to the
+    fixed-size-list + contiguous-buffer writer."""
+    import pandas as pd
+
+    embs = np.arange(6, dtype=np.float32).reshape(2, 3)
+    df = pd.DataFrame(
+        {
+            "hash_id": ["h1", "h2"],
+            "content": ["one", "two"],
+            "embedding": [embs[0].tolist(), embs[1].tolist()],
+        }
+    )
+    df.to_parquet(str(tmp_path / "vdb_legacy.parquet"), index=False)
+
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=3))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="legacy")
+    assert set(store.get_all_ids()) == {"h1", "h2"}
+    np.testing.assert_allclose(store.get_embedding("h2"), embs[1])
+    # a mutation re-persists in the new layout and still reloads
+    store.insert_strings(["three"])
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="legacy")
+    assert len(store2.get_all_ids()) == 3
+    np.testing.assert_allclose(store2.get_embedding("h1"), embs[0])
+
+
 def test_mock_embedder_similarity():
     model = MockEmbeddingModel(BaseConfig(embedding_dim=64))
     v = model.batch_encode(["Erik Hort was born in Montebello", "Montebello is in Rockland County", "bananas are yellow"])
