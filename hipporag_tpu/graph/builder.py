@@ -273,6 +273,36 @@ class GraphBuilder:
             counts[self.edge_category.get(key, "synonymy")] += 1
         return counts
 
+    @property
+    def needs_category_backfill(self) -> bool:
+        """True when this builder was loaded from a state saved before
+        insertion-time category tags existed (every untagged edge would
+        otherwise be misreported as synonymy)."""
+        return bool(self.edge_weights) and not self.edge_category
+
+    def backfill_edge_categories(self, fact_pairs) -> None:
+        """Reconstruct category tags for a legacy (pre-tag) state.
+
+        ``fact_pairs`` is an iterable of (subj_key, obj_key) node-key
+        tuples derived from the persisted fact store. Passage edges are
+        recognized by the chunk- key prefix; remaining entity-entity edges
+        are facts when their pair appears in ``fact_pairs``, else synonymy.
+        """
+        pairs = set()
+        for a, b in fact_pairs:
+            pairs.add((a, b))
+            pairs.add((b, a))
+        for key in self.edge_weights:
+            if key in self.edge_category:
+                continue
+            u, v = key
+            if u.startswith("chunk-") or v.startswith("chunk-"):
+                self.edge_category[key] = "passage"
+            elif key in pairs:
+                self.edge_category[key] = "fact"
+            else:
+                self.edge_category[key] = "synonymy"
+
     def graph_info(self) -> Dict[str, int]:
         return {
             "num_nodes": self.num_nodes,

@@ -391,6 +391,22 @@ class HippoRAG:
         num_phrase = len(set(self.entity_embedding_store.get_all_ids()))
         num_passage = len(set(self.chunk_embedding_store.get_all_ids()))
         num_extracted = len(self.fact_embedding_store.get_all_ids())
+        if self.graph.needs_category_backfill:
+            # graph state predates insertion-time category tags: rebuild
+            # fact pairs from the persisted fact store so legacy saves
+            # don't misreport every edge as synonymy
+            fact_ids = self.fact_embedding_store.get_all_ids()
+            rows = self.fact_embedding_store.get_rows(fact_ids)
+            fact_pairs = []
+            for fid in fact_ids:
+                triple = _parse_fact_text(rows[fid]["content"])
+                fact_pairs.append(
+                    (
+                        compute_mdhash_id(triple[0], prefix="entity-"),
+                        compute_mdhash_id(triple[2], prefix="entity-"),
+                    )
+                )
+            self.graph.backfill_edge_categories(fact_pairs)
         cats = self.graph.edge_category_counts()
         return {
             "num_phrase_nodes": num_phrase,

@@ -28,6 +28,23 @@ logger = get_logger(__name__)
 _RETRYABLE_STATUS = {408, 409, 429, 500, 502, 503, 504}
 
 
+def _is_local_endpoint(base_url: str) -> bool:
+    """True for endpoints that conventionally run without auth: loopback,
+    RFC1918 private ranges, link-local, and .local hostnames (self-hosted
+    vLLM/TGI). Public endpoints keep the fail-fast missing-key error."""
+    import ipaddress
+    from urllib.parse import urlparse
+
+    host = (urlparse(base_url).hostname or "").lower()
+    if host in ("localhost",) or host.endswith(".local"):
+        return True
+    try:
+        ip = ipaddress.ip_address(host)
+    except ValueError:
+        return False
+    return ip.is_loopback or ip.is_private or ip.is_link_local
+
+
 class OpenAIChatClient:
     """Minimal pooled chat-completions client (OpenAI / Azure / compatible).
 
@@ -55,14 +72,15 @@ class OpenAIChatClient:
             self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
             key = api_key or os.environ.get("OPENAI_API_KEY")
             if key is None:
-                if "localhost" in self.base_url or "127.0.0.1" in self.base_url:
-                    key = "EMPTY"
+                if _is_local_endpoint(self.base_url):
+                    key = "EMPTY"  # auth-less local/LAN vLLM/TGI convention
                 else:
                     # fail fast like the reference SDK: a missing key would
                     # otherwise send 'Bearer None' and surface as opaque 401s
                     raise ValueError(
-                        "No OpenAI API key: set OPENAI_API_KEY or pass "
-                        f"api_key for remote endpoint {self.base_url}"
+                        "No OpenAI API key: set OPENAI_API_KEY (use "
+                        "OPENAI_API_KEY=EMPTY for auth-less endpoints) or "
+                        f"pass api_key for remote endpoint {self.base_url}"
                     )
             headers = {"Authorization": f"Bearer {key}"}
         headers["Content-Type"] = "application/json"

@@ -145,7 +145,7 @@ def batched_ppr(
         _, err_prev, err, it = state
         return jnp.logical_and(
             jnp.logical_and(err > tol, it < max_iters),
-            jnp.logical_not(_stalled(err, err_prev, tol)),
+            jnp.logical_not(_stalled(err, err_prev, tol, d)),
         )
 
     gather_dtype = (
@@ -229,6 +229,41 @@ def normalize_symmetric_coo(src, dst, w, num_nodes: int, node_cap: int):
     dangling = np.zeros(node_cap, dtype=np.float32)
     dangling[:num_nodes] = strength == 0
     return s2.astype(np.int32), d2.astype(np.int32), w_norm, dangling
+
+
+def validate_symmetric_operator(src, dst, dangling, node_cap: int, who: str):
+    """Reject directed operators before slot-space ELL packing.
+
+    Slot-space iteration requires the SYMMETRIZED transition operator
+    (what GraphBuilder.symmetric_coo produces): a node with out-edges but
+    zero in-degree has no slot, so its rank mass would silently never
+    propagate, and a dangling node with in-edges would break the scalar
+    dm recurrence. Both sets are empty for symmetric operators; reject
+    directed input loudly instead of returning wrong ranks (the COO
+    batched_ppr handles directed operators). Shared by the single-chip
+    (ell_from_coo) and sharded (parallel/sharded.shard_graph_ell)
+    converters. ``src``/``dst`` must already exclude padding entries.
+    """
+    import numpy as np
+
+    indeg_chk = np.zeros(node_cap, dtype=np.int64)
+    np.add.at(indeg_chk, dst, 1)
+    if len(src) and np.any(indeg_chk[src] == 0):
+        raise ValueError(
+            f"{who}: operator has source nodes with zero in-degree "
+            "(directed input?). The slot-space ELL solver requires the "
+            "symmetrized transition; use ppr_format='coo' / batched_ppr "
+            "for directed operators."
+        )
+    dang_chk = np.asarray(dangling)
+    if dang_chk.size and np.any(
+        (dang_chk > 0) & (indeg_chk[: len(dang_chk)] > 0)
+    ):
+        raise ValueError(
+            f"{who}: dangling nodes with incoming edges require the COO "
+            "solver (batched_ppr); the ELL dangling recurrence assumes a "
+            "symmetric operator where dangling == isolated."
+        )
 
 
 def pack_ell_rows(src, w_norm, indeg, starts, nodes, row_width: int):
@@ -373,29 +408,7 @@ def ell_from_coo(
     src, dst, w_norm = src[real], dst[real], w_norm[real]
     widths = sorted(bucket_widths)
 
-    # Slot-space iteration requires the SYMMETRIZED transition operator
-    # (what GraphBuilder.symmetric_coo produces): a node with out-edges but
-    # zero in-degree has no slot, so its rank mass would silently never
-    # propagate, and a dangling node with in-edges would break the scalar
-    # dm recurrence. Both sets are empty for symmetric operators; reject
-    # directed input loudly instead of returning wrong ranks (the COO
-    # batched_ppr handles directed operators).
-    indeg_chk = np.zeros(node_cap, dtype=np.int64)
-    np.add.at(indeg_chk, dst, 1)
-    if src.size and np.any(indeg_chk[src] == 0):
-        raise ValueError(
-            "ell_from_coo: operator has source nodes with zero in-degree "
-            "(directed input?). The ELL solver requires the symmetrized "
-            "transition; use ppr_format='coo' / batched_ppr for directed "
-            "operators."
-        )
-    dang_chk = np.asarray(dangling)
-    if dang_chk.size and np.any((dang_chk > 0) & (indeg_chk[: len(dang_chk)] > 0)):
-        raise ValueError(
-            "ell_from_coo: dangling nodes with incoming edges require the "
-            "COO solver (batched_ppr); the ELL dangling recurrence assumes "
-            "a symmetric operator where dangling == isolated."
-        )
+    validate_symmetric_operator(src, dst, dangling, node_cap, "ell_from_coo")
 
     # native C++ packing when available (graph/native/graph_core.cpp);
     # identical layout to the numpy fallback below
@@ -560,7 +573,7 @@ def _spmv_ell(graph: ELLGraph, p_slot: Array, gather_dtype=None) -> Array:
     return jnp.concatenate(parts, axis=0)
 
 
-def _stalled(err: Array, err_prev: Array, tol) -> Array:
+def _stalled(err: Array, err_prev: Array, tol, damping) -> Array:
     """True when the residual has hit its floating-point floor.
 
     Power iteration in f32 plateaus around 1e-8·scale; a tol just below the
@@ -570,13 +583,21 @@ def _stalled(err: Array, err_prev: Array, tol) -> Array:
     improving while already within 100x of tol — at that point further
     iterations cannot change the answer.
 
-    The non-improvement factor is 0.995, NOT a loose 0.9: slow geometric
-    regimes (e.g. damping 0.95 on a chain graph) legitimately contract by
-    ~0.95/iteration and must keep iterating to tol; at the f32 floor the
-    residual ratio sits at ~1.0 and still exits within a couple of
-    iterations (pinned by test_ppr_slow_damping_reaches_tol).
+    The non-improvement factor is max(0.995, (1+d)/2), NOT a loose 0.9:
+    slow geometric regimes legitimately contract by ~d per iteration and
+    must keep iterating to tol (in exact arithmetic the residual contracts
+    by at least ~d per step, so a ratio above (1+d)/2 > d signals the
+    floor, at ANY damping — including d >= 0.995, where the fixed 0.995
+    factor alone would misread geometric progress as a stall); at the f32
+    floor the ratio sits at ~1.0 and still exits within a couple of
+    iterations. Pinned by test_ppr_slow_damping_reaches_tol (d = 0.95 and
+    d = 0.996). Only used for the monotone power iteration — Chebyshev
+    residuals are legitimately non-monotone, so its loop runs to tol or
+    max_iters instead.
     """
-    return jnp.logical_and(err >= 0.995 * err_prev, err < tol * 100.0)
+    d = jnp.asarray(damping, err.dtype)
+    factor = jnp.maximum(0.995, 0.5 * (1.0 + d))
+    return jnp.logical_and(err >= factor * err_prev, err < tol * 100.0)
 
 
 # Batch-axis tile for the ELL solve. XLA's ELL gather hits a latency
@@ -662,11 +683,11 @@ def batched_ppr_ell(
             rho2 = d * d
 
             def cond_c(state):
-                _, _, _, _, _, err_prev, err, it = state
-                return jnp.logical_and(
-                    jnp.logical_and(err > tol, it < max_iters),
-                    jnp.logical_not(_stalled(err, err_prev, tol)),
-                )
+                # no stall exit here: Chebyshev residuals are legitimately
+                # non-monotone mid-convergence, so a ratio-based floor
+                # detector would misfire inside the 100x-tol window
+                _, _, _, _, _, _, err, it = state
+                return jnp.logical_and(err > tol, it < max_iters)
 
             def body_c(state):
                 x_prev, c_prev, x, c, omega, _, err, it = state
@@ -694,7 +715,7 @@ def batched_ppr_ell(
                 _, _, err_prev, err, it = state
                 return jnp.logical_and(
                     jnp.logical_and(err > tol, it < max_iters),
-                    jnp.logical_not(_stalled(err, err_prev, tol)),
+                    jnp.logical_not(_stalled(err, err_prev, tol, d)),
                 )
 
             def body(state):

@@ -307,11 +307,17 @@ def shard_graph_ell(
     visible: bytes/iter/device = C·H·B·4 (vs Ns·C·B·4 for the old
     all_gather design).
     """
+    from ..ops.pagerank import validate_symmetric_operator
+
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
     w = np.asarray(graph.w_norm)
     dangling = np.asarray(graph.dangling)
     n_pad = dangling.shape[0]
+    real_e = w != 0
+    validate_symmetric_operator(
+        src[real_e], dst[real_e], dangling, n_pad, "shard_graph_ell"
+    )
     ns = -(-n_pad // num_shards)
     ns = ((ns + 127) // 128) * 128
     widths = sorted(bucket_widths)
@@ -593,7 +599,7 @@ def make_sharded_ppr_ell(
 
             return jnp.logical_and(
                 jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(_stalled(err, err_prev, tol)),
+                jnp.logical_not(_stalled(err, err_prev, tol, d)),
             )
 
         one = jnp.ones((1, r_T.shape[1]), r_T.dtype)

@@ -355,6 +355,45 @@ def test_graph_category_counts_exact(tmp_path):
     assert g2.edge_category_counts() == {"fact": 2, "passage": 2, "synonymy": 0}
 
 
+def test_graph_legacy_state_backfills_categories(tmp_path):
+    """States saved before edge-category tags existed must not misreport
+    every edge as synonymy on load (review r2): passage edges backfill by
+    chunk- prefix, fact edges from the persisted fact pairs."""
+    import pickle
+
+    from hipporag_tpu.graph.builder import GraphBuilder
+
+    g = GraphBuilder()
+    g.add_fact_edges(["chunk-1"], [[("alice", "likes", "bob")]])
+    g.add_passage_edges(["chunk-1"], [["alice", "bob"]])
+    a = compute_mdhash_id("alice", prefix="entity-")
+    b = compute_mdhash_id("bob", prefix="entity-")
+    c = compute_mdhash_id("carol", prefix="entity-")
+    g.register_nodes([a, b, c, "chunk-1"])
+    contents = {a: "alice", b: "bob", c: "carol"}
+    g.add_synonymy_edges(
+        [a, c], contents,
+        np.array([[1], [0]]), np.array([[0.9], [0.9]]), sim_threshold=0.8,
+    )
+    want = g.edge_category_counts()
+    assert want == {"fact": 2, "passage": 2, "synonymy": 2}
+
+    # simulate a legacy save: strip the category map from the pickled state
+    path = str(tmp_path / "graph.pickle")
+    g.save(path)
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    del state["edge_category"]
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+    g2 = GraphBuilder.load(path)
+    assert g2.needs_category_backfill
+    g2.backfill_edge_categories([(a, b)])
+    assert not g2.needs_category_backfill
+    assert g2.edge_category_counts() == want
+
+
 def test_per_dataset_templates_distinct():
     """Each dataset ships its own few-shot demo (VERDICT r1 #5), and IRCoT
     templates follow the reference shape: demo in the system turn, user turn

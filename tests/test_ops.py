@@ -500,6 +500,20 @@ def test_ppr_slow_damping_reaches_tol():
     err_e = np.max(np.abs(got_e[:, :n] - want))
     assert err_e < 2.5e-7, f"ELL stalled early: err {err_e:.2e}"
 
+    # damping ABOVE the fixed 0.995 floor of the stall factor (review r2
+    # round two): geometric contraction ~0.996/iter must not be mistaken
+    # for a stall — the damping-aware factor (1+d)/2 = 0.998 covers it.
+    # f32's residual floor sits near 1e-7 at this contraction rate, so a
+    # loose tol keeps the check about stalling, not float precision.
+    want_hi = ppr_numpy_reference(n, edges, reset[:, :n], damping=0.996, iters=8000)
+    got_hi = np.asarray(
+        batched_ppr_ell(ell, reset, damping=0.996, max_iters=8000, tol=2e-7)
+    )
+    # residual tol 2e-7 bounds solution error by ~tol*d/(1-d) ~ 5e-5;
+    # a premature stall at 100x tol would leave errors ~100x larger
+    err_hi = np.max(np.abs(got_hi[:, :n] - want_hi))
+    assert err_hi < 6e-5, f"ELL stalled early at d=0.996: err {err_hi:.2e}"
+
 
 def test_ell_rejects_directed_operator():
     """The slot-space ELL solver requires the symmetrized operator; a

@@ -164,6 +164,28 @@ def test_sharded_ell_ppr_matches_single_device():
     np.testing.assert_allclose(got[:, node_cap:], 0.0, atol=1e-9)
 
 
+def test_shard_graph_ell_rejects_directed_operator():
+    """The sharded slot-space converter must refuse directed operators as
+    loudly as the single-chip one (review r2): zero-in-degree sources map
+    to the shared zero slot and would silently drop rank mass."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hipporag_tpu.ops.pagerank import COOGraph
+    from hipporag_tpu.parallel.sharded import shard_graph_ell
+
+    # node 0 has out-edges but no in-edges (directed structure)
+    coo = COOGraph(
+        src=np.array([0, 1], np.int32),
+        dst=np.array([1, 2], np.int32),
+        w_norm=np.array([1.0, 1.0], np.float32),
+        dangling=np.zeros(128, np.float32),
+        num_nodes=np.asarray(3, np.int32),
+    )
+    with _pytest.raises(ValueError, match="symmetrized"):
+        shard_graph_ell(coo, num_shards=4)
+
+
 def test_full_sharded_retrieval_pipeline_matches_single_device():
     """Compose sharded scoring + seed construction + sharded ELL PPR and
     check document ranking parity with the single-device pipeline."""

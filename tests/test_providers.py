@@ -309,6 +309,31 @@ def test_azure_chat_url_and_header(tmp_path, monkeypatch):
     assert seen["key"] == "azkey"
 
 
+def test_missing_key_local_endpoints_allowed(monkeypatch):
+    """Auth-less self-hosted endpoints (loopback, RFC1918 LAN, .local) get
+    the EMPTY-key convention; missing keys for public endpoints fail fast
+    with the EMPTY remedy in the message (review r2)."""
+    import pytest as _pytest
+
+    from hipporag_tpu.llm.openai_llm import OpenAIChatClient, _is_local_endpoint
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    for url in (
+        "http://localhost:8000/v1",
+        "http://127.0.0.1:6578/v1",
+        "http://[::1]:8000/v1",
+        "http://192.168.1.5:8000/v1",
+        "http://10.2.3.4:8000/v1",
+        "http://llmbox.local:8000/v1",
+    ):
+        assert _is_local_endpoint(url), url
+        OpenAIChatClient(base_url=url)  # must not raise
+    for url in ("https://api.openai.com/v1", "https://llm.example.com/v1"):
+        assert not _is_local_endpoint(url), url
+        with _pytest.raises(ValueError, match="EMPTY"):
+            OpenAIChatClient(base_url=url)
+
+
 def test_openai_4xx_not_retried(tmp_path, monkeypatch):
     import httpx
     import pytest as _pytest
