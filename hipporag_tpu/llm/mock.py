@@ -24,15 +24,37 @@ from .base import BaseLLM, TextChatMessage
 _CAP_PHRASE = re.compile(
     r"(?:[A-Z][\w'’.-]*(?:\s+(?:of|the|de|la|van|von)\s+[A-Z][\w'’.-]*|\s+[A-Z][\w'’.-]*)*)|\d{4}"
 )
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# newlines are sentence boundaries too: passages commonly lead with a bare
+# title line ("Lothair II\nLothair II (835...) was king..."), and without
+# the split the title merges into the next sentence's first capitalized
+# phrase ("Lothair II Lothair II (...)"), so the title entity — the bridge
+# node multi-hop retrieval hops through — never gets extracted cleanly
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n+")
+
+
+# Sentence-initial function words and pronouns capitalize without naming
+# anything; a real NER never emits them. Left in, they become giant hub
+# nodes ("She", "It", "In November ...") that leak PPR mass corpus-wide.
+_NON_ENTITY = frozenset(
+    "a an as at and but by for from in into it its he her his him she they "
+    "them their this these those that there then thus to of on or over so "
+    "when where which while who whom whose with we you i not no after "
+    "before during however meanwhile although though also both each ".split()
+)
+
+
+def _strip_leading_stopwords(phrase: str) -> str:
+    words = phrase.split()
+    while words and words[0].lower() in _NON_ENTITY:
+        words = words[1:]
+    return " ".join(words)
 
 
 def extract_capitalized_entities(text: str) -> List[str]:
     ents: List[str] = []
     for sent in _SENT_SPLIT.split(text):
         for i, m in enumerate(_CAP_PHRASE.finditer(sent)):
-            phrase = m.group().strip(".,;:- ")
-            # Drop sentence-initial single common words heuristically kept
+            phrase = _strip_leading_stopwords(m.group().strip(".,;:- "))
             if len(phrase) < 2:
                 continue
             ents.append(phrase)
