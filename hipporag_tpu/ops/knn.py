@@ -200,7 +200,8 @@ def retrieve_knn_pairs(
     valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
     n_real = jnp.asarray(n, jnp.int32)
     thr = jnp.asarray(sim_threshold, jnp.float32)
-    k_eff = min(k, keys_dev.shape[0])
+    # k <= num_keys <= keys rows, so the inner min(k, nk) never bites and
+    # the [B, k] result width is exactly k
     cap0 = qbs * cap_per_row
 
     def batch_compact(start: int, cap: int):
@@ -234,8 +235,8 @@ def retrieve_knn_pairs(
             pos_all[off : off + cap], col_all[off : off + cap],
             score_all[off : off + cap],
         )
-        real = pos < qbs * k_eff  # padding slots carry pos = qbs*k_eff
-        rows_out.append(base + pos[real] // k_eff)
+        real = pos < qbs * k  # padding slots carry pos = qbs*k
+        rows_out.append(base + pos[real] // k)
         cols_out.append(col[real])
         scores_out.append(score[real])
         off += cap

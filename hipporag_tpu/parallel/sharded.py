@@ -27,7 +27,10 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.pagerank import COOGraph, pack_ell_rows, pack_hub_chunks
+from ..ops.pagerank import (
+    COOGraph, _stalled, pack_ell_rows, pack_hub_chunks,
+    validate_symmetric_operator,
+)
 from ..utils.logging import get_logger
 from .mesh import CORPUS_AXIS, DP_AXIS
 
@@ -307,8 +310,6 @@ def shard_graph_ell(
     visible: bytes/iter/device = C·H·B·4 (vs Ns·C·B·4 for the old
     all_gather design).
     """
-    from ..ops.pagerank import validate_symmetric_operator
-
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
     w = np.asarray(graph.w_norm)
@@ -595,8 +596,6 @@ def make_sharded_ppr_ell(
 
         def cond(state):
             _, _, err_prev, err, it = state
-            from ..ops.pagerank import _stalled
-
             return jnp.logical_and(
                 jnp.logical_and(err > tol, it < max_iters),
                 jnp.logical_not(_stalled(err, err_prev, tol, d)),
