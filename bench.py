@@ -376,6 +376,45 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"e2e section skipped: {e}")
 
+    # ---------------- JAX encoder throughput (MXU) ----------------
+    # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing
+    # path's embedding forward. Reports docs/s at seq 256 and the achieved
+    # model FLOP/s (2 * params * tokens estimate) so MXU utilization is
+    # visible. BENCH_ENCODER=0 disables.
+    if (os.environ.get("BENCH_ENCODER", "1") != "0" and probe <= 5.0
+            and not over_deadline("encoder")):
+        try:
+            from hipporag_tpu import BaseConfig
+            from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+
+            enc_cfg = BaseConfig(
+                embedding_model_name="jax/random-768x12",
+                embedding_max_seq_len=256,
+                embedding_batch_size=256,
+            )
+            enc = JaxEncoderEmbeddingModel(enc_cfg)
+            rng_t = np.random.default_rng(7)
+            words = [f"w{i:03d}" for i in range(5000)]
+            docs_t = [
+                " ".join(rng_t.choice(words, size=220)) for _ in range(512)
+            ]
+            enc.batch_encode(docs_t[:256])  # compile + warmup
+            t0 = time.perf_counter()
+            out_e = enc.batch_encode(docs_t)
+            t_enc = time.perf_counter() - t0
+            assert out_e.shape[0] == len(docs_t)
+            d_model, n_layers, seq = 768, 12, 256
+            n_params = n_layers * 12 * d_model * d_model  # attn+ffn weights
+            flops = 2 * n_params * seq * len(docs_t)
+            extra["encoder_docs_per_s"] = round(len(docs_t) / t_enc, 1)
+            extra["encoder_tflops"] = round(flops / t_enc / 1e12, 1)
+            log(
+                f"jax encoder (768x12, seq {seq}): {len(docs_t)/t_enc:.0f} "
+                f"docs/s, ~{flops/t_enc/1e12:.1f} TFLOP/s achieved"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"encoder section skipped: {e}")
+
     # ---------------- multi-hop quality: graph vs dense ----------------
     # The central HippoRAG capability claim, measured: 2-hop questions
     # where dense retrieval lacks a bridge to the second document.
