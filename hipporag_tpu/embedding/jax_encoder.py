@@ -193,17 +193,24 @@ class _HashTokenizer:
 
     def __init__(self, vocab: int = 30522):
         self.vocab = vocab
+        self._memo: Dict[str, int] = {}  # md5 per distinct word, once
+
+    def _word_id(self, w: str) -> int:
+        wid = self._memo.get(w)
+        if wid is None:
+            import hashlib
+
+            wid = int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % (
+                self.vocab - 1000
+            ) + 1000
+            self._memo[w] = wid
+        return wid
 
     def __call__(self, texts: List[str], max_length: int):
-        import hashlib
-
         ids, mask = [], []
         for t in texts:
             words = t.lower().split()[: max_length - 2]
-            row = [101] + [
-                int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % (self.vocab - 1000) + 1000
-                for w in words
-            ] + [102]
+            row = [101] + [self._word_id(w) for w in words] + [102]
             ids.append(row)
             mask.append([1] * len(row))
         l = max(len(r) for r in ids)
