@@ -457,6 +457,46 @@ def test_retrieve_knn_pairs_truncates_to_k():
             assert gc == wc and abs(gs - ws) < 1e-5
 
 
+def test_normalize_symmetric_coo_matches_builder_operator():
+    """normalize_symmetric_coo (bench/tool path) must produce the same
+    transition operator as GraphBuilder.symmetric_coo + normalization (the
+    production path) — compared densely, since entry order and duplicate
+    merging legitimately differ."""
+    import numpy as np
+
+    from hipporag_tpu.graph import GraphBuilder
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import normalize_symmetric_coo
+
+    rng = np.random.default_rng(3)
+    n, e = 40, 120
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+
+    builder = GraphBuilder()
+    names = [f"n{i}" for i in range(n)]
+    builder.register_nodes(names)
+    for a, b, ww in zip(src, dst, w):
+        key = (names[a], names[b])
+        builder.edge_weights[key] = builder.edge_weights.get(key, 0.0) + float(ww)
+    bs, bd, bw = builder.symmetric_coo()
+    b_strength = np.zeros(n)
+    np.add.at(b_strength, bs, bw.astype(np.float64))
+    dense_builder = np.zeros((n, n))
+    np.add.at(dense_builder, (bd, bs), bw / np.maximum(b_strength[bs], 1e-300))
+
+    cap = round_up(n, 128)
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, cap)
+    dense_tool = np.zeros((n, n))
+    np.add.at(dense_tool, (d2, s2), wn.astype(np.float64))
+
+    np.testing.assert_allclose(dense_tool, dense_builder, rtol=1e-5, atol=1e-7)
+    assert not dang[:n].any()  # every node has edges in this construction
+
+
 def test_ppr_slow_damping_reaches_tol():
     """Stall detection must not fire on slow geometric convergence (review
     r2): damping=0.95 on a chain graph contracts ~0.95/iter and must keep
