@@ -542,6 +542,11 @@ def main():
             "nodes": num_nodes,
             "directed_edges": int(len(s2)),
             "batch": batch,
+            # the baseline is this repo's serial scipy-CSR solver run in
+            # the reference's one-solve-per-query style — NOT igraph
+            # prpack itself (igraph is not installable here); numerics
+            # cross-checked against it via max_err_vs_cpu
+            "baseline": "serial scipy-CSR PPR, reference-style per-query",
             "cpu_qps": round(cpu_qps, 2),
             "tpu_batch_ms": round(tpu_time * 1e3, 2),
             "max_err_vs_cpu": max_err,

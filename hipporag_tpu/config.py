@@ -105,7 +105,11 @@ class BaseConfig:
     ppr_max_iters: int = 64
     ppr_tol: float = 1.0e-8
     # queries per device batch in retrieval; 128 matches the TPU lane width
-    # (the PPR gathers move [B]-lane rows, so B=128 is the throughput knee)
+    # (the PPR gathers move [B]-lane rows, so B=128 is the throughput knee).
+    # The single-chip ELL solver internally tiles larger batches at 128
+    # lanes (lax.map), so any value stays monotone in throughput; in mesh
+    # mode keep batch/dp <= 128 per device — the sharded solver iterates
+    # the full per-device lane width.
     ppr_batch_size: int = 128
     # "bfloat16" halves SpMV gather traffic (f32 accumulation); "float32"
     # keeps exact reference-parity scores.
