@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.pagerank import (
-    COOGraph, _stalled, pack_ell_rows, pack_hub_chunks,
+    COOGraph, _PPR_BATCH_TILE, _stalled, pack_ell_rows, pack_hub_chunks,
     validate_symmetric_operator,
 )
 from ..utils.logging import get_logger
@@ -555,57 +555,99 @@ def make_sharded_ppr_ell(
         rdm_local = jnp.sum(r_T * dangling[:, None], axis=0, keepdims=True)
         reset_dangling_mass = jax.lax.psum(rdm_local, CORPUS_AXIS)  # [1, B/dp]
 
-        def body(state):
-            p_slot, c, _, err, it = state
-            # ---- halo exchange: ship boundary rows over ICI ----
-            send = p_slot[send_ids]  # [C, H, B/dp]
-            if num_shards > 1:
-                recv = jax.lax.all_to_all(
-                    send, CORPUS_AXIS, split_axis=0, concat_axis=0, tiled=True
+        def _solve(r_slot, reset_dangling_mass):
+            """Full while-loop solve for one [S, b<=tile] column block.
+
+            Safe under lax.map across shards: every shard runs the same
+            tile count in lockstep, and the while-loop trip count is
+            shard-uniform (err is pmax-reduced), so the per-iteration
+            all_to_all sequences line up."""
+
+            def body(state):
+                p_slot, c, _, err, it = state
+                # ---- halo exchange: ship boundary rows over ICI ----
+                send = p_slot[send_ids]  # [C, H, b]
+                if num_shards > 1:
+                    recv = jax.lax.all_to_all(
+                        send, CORPUS_AXIS, split_axis=0, concat_axis=0,
+                        tiled=True,
+                    )
+                else:
+                    recv = send
+                q = jnp.concatenate(
+                    [p_slot, recv.reshape(num_shards * h_cap, -1)], axis=0
                 )
-            else:
-                recv = send
-            q = jnp.concatenate(
-                [p_slot, recv.reshape(num_shards * h_cap, -1)], axis=0
+                parts = [
+                    jnp.einsum("nwb,nw->nb", q[i], g,
+                               preferred_element_type=jnp.float32)
+                    for i, g in zip(b_idx, b_wgt)
+                ]
+                hub_partial = jnp.einsum(
+                    "rwb,rw->rb", q[hub_idx], hub_wgt,
+                    preferred_element_type=jnp.float32,
+                )
+                parts.append(
+                    jax.ops.segment_sum(
+                        hub_partial, hub_seg, num_segments=n_hub + 1,
+                        indices_are_sorted=True,
+                    )[:n_hub]
+                )
+                parts.append(jnp.zeros((1, q.shape[1]), q.dtype))
+                y = jnp.concatenate(parts, axis=0)  # [S, b] slot order
+                dm = c * reset_dangling_mass
+                p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
+                c_next = (1.0 - d) + d * dm
+                err_next = jnp.maximum(
+                    jnp.max(jnp.abs(p_next - p_slot)),
+                    jnp.max(jnp.abs(c_next - c)),
+                )
+                err_next = jax.lax.pmax(err_next, CORPUS_AXIS)
+                return p_next, c_next, err, err_next, it + 1
+
+            def cond(state):
+                _, _, err_prev, err, it = state
+                return jnp.logical_and(
+                    jnp.logical_and(err > tol, it < max_iters),
+                    jnp.logical_not(_stalled(err, err_prev, tol, d)),
+                )
+
+            one = jnp.ones((1, r_slot.shape[1]), r_slot.dtype)
+            inf = jnp.asarray(jnp.inf, r_slot.dtype)
+            p_slot, c, _, _, _ = jax.lax.while_loop(
+                cond, body, (r_slot, one, inf, inf, 0)
             )
-            parts = [
-                jnp.einsum("nwb,nw->nb", q[i], g,
-                           preferred_element_type=jnp.float32)
-                for i, g in zip(b_idx, b_wgt)
+            return p_slot, c
+
+        # solve 128-lane column tiles sequentially past one lane tile —
+        # the same XLA gather latency cliff batched_ppr_ell tiles around
+        # (ops/pagerank._PPR_BATCH_TILE); per-tile early exit included.
+        b_local = r_slot.shape[1]
+        if b_local <= _PPR_BATCH_TILE:
+            p_slot, c = _solve(r_slot, reset_dangling_mass)
+        else:
+            tile = _PPR_BATCH_TILE
+            n_tiles = -(-b_local // tile)
+            pad = n_tiles * tile - b_local
+            s = r_slot.shape[0]
+            r_tiles = jnp.moveaxis(
+                jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile),
+                1, 0,
+            )
+            rdm_tiles = jnp.moveaxis(
+                jnp.pad(reset_dangling_mass, ((0, 0), (0, pad))).reshape(
+                    1, n_tiles, tile
+                ),
+                1, 0,
+            )
+            p_tiles, c_tiles = jax.lax.map(
+                lambda args: _solve(*args), (r_tiles, rdm_tiles)
+            )
+            p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(
+                s, n_tiles * tile
+            )[:, :b_local]
+            c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[
+                :, :b_local
             ]
-            hub_partial = jnp.einsum(
-                "rwb,rw->rb", q[hub_idx], hub_wgt,
-                preferred_element_type=jnp.float32,
-            )
-            parts.append(
-                jax.ops.segment_sum(
-                    hub_partial, hub_seg, num_segments=n_hub + 1,
-                    indices_are_sorted=True,
-                )[:n_hub]
-            )
-            parts.append(jnp.zeros((1, q.shape[1]), q.dtype))
-            y = jnp.concatenate(parts, axis=0)  # [S, B/dp] slot order
-            dm = c * reset_dangling_mass
-            p_next = (1.0 - d) * r_slot + d * (y + dm * r_slot)
-            c_next = (1.0 - d) + d * dm
-            err_next = jnp.maximum(
-                jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
-            )
-            err_next = jax.lax.pmax(err_next, CORPUS_AXIS)
-            return p_next, c_next, err, err_next, it + 1
-
-        def cond(state):
-            _, _, err_prev, err, it = state
-            return jnp.logical_and(
-                jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(_stalled(err, err_prev, tol, d)),
-            )
-
-        one = jnp.ones((1, r_T.shape[1]), r_T.dtype)
-        inf = jnp.asarray(jnp.inf, r.dtype)
-        p_slot, c, _, _, _ = jax.lax.while_loop(
-            cond, body, (r_slot, one, inf, inf, 0)
-        )
         p_T = jnp.where(
             (local_inv == zero_row)[:, None], c * r_T, p_slot[local_inv]
         )

@@ -164,6 +164,57 @@ def test_sharded_ell_ppr_matches_single_device():
     np.testing.assert_allclose(got[:, node_cap:], 0.0, atol=1e-9)
 
 
+def test_sharded_ell_ppr_tiled_batch_matches_single_device():
+    """Per-device batches past one 128-lane tile engage the lax.map column
+    tiling inside the sharded halo solver; results must match the
+    single-device COO solver, including non-multiple-of-128 padding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import COOGraph, batched_ppr, normalize_symmetric_coo
+    from hipporag_tpu.parallel import make_mesh
+    from hipporag_tpu.parallel.sharded import (
+        make_sharded_ppr_ell, put_sharded_ell, shard_graph_ell,
+    )
+
+    rng = np.random.default_rng(31)
+    n, b = 600, 160  # dp=1 -> 160 lanes per shard, crosses the 128 tile
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    node_cap = round_up(n, 128)
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, node_cap)
+    coo = COOGraph(
+        src=s2, dst=d2, w_norm=wn, dangling=dang,
+        num_nodes=np.asarray(n, np.int32),
+    )
+
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    sg = shard_graph_ell(coo, num_shards=4, bucket_widths=(4, 16, 64),
+                         hub_width=128)
+    sg_dev = put_sharded_ell(mesh, sg)
+    n_total = 4 * sg.shard_nodes
+
+    reset = np.zeros((b, n_total), np.float32)
+    for i in range(b):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+    ppr = make_sharded_ppr_ell(mesh, max_iters=64, n_hub=sg.n_hub)
+    got = np.asarray(ppr(sg_dev, jnp.asarray(reset)))
+
+    coo_dev = COOGraph(
+        src=jnp.asarray(s2), dst=jnp.asarray(d2), w_norm=jnp.asarray(wn),
+        dangling=jnp.asarray(dang), num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    want = np.asarray(
+        batched_ppr(coo_dev, jnp.asarray(reset[:, :node_cap]), max_iters=64)
+    )
+    np.testing.assert_allclose(got[:, :node_cap], want, rtol=1e-5, atol=1e-7)
+
+
 def test_shard_graph_ell_rejects_directed_operator():
     """The sharded slot-space converter must refuse directed operators as
     loudly as the single-chip one (review r2): zero-in-degree sources map
