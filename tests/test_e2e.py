@@ -352,3 +352,42 @@ def test_pipeline_rerank_overlaps_graph_search(tmp_path, toy_data):
     # compute between the injected LLM latencies (CI robustness)
     speedup = serial_s / pipe_s
     assert speedup >= 1.4, f"pipeline speedup {speedup:.2f}x (serial {serial_s:.2f}s, pipelined {pipe_s:.2f}s)"
+
+
+def test_pipeline_rerank_degrades_on_worker_failure(tmp_path, toy_data):
+    """A recognition-memory LLM outage inside a pipelined worker thread
+    must degrade gracefully (ref HippoRAG.py:467-469: failed/empty filter
+    falls back to dense retrieval) — every query still gets documents, the
+    pool doesn't hang, and the orchestrator stays usable."""
+    from hipporag_tpu.llm.mock import MockLLM
+
+    docs, _, _, _ = toy_data
+
+    class FailingMockLLM(MockLLM):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.calls = 0
+
+        def infer(self, messages, **kw):
+            if any("fact_before_filter" in m.get("content", "") for m in messages):
+                self.calls += 1
+                if self.calls > 4:  # outage from the second bucket on
+                    raise RuntimeError("injected recognition-memory outage")
+            return super().infer(messages, **kw)
+
+    rag = HippoRAG(
+        global_config=_config(
+            tmp_path / "fail", ppr_batch_size=4, pipeline_rerank=True
+        )
+    )
+    rag.llm = FailingMockLLM(rag.global_config)
+    rag.rerank_filter.llm = rag.llm
+    rag.index(docs)
+    queries = ["Which county was Erik Hort born in?"] * 12  # 3 buckets
+    results = rag.retrieve(queries)
+    assert len(results) == 12 and all(r.docs for r in results)
+    assert rag.llm.calls > 4  # the outage actually fired
+    # healthy first bucket keeps its graph-search ranking; degraded
+    # buckets still answer (dense fallback), orchestrator stays usable
+    ok = rag.retrieve(["Where is Montebello located?"])
+    assert ok[0].docs
