@@ -357,22 +357,29 @@ def main():
             extra["e2e_retrieve_qps"] = round(n_q / t_retr, 2)
             gi = rag.get_graph_info()
             extra["e2e_graph_nodes"] = gi["num_total_nodes"]
-            # interactive serving latency: one query through the small
-            # (b_pad=8) sub-bucket executable, median of 5 after warmup
-            rag.retrieve(queries[:1])
-            lat = []
-            for q in queries[:5]:
-                t0 = time.perf_counter()
-                rag.retrieve([q])
-                lat.append(time.perf_counter() - t0)
-            extra["e2e_single_query_ms"] = round(sorted(lat)[len(lat) // 2] * 1e3, 1)
+            assert results[0].docs  # sanity BEFORE publishing the numbers
             log(
                 f"e2e: indexed {n_docs} docs in {t_index:.1f}s "
                 f"({gi['num_total_nodes']} nodes); retrieve {n_q} queries "
-                f"-> {n_q/t_retr:.1f} q/s; single-query p50 "
-                f"{extra['e2e_single_query_ms']:.0f} ms"
+                f"-> {n_q/t_retr:.1f} q/s"
             )
-            assert results[0].docs
+            try:
+                # interactive serving latency: one query through the small
+                # (b_pad=8) sub-bucket executable, median of 5 after warmup;
+                # own try so a probe failure can't mislabel the batch
+                # numbers already recorded above
+                rag.retrieve(queries[:1])
+                lat = []
+                for q in queries[:5]:
+                    t0 = time.perf_counter()
+                    rag.retrieve([q])
+                    lat.append(time.perf_counter() - t0)
+                extra["e2e_single_query_ms"] = round(
+                    sorted(lat)[len(lat) // 2] * 1e3, 1
+                )
+                log(f"e2e single-query p50: {extra['e2e_single_query_ms']:.0f} ms")
+            except Exception as e:  # noqa: BLE001
+                log(f"single-query latency probe skipped: {e}")
         except Exception as e:  # noqa: BLE001
             log(f"e2e section skipped: {e}")
 

@@ -106,10 +106,9 @@ class BaseConfig:
     ppr_tol: float = 1.0e-8
     # queries per device batch in retrieval; 128 matches the TPU lane width
     # (the PPR gathers move [B]-lane rows, so B=128 is the throughput knee).
-    # The single-chip ELL solver internally tiles larger batches at 128
-    # lanes (lax.map), so any value stays monotone in throughput; in mesh
-    # mode keep batch/dp <= 128 per device — the sharded solver iterates
-    # the full per-device lane width.
+    # Both the single-chip and the sharded halo ELL solvers internally
+    # tile larger batches at 128 lanes (lax.map with per-tile early exit),
+    # so throughput stays monotone in batch size at any setting.
     ppr_batch_size: int = 128
     # "bfloat16" halves SpMV gather traffic (f32 accumulation); "float32"
     # keeps exact reference-parity scores.

@@ -53,7 +53,7 @@ def _strip_leading_stopwords(phrase: str) -> str:
 def extract_capitalized_entities(text: str) -> List[str]:
     ents: List[str] = []
     for sent in _SENT_SPLIT.split(text):
-        for i, m in enumerate(_CAP_PHRASE.finditer(sent)):
+        for m in _CAP_PHRASE.finditer(sent):
             phrase = _strip_leading_stopwords(m.group().strip(".,;:- "))
             if len(phrase) < 2:
                 continue

@@ -610,6 +610,37 @@ def _stalled(err: Array, err_prev: Array, tol, damping) -> Array:
 _PPR_BATCH_TILE = 128
 
 
+def tile_columns(solve_fn, r_slot: Array, rdm: Array):
+    """Run ``solve_fn(r_slot, rdm) -> (p_slot, c)`` in sequential
+    _PPR_BATCH_TILE-wide column tiles when the batch axis exceeds one
+    128-lane tile (see _PPR_BATCH_TILE). Shared by the single-chip and
+    sharded halo solvers so the padding/layout conventions can't diverge.
+
+    Padded columns have r = 0 and stay identically 0, contributing
+    nothing to their tile's residual. Safe under collectives inside
+    ``solve_fn``: every participant runs the same tile count in lockstep.
+    """
+    b = r_slot.shape[1]
+    if b <= _PPR_BATCH_TILE:
+        return solve_fn(r_slot, rdm)
+    tile = _PPR_BATCH_TILE
+    n_tiles = -(-b // tile)
+    pad = n_tiles * tile - b
+    s = r_slot.shape[0]
+    r_tiles = jnp.moveaxis(
+        jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile), 1, 0
+    )
+    rdm_tiles = jnp.moveaxis(
+        jnp.pad(rdm, ((0, 0), (0, pad))).reshape(1, n_tiles, tile), 1, 0
+    )
+    p_tiles, c_tiles = jax.lax.map(
+        lambda args: solve_fn(*args), (r_tiles, rdm_tiles)
+    )
+    p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(s, n_tiles * tile)[:, :b]
+    c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[:, :b]
+    return p_slot, c
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "compute_dtype", "accel")
 )
@@ -732,32 +763,7 @@ def batched_ppr_ell(
             )
         return p_slot, c
 
-    b = r_slot.shape[1]
-    if b <= _PPR_BATCH_TILE:
-        p_slot, c = _solve(r_slot, reset_dangling_mass)
-    else:
-        # solve 128-wide column tiles sequentially (see _PPR_BATCH_TILE).
-        # Padded columns have r = 0 and stay identically 0, contributing
-        # nothing to their tile's residual.
-        tile = _PPR_BATCH_TILE
-        n_tiles = -(-b // tile)
-        pad = n_tiles * tile - b
-        s = r_slot.shape[0]
-        r_tiles = jnp.moveaxis(
-            jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile), 1, 0
-        )
-        rdm_tiles = jnp.moveaxis(
-            jnp.pad(reset_dangling_mass, ((0, 0), (0, pad))).reshape(
-                1, n_tiles, tile
-            ),
-            1,
-            0,
-        )
-        p_tiles, c_tiles = jax.lax.map(
-            lambda args: _solve(*args), (r_tiles, rdm_tiles)
-        )
-        p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(s, n_tiles * tile)[:, :b]
-        c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[:, :b]
+    p_slot, c = tile_columns(_solve, r_slot, reset_dangling_mass)
 
     # back to natural order: slots for live nodes, c·r for zero-in-degree
     zero_row = graph.slot_to_node.shape[0] - 1

@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.pagerank import (
-    COOGraph, _PPR_BATCH_TILE, _stalled, pack_ell_rows, pack_hub_chunks,
+    COOGraph, _stalled, pack_ell_rows, pack_hub_chunks, tile_columns,
     validate_symmetric_operator,
 )
 from ..utils.logging import get_logger
@@ -619,35 +619,9 @@ def make_sharded_ppr_ell(
             return p_slot, c
 
         # solve 128-lane column tiles sequentially past one lane tile —
-        # the same XLA gather latency cliff batched_ppr_ell tiles around
-        # (ops/pagerank._PPR_BATCH_TILE); per-tile early exit included.
-        b_local = r_slot.shape[1]
-        if b_local <= _PPR_BATCH_TILE:
-            p_slot, c = _solve(r_slot, reset_dangling_mass)
-        else:
-            tile = _PPR_BATCH_TILE
-            n_tiles = -(-b_local // tile)
-            pad = n_tiles * tile - b_local
-            s = r_slot.shape[0]
-            r_tiles = jnp.moveaxis(
-                jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile),
-                1, 0,
-            )
-            rdm_tiles = jnp.moveaxis(
-                jnp.pad(reset_dangling_mass, ((0, 0), (0, pad))).reshape(
-                    1, n_tiles, tile
-                ),
-                1, 0,
-            )
-            p_tiles, c_tiles = jax.lax.map(
-                lambda args: _solve(*args), (r_tiles, rdm_tiles)
-            )
-            p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(
-                s, n_tiles * tile
-            )[:, :b_local]
-            c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[
-                :, :b_local
-            ]
+        # the same XLA gather latency cliff batched_ppr_ell tiles around;
+        # shared scaffold (ops/pagerank.tile_columns), per-tile early exit.
+        p_slot, c = tile_columns(_solve, r_slot, reset_dangling_mass)
         p_T = jnp.where(
             (local_inv == zero_row)[:, None], c * r_T, p_slot[local_inv]
         )
