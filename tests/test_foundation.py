@@ -201,6 +201,24 @@ def test_mock_llm_ner_and_triples():
     assert any(t[0] == "Erik Hort" and t[2] == "Montebello" for t in triples)
 
 
+def test_mock_ner_title_line_and_stopwords():
+    """The extraction fixes behind the 2wiki quality gain (review r2):
+    a bare title line is its own sentence (the passage's own title — the
+    multi-hop bridge node — must come out clean, not merged with the next
+    sentence's first phrase), and sentence-initial pronouns/function words
+    never become entities."""
+    from hipporag_tpu.llm.mock import extract_capitalized_entities
+
+    ents = extract_capitalized_entities(
+        "Lothair II\nLothair II (835) was king of Lotharingia. "
+        "He married Teutberga. In November they traveled."
+    )
+    assert "Lothair II" in ents
+    assert not any("\n" in e for e in ents)
+    assert "He" not in ents and "They" not in ents
+    assert "In November" not in ents and "November" in ents
+
+
 def test_mock_llm_filter():
     llm = MockLLM()
     user = (
