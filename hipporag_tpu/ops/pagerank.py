@@ -141,29 +141,42 @@ def batched_ppr(
     r_T = r.T  # [N, B]
     d = jnp.asarray(damping, dtype=r_T.dtype)
 
-    def cond(state):
-        _, err_prev, err, it = state
-        return jnp.logical_and(
-            jnp.logical_and(err > tol, it < max_iters),
-            jnp.logical_not(_stalled(err, err_prev, tol, d)),
-        )
-
     gather_dtype = (
         jnp.dtype(compute_dtype)
         if compute_dtype not in (None, "float32")
         else None
     )
 
-    def body(state):
-        p_T, _, err, it = state
-        y_T = _spmv_T(graph, p_T, gather_dtype, edge_chunks)
-        dangling_mass = jnp.sum(p_T * graph.dangling[:, None], axis=0, keepdims=True)
-        p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
-        err_next = jnp.max(jnp.abs(p_next - p_T))
-        return p_next, err, err_next, it + 1
+    def _solve(r_T, _unused):
+        """Full while-loop solve for one [N, b<=tile] column block (the
+        second argument exists only to fit tile_columns' signature)."""
 
-    inf = jnp.asarray(jnp.inf, r_T.dtype)
-    p_T, _, _, _ = jax.lax.while_loop(cond, body, (r_T, inf, inf, 0))
+        def cond(state):
+            _, err_prev, err, it = state
+            return jnp.logical_and(
+                jnp.logical_and(err > tol, it < max_iters),
+                jnp.logical_not(_stalled(err, err_prev, tol, d)),
+            )
+
+        def body(state):
+            p_T, _, err, it = state
+            y_T = _spmv_T(graph, p_T, gather_dtype, edge_chunks)
+            dangling_mass = jnp.sum(
+                p_T * graph.dangling[:, None], axis=0, keepdims=True
+            )
+            p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
+            err_next = jnp.max(jnp.abs(p_next - p_T))
+            return p_next, err, err_next, it + 1
+
+        inf = jnp.asarray(jnp.inf, r_T.dtype)
+        p_T, _, _, _ = jax.lax.while_loop(cond, body, (r_T, inf, inf, 0))
+        return p_T, _unused
+
+    # the COO gather has the same >128-lane latency cliff as the ELL form;
+    # solve 128-wide column tiles sequentially with per-tile early exit
+    p_T, _ = tile_columns(
+        _solve, r_T, jnp.zeros((1, r_T.shape[1]), r_T.dtype)
+    )
     return p_T.T
 
 

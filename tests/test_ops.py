@@ -350,6 +350,12 @@ def test_batched_ppr_ell_tiled_batch_matches_coo():
     got = np.asarray(batched_ppr_ell(ell, jnp.asarray(reset)))
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
 
+    # untiled anchor: B=160 engages tiling in BOTH solvers above, so a
+    # shared tile_columns bug could cancel — the first rows must also
+    # match a small untiled (B=2) solve of the same reset vectors
+    anchor = np.asarray(batched_ppr(coo, jnp.asarray(reset[:2])))
+    np.testing.assert_allclose(got[:2], anchor, rtol=1e-5, atol=1e-7)
+
 
 def test_batched_ppr_ell_chebyshev_matches_power():
     import numpy as np
