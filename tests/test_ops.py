@@ -463,6 +463,53 @@ def test_retrieve_knn_pairs_truncates_to_k():
             assert gc == wc and abs(gs - ws) < 1e-5
 
 
+def test_ppr_tiling_property_sweep():
+    """Property sweep: for batch widths straddling the 128-lane tile
+    (including exact multiples and off-by-one), every tiled solve must
+    match the per-row untiled solve of the same reset vectors."""
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        COOGraph, batched_ppr, batched_ppr_ell, ell_from_coo,
+        normalize_symmetric_coo,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 300
+    src = rng.integers(0, n, 2500)
+    dst = rng.integers(0, n, 2500)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    cap = round_up(n, 128)
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, cap)
+    coo = COOGraph(
+        src=s2, dst=d2, w_norm=wn, dangling=dang,
+        num_nodes=np.asarray(n, np.int32),
+    )
+    ell = ell_from_coo(s2, d2, wn, dang, n, cap, bucket_widths=(4, 16, 64),
+                       hub_width=128)
+
+    big = 257  # covers tiles [128, 128, 1]
+    reset = np.zeros((big, cap), np.float32)
+    for i in range(big):
+        reset[i, rng.integers(0, n, 2)] = rng.uniform(0.3, 1.0, 2)
+
+    # untiled anchors solved in small (<=16-wide) slices
+    anchor = np.concatenate(
+        [
+            np.asarray(batched_ppr(coo, jnp.asarray(reset[s : s + 16])))
+            for s in range(0, big, 16)
+        ]
+    )
+    for b in (127, 128, 129, 256, 257):
+        got_coo = np.asarray(batched_ppr(coo, jnp.asarray(reset[:b])))
+        np.testing.assert_allclose(got_coo, anchor[:b], rtol=1e-5, atol=1e-7)
+        got_ell = np.asarray(batched_ppr_ell(ell, jnp.asarray(reset[:b])))
+        np.testing.assert_allclose(got_ell, anchor[:b], rtol=1e-5, atol=1e-7)
+
+
 def test_normalize_symmetric_coo_matches_builder_operator():
     """normalize_symmetric_coo (bench/tool path) must produce the same
     transition operator as GraphBuilder.symmetric_coo + normalization (the
