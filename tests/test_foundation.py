@@ -92,6 +92,27 @@ def test_qa_metrics():
     assert 0 < f1["F1"] < 1
 
 
+def test_qa_metrics_edge_cases():
+    """Degenerate inputs the MRQA protocol must not crash or misscore on:
+    answers that normalize to empty, unicode text, and max-over-golds."""
+    # punctuation/articles-only answers normalize to "" on both sides -> EM 1
+    em, _ = QAExactMatch().calculate_metric_scores([["the ..."]], ["a !!"])
+    assert em["ExactMatch"] == 1.0
+    # empty prediction vs real gold -> EM 0, F1 0 (no token overlap)
+    em, _ = QAExactMatch().calculate_metric_scores([["Paris"]], [""])
+    assert em["ExactMatch"] == 0.0
+    f1, _ = QAF1Score().calculate_metric_scores([["Paris"]], [""])
+    assert f1["F1"] == 0.0
+    # unicode survives normalization
+    em, _ = QAExactMatch().calculate_metric_scores([["Łódź"]], ["łódź"])
+    assert em["ExactMatch"] == 1.0
+    # max over golds: one perfect gold dominates a partial one
+    f1, per = QAF1Score().calculate_metric_scores(
+        [["completely different", "exact match"]], ["exact match"]
+    )
+    assert f1["F1"] == 1.0
+
+
 def test_kv_cache(tmp_path):
     cache = SqliteKVCache(str(tmp_path / "c.sqlite"))
     key = hash_key("a", {"b": 1})
