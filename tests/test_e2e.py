@@ -122,6 +122,24 @@ def test_standard_rag_lifecycle(tmp_path, toy_data):
     assert len(results[0].docs) == 6
 
 
+def test_full_delete_then_retrieve_and_reindex(tmp_path, toy_data):
+    """Deleting every indexed document leaves an empty-but-usable store:
+    retrieve returns empty results without crashing, and re-indexing
+    restores normal operation on the same save_dir."""
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "wipe"))
+    rag.index(docs)
+    rag.delete(list(docs))
+    info = rag.get_graph_info()
+    assert info["num_total_nodes"] == 0 and info["num_total_triples"] == 0
+    sols = rag.retrieve([queries[0]])
+    assert sols[0].docs == []
+    # the wiped instance can index again and serve
+    rag.index(docs)
+    again = rag.retrieve([queries[0]])
+    assert again[0].docs
+
+
 def test_ircot_retrieval(tmp_path, toy_data):
     docs, queries, _, _ = toy_data
     rag = HippoRAG(global_config=_config(tmp_path / "ircot"))
