@@ -40,6 +40,37 @@ def build_synthetic_graph(num_nodes: int, num_edges: int, seed: int = 0):
     return src.astype(np.int64), dst.astype(np.int64), w
 
 
+def backend_init_hangs(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator backend in an ISOLATED subprocess.
+
+    The tunneled backend has been observed to hang during INIT (before any
+    output) for many minutes — an in-process probe can't guard against
+    that, because once this process starts backend init it can't abandon
+    it. A subprocess that times out or dies is abandoned safely, and the
+    caller switches this process to the CPU backend BEFORE first jax use,
+    so the bench still emits its JSON line.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((512, 512));"
+        "print(float(np.asarray((x @ x)[0, 0])))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return proc.returncode != 0
+    except subprocess.TimeoutExpired:
+        return True
+    except Exception as e:  # noqa: BLE001
+        log(f"backend subprocess probe errored: {e}")
+        return True
+
+
 def probe_device_health() -> float:
     """Time a small matmul roundtrip; returns seconds (inf on failure).
 
@@ -74,6 +105,20 @@ def main():
     max_iters = int(os.environ.get("BENCH_ITERS", 64))
     damping, tol = 0.5, 1e-8
 
+    cpu_fallback = (
+        os.environ.get("BENCH_SKIP_INIT_PROBE", "0") != "1"
+        and backend_init_hangs(
+            float(os.environ.get("BENCH_INIT_PROBE_TIMEOUT", 240))
+        )
+    )
+    if cpu_fallback:
+        # accelerator backend is hung/unreachable: fall back to CPU before
+        # any in-process jax use so the run still produces its JSON line
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        log("accelerator backend init hung; falling back to CPU backend")
+
     probe = probe_device_health()
     log(f"device probe: {probe:.2f}s")
     # soft deadline: optional sections are skipped once the elapsed budget
@@ -90,8 +135,9 @@ def main():
     overridden = any(
         k in os.environ for k in ("BENCH_NODES", "BENCH_EDGES", "BENCH_BATCH", "BENCH_ITERS")
     )
-    if probe > 5.0 and not overridden:
-        # degraded link: shrink so the benchmark still completes and records
+    if (probe > 5.0 or cpu_fallback) and not overridden:
+        # degraded link / CPU fallback: shrink so the benchmark still
+        # completes and records
         num_nodes, num_edges, batch = 20_000, 200_000, 32
         log("degraded device link detected; downscaling benchmark sizes")
 
@@ -272,7 +318,7 @@ def main():
     # directed edges by default) so capacity regressions are visible to the
     # driver. BENCH_BIG=0 disables; skipped on a degraded tunnel.
     if (os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0
-            and not over_deadline("big-graph")):
+            and not cpu_fallback and not over_deadline("big-graph")):
         try:
             from hipporag_tpu.ops.pagerank import normalize_symmetric_coo
 
@@ -389,7 +435,7 @@ def main():
     # model FLOP/s (2 * params * tokens estimate) so MXU utilization is
     # visible. BENCH_ENCODER=0 disables.
     if (os.environ.get("BENCH_ENCODER", "1") != "0" and probe <= 5.0
-            and not over_deadline("encoder")):
+            and not cpu_fallback and not over_deadline("encoder")):
         try:
             from hipporag_tpu import BaseConfig
             from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
