@@ -53,10 +53,18 @@ def backend_init_hangs(timeout_s: float = 240.0) -> bool:
     import subprocess
     import sys
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    # the subprocess MUST use the same persistent compilation cache and
+    # the same expression probe_device_health compiles — otherwise a
+    # merely compile-degraded (but alive) backend pays a fresh compile,
+    # exceeds the timeout, and falsely downgrades the whole run to CPU
     code = (
+        f"import sys; sys.path.insert(0, {here!r});"
+        "from hipporag_tpu.utils.compile_cache import enable_compilation_cache;"
+        f"enable_compilation_cache({os.path.join(here, '.jax_cache')!r});"
         "import numpy as np, jax.numpy as jnp;"
         "x = jnp.ones((512, 512));"
-        "print(float(np.asarray((x @ x)[0, 0])))"
+        "print(float(np.asarray((x @ x).sum())))"
     )
     try:
         proc = subprocess.run(
