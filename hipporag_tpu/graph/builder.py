@@ -275,10 +275,17 @@ class GraphBuilder:
 
     @property
     def needs_category_backfill(self) -> bool:
-        """True when this builder was loaded from a state saved before
-        insertion-time category tags existed (every untagged edge would
-        otherwise be misreported as synonymy)."""
-        return bool(self.edge_weights) and not self.edge_category
+        """True when any edge lacks an insertion-time category tag.
+
+        Covers both a fully legacy (pre-tag) state AND a legacy state that
+        was loaded and then incrementally indexed — the new edges carry
+        tags, but the pre-existing ones still don't, and each untagged
+        edge would be misreported as synonymy by edge_category_counts."""
+        if not self.edge_weights:
+            return False
+        if len(self.edge_category) >= len(self.edge_weights):
+            return False
+        return any(key not in self.edge_category for key in self.edge_weights)
 
     def backfill_edge_categories(self, fact_pairs) -> None:
         """Reconstruct category tags for a legacy (pre-tag) state.

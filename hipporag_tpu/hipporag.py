@@ -423,8 +423,12 @@ class HippoRAG:
     # Deletion (ref HippoRAG.py:337-411)
     # ==================================================================
     def delete(self, docs_to_delete: List[str]):
-        if not self.ready_to_retrieve:
-            self.prepare_retrieval_objects()
+        # deletion is pure host-side bookkeeping (store maps + graph
+        # refcounts) — unlike the reference (HippoRAG.py:347-349) it must
+        # NOT force the device-graph build: at 1M-node scale that would
+        # turn a bookkeeping op into a multi-second compile, and the device
+        # state is invalidated below anyway (ready_to_retrieve = False)
+        self._ensure_host_refcounts()
 
         current = set(self.chunk_embedding_store.get_all_texts())
         docs_to_delete = [d for d in docs_to_delete if d in current]
@@ -489,6 +493,25 @@ class HippoRAG:
     # ==================================================================
     # Retrieval preparation (ref prepare_retrieval_objects, 1287-1389)
     # ==================================================================
+    def _ensure_host_refcounts(self):
+        """Rebuild entity→chunk refcounts + triple→docs map from the
+        OpenIE JSON (host-side only — no device work). Used by both
+        prepare_retrieval_objects and delete(); deletion needs the
+        refcounts but must not pay the device-graph compile."""
+        all_openie_info, _ = self.load_existing_openie([])
+        self.proc_triples_to_docs: Dict[str, Set[str]] = {}
+        if all_openie_info and not self.graph.ent_node_to_chunk_ids:
+            chunk_ids = [d["idx"] for d in all_openie_info]
+            chunk_triples = [
+                [tuple(text_processing(t)) for t in filter_invalid_triples(d["extracted_triples"])]
+                for d in all_openie_info
+            ]
+            self.graph.add_fact_edges(chunk_ids, chunk_triples)
+        for doc in all_openie_info:
+            for t in flatten_facts([filter_invalid_triples(doc["extracted_triples"])]):
+                key = _fact_text(tuple(text_processing(list(t))))
+                self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
+
     def prepare_retrieval_objects(self):
         import jax
 
@@ -505,20 +528,7 @@ class HippoRAG:
         self.graph.register_nodes(self.entity_node_keys)
         self.graph.register_nodes(self.passage_node_keys)
 
-        # rebuild entity→chunk refcounts + triple→docs map from OpenIE JSON
-        all_openie_info, _ = self.load_existing_openie([])
-        self.proc_triples_to_docs: Dict[str, Set[str]] = {}
-        if all_openie_info and not self.graph.ent_node_to_chunk_ids:
-            chunk_ids = [d["idx"] for d in all_openie_info]
-            chunk_triples = [
-                [tuple(text_processing(t)) for t in filter_invalid_triples(d["extracted_triples"])]
-                for d in all_openie_info
-            ]
-            self.graph.add_fact_edges(chunk_ids, chunk_triples)
-        for doc in all_openie_info:
-            for t in flatten_facts([filter_invalid_triples(doc["extracted_triples"])]):
-                key = _fact_text(tuple(text_processing(list(t))))
-                self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
+        self._ensure_host_refcounts()
 
         # ---------------- device graph ----------------
         coo_np, node_cap, edge_cap = compile_device_graph(
@@ -1264,6 +1274,23 @@ class HippoRAG:
         if max_qa_steps < 1:
             raise ValueError("max_qa_steps must be at least 1.")
         cfg = self.global_config
+        if (
+            max_qa_steps > 1
+            and cfg.dataset is not None
+            and not self.prompt_template_manager.is_template_name_valid(
+                f"ircot_{cfg.dataset}"
+            )
+        ):
+            # Fail upfront like the reference (HippoRAG.py:520-523): a
+            # multi-step run for a NAMED dataset must not silently reason
+            # with the generic fallback demos. With dataset=None ("running
+            # freely") the generic `ircot` template is the intended one.
+            raise ValueError(
+                f"No IRCoT template 'ircot_{cfg.dataset}' for dataset "
+                f"'{cfg.dataset}'; multi-step IRCoT (max_qa_steps > 1) "
+                "requires a dataset-specific template under "
+                "hipporag_tpu/prompts/templates/."
+            )
         if num_to_retrieve is None:
             num_to_retrieve = cfg.retrieval_top_k
 

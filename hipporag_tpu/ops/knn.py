@@ -166,6 +166,7 @@ def retrieve_knn_pairs(
     query_batch_size: int = 1000,
     key_batch_size: int = 10000,
     cap_per_row: int = 8,
+    shared_queries_keys: bool | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Above-threshold kNN pairs: (rows, cols, scores) numpy arrays.
 
@@ -181,8 +182,18 @@ def retrieve_knn_pairs(
     Batches whose above-threshold count overflows the capacity are retried
     with a doubled cap (new executable, rare).
     """
+    # detect sharing BEFORE ascontiguousarray: a non-contiguous or
+    # non-float32 input would be copied into two distinct buffers below
+    # and a raw data-pointer comparison would then silently miss the
+    # synonymy single-upload optimization. An explicit flag overrides.
+    if shared_queries_keys is None:
+        shared_queries_keys = query_vecs is key_vecs
     queries = np.ascontiguousarray(query_vecs, dtype=np.float32)
-    keys = np.ascontiguousarray(key_vecs, dtype=np.float32)
+    keys = (
+        queries
+        if shared_queries_keys
+        else np.ascontiguousarray(key_vecs, dtype=np.float32)
+    )
     k = min(k, num_keys)
     n = queries.shape[0]
     qbs = min(query_batch_size, n)
@@ -191,7 +202,7 @@ def retrieve_knn_pairs(
         np.pad(queries, ((0, n_pad - n), (0, 0))) if n_pad != n else queries
     )
     queries_dev = jax.device_put(q_host)
-    shared = (
+    shared = shared_queries_keys or (
         queries.shape == keys.shape
         and queries.ctypes.data == keys.ctypes.data
     )

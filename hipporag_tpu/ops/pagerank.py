@@ -152,24 +152,26 @@ def batched_ppr(
         second argument exists only to fit tile_columns' signature)."""
 
         def cond(state):
-            _, err_prev, err, it = state
+            _, err_prev2, err_prev, err, it = state
             return jnp.logical_and(
                 jnp.logical_and(err > tol, it < max_iters),
-                jnp.logical_not(_stalled(err, err_prev, tol, d)),
+                jnp.logical_not(_stalled2(err, err_prev, err_prev2, tol, d)),
             )
 
         def body(state):
-            p_T, _, err, it = state
+            p_T, _, err_prev, err, it = state
             y_T = _spmv_T(graph, p_T, gather_dtype, edge_chunks)
             dangling_mass = jnp.sum(
                 p_T * graph.dangling[:, None], axis=0, keepdims=True
             )
             p_next = (1.0 - d) * r_T + d * (y_T + dangling_mass * r_T)
             err_next = jnp.max(jnp.abs(p_next - p_T))
-            return p_next, err, err_next, it + 1
+            return p_next, err_prev, err, err_next, it + 1
 
         inf = jnp.asarray(jnp.inf, r_T.dtype)
-        p_T, _, _, _ = jax.lax.while_loop(cond, body, (r_T, inf, inf, 0))
+        p_T, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (r_T, inf, inf, inf, 0)
+        )
         return p_T, _unused
 
     # the COO gather has the same >128-lane latency cliff as the ELL form;
@@ -613,6 +615,26 @@ def _stalled(err: Array, err_prev: Array, tol, damping) -> Array:
     return jnp.logical_and(err >= factor * err_prev, err < tol * 100.0)
 
 
+def _stalled2(
+    err: Array, err_prev: Array, err_prev2: Array, tol, damping
+) -> Array:
+    """Two-consecutive-stall detector (what the solver loops actually use).
+
+    The ~damping-per-iteration contraction argument behind ``_stalled``
+    holds in L1 for stochastic operators but is not a hard bound in
+    max-norm (and the exit is also wired into the directed-operator COO
+    solver), so a single transient ratio >= (1+d)/2 inside the 100x-tol
+    window could end iteration with the residual up to 100x tol. Requiring
+    the stall condition on two CONSECUTIVE iterations filters transients:
+    at the genuine f32 floor the ratio sits at ~1.0 every iteration, so
+    the exit still fires within one extra step.
+    """
+    return jnp.logical_and(
+        _stalled(err, err_prev, tol, damping),
+        _stalled(err_prev, err_prev2, tol, damping),
+    )
+
+
 # Batch-axis tile for the ELL solve. XLA's ELL gather hits a latency
 # cliff once the trailing (lane) axis exceeds one 128-lane tile: on v5e
 # the 200k-node bench graph costs 16.8 ms/iter at B<=128 but 60 ms/iter
@@ -756,23 +778,25 @@ def batched_ppr_ell(
         else:
 
             def cond(state):
-                _, _, err_prev, err, it = state
+                _, _, err_prev2, err_prev, err, it = state
                 return jnp.logical_and(
                     jnp.logical_and(err > tol, it < max_iters),
-                    jnp.logical_not(_stalled(err, err_prev, tol, d)),
+                    jnp.logical_not(
+                        _stalled2(err, err_prev, err_prev2, tol, d)
+                    ),
                 )
 
             def body(state):
-                p_slot, c, _, err, it = state
+                p_slot, c, _, err_prev, err, it = state
                 p_next, c_next = step(p_slot, c)
                 err_next = jnp.maximum(
                     jnp.max(jnp.abs(p_next - p_slot)), jnp.max(jnp.abs(c_next - c))
                 )
-                return p_next, c_next, err, err_next, it + 1
+                return p_next, c_next, err_prev, err, err_next, it + 1
 
             inf = jnp.asarray(jnp.inf, r_slot.dtype)
-            p_slot, c, _, _, _ = jax.lax.while_loop(
-                cond, body, (r_slot, one, inf, inf, 0)
+            p_slot, c, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (r_slot, one, inf, inf, inf, 0)
             )
         return p_slot, c
 

@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.pagerank import (
-    COOGraph, _stalled, pack_ell_rows, pack_hub_chunks, tile_columns,
+    COOGraph, _stalled2, pack_ell_rows, pack_hub_chunks, tile_columns,
     validate_symmetric_operator,
 )
 from ..utils.logging import get_logger
@@ -564,7 +564,7 @@ def make_sharded_ppr_ell(
             all_to_all sequences line up."""
 
             def body(state):
-                p_slot, c, _, err, it = state
+                p_slot, c, _, err_prev, err, it = state
                 # ---- halo exchange: ship boundary rows over ICI ----
                 send = p_slot[send_ids]  # [C, H, b]
                 if num_shards > 1:
@@ -602,19 +602,21 @@ def make_sharded_ppr_ell(
                     jnp.max(jnp.abs(c_next - c)),
                 )
                 err_next = jax.lax.pmax(err_next, CORPUS_AXIS)
-                return p_next, c_next, err, err_next, it + 1
+                return p_next, c_next, err_prev, err, err_next, it + 1
 
             def cond(state):
-                _, _, err_prev, err, it = state
+                _, _, err_prev2, err_prev, err, it = state
                 return jnp.logical_and(
                     jnp.logical_and(err > tol, it < max_iters),
-                    jnp.logical_not(_stalled(err, err_prev, tol, d)),
+                    jnp.logical_not(
+                        _stalled2(err, err_prev, err_prev2, tol, d)
+                    ),
                 )
 
             one = jnp.ones((1, r_slot.shape[1]), r_slot.dtype)
             inf = jnp.asarray(jnp.inf, r_slot.dtype)
-            p_slot, c, _, _, _ = jax.lax.while_loop(
-                cond, body, (r_slot, one, inf, inf, 0)
+            p_slot, c, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (r_slot, one, inf, inf, inf, 0)
             )
             return p_slot, c
 

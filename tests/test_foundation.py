@@ -432,6 +432,20 @@ def test_graph_legacy_state_backfills_categories(tmp_path):
     assert not g2.needs_category_backfill
     assert g2.edge_category_counts() == want
 
+    # a legacy state that was loaded and then incrementally indexed holds a
+    # MIX of tagged and untagged edges — backfill must still fire (advisor
+    # r2: the old trigger only checked for a completely empty category map)
+    g3 = GraphBuilder.load(path)
+    g3.add_fact_edges(["chunk-2"], [[("carol", "knows", "dan")]])
+    assert g3.edge_category  # the new edges ARE tagged
+    assert g3.needs_category_backfill  # ...but the legacy ones are not
+    g3.backfill_edge_categories([(a, b)])
+    assert not g3.needs_category_backfill
+    counts = g3.edge_category_counts()
+    assert counts["fact"] == want["fact"] + 2
+    assert counts["passage"] == want["passage"]
+    assert counts["synonymy"] == want["synonymy"]
+
 
 def test_per_dataset_templates_distinct():
     """Each dataset ships its own few-shot demo (VERDICT r1 #5), and IRCoT
