@@ -5,21 +5,38 @@ whole graph (HippoRAG.py:1709-1749 via igraph/prpack). This framework
 advances the *entire query batch* through one sparse power iteration on
 TPU. The benchmark builds a synthetic knowledge graph shaped like the
 real ones (power-law-ish degree, ~10 directed edges/node), runs both, and
-reports batched queries/sec with ``vs_baseline`` = TPU qps / CPU qps.
+reports batched queries/sec with ``vs_baseline`` = device qps / CPU qps.
+
+Honesty contract (VERDICT r2 #1): the JSON always records ``backend``,
+``cpu_fallback``, probe timings, and a per-section status map; log lines
+label device work by the ACTUAL backend; the headline graph size and the
+serial CPU baseline stay fixed even when the device link is degraded, so
+``vs_baseline`` is always computed at the same scale.
 
 Prints ONE JSON line on stdout; progress goes to stderr.
 
-Env knobs: BENCH_NODES, BENCH_EDGES, BENCH_BATCH, BENCH_ITERS.
+Env knobs: BENCH_NODES, BENCH_EDGES, BENCH_BATCH, BENCH_ITERS,
+BENCH_DEADLINE_S, BENCH_SKIP_INIT_PROBE, and per-section BENCH_* toggles.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# v5e single-chip peaks used for utilization reporting (public spec:
+# 197 bf16 TFLOP/s per chip, ~819 GB/s HBM bandwidth)
+V5E_PEAK_BF16_TFLOPS = 197.0
+# measured descriptor-bound gather floor on v5e for lax.map-chunked ELL
+# row gathers at graph scale (working notes r2: ~3.8-8 ns/row)
+V5E_GATHER_NS_PER_ROW_FLOOR = 3.8
 
 
 def log(*args):
@@ -51,17 +68,15 @@ def backend_init_hangs(timeout_s: float = 240.0) -> bool:
     so the bench still emits its JSON line.
     """
     import subprocess
-    import sys
 
-    here = os.path.dirname(os.path.abspath(__file__))
     # the subprocess MUST use the same persistent compilation cache and
     # the same expression probe_device_health compiles — otherwise a
     # merely compile-degraded (but alive) backend pays a fresh compile,
     # exceeds the timeout, and falsely downgrades the whole run to CPU
     code = (
-        f"import sys; sys.path.insert(0, {here!r});"
+        f"import sys; sys.path.insert(0, {HERE!r});"
         "from hipporag_tpu.utils.compile_cache import enable_compilation_cache;"
-        f"enable_compilation_cache({os.path.join(here, '.jax_cache')!r});"
+        f"enable_compilation_cache({os.path.join(HERE, '.jax_cache')!r});"
         "import numpy as np, jax.numpy as jnp;"
         "x = jnp.ones((512, 512));"
         "print(float(np.asarray((x @ x).sum())))"
@@ -83,9 +98,10 @@ def probe_device_health() -> float:
     """Time a small matmul roundtrip; returns seconds (inf on failure).
 
     The TPU may sit behind a network tunnel; when the link is degraded a
-    full-size benchmark would hang. The caller downsizes accordingly.
+    full-size benchmark would hang. The caller reduces repetitions and
+    skips optional sections accordingly — the headline graph size is
+    never reduced (vs_baseline must stay scale-comparable).
     """
-    import jax
     import jax.numpy as jnp
 
     try:
@@ -99,55 +115,43 @@ def probe_device_health() -> float:
         return float("inf")
 
 
+class CompileCounter(logging.Filter):
+    """Counts XLA compilations via jax_log_compiles log records — the
+    incremental-indexing section uses it to PROVE capacity padding reuses
+    executables (zero new compiles after a +10% index)."""
+
+    def __init__(self):
+        super().__init__()
+        self.count = 0
+
+    def filter(self, record):  # noqa: A003
+        if "Compiling" in record.getMessage():
+            self.count += 1
+        return True
+
+
 def main():
     # persistent compilation cache: repeat bench runs skip jit compiles
     from hipporag_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    )
+    enable_compilation_cache(os.path.join(HERE, ".jax_cache"))
 
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     num_edges = int(os.environ.get("BENCH_EDGES", 2_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 128))
     max_iters = int(os.environ.get("BENCH_ITERS", 64))
     damping, tol = 0.5, 1e-8
-
-    cpu_fallback = (
-        os.environ.get("BENCH_SKIP_INIT_PROBE", "0") != "1"
-        and backend_init_hangs(
-            float(os.environ.get("BENCH_INIT_PROBE_TIMEOUT", 240))
-        )
-    )
-    if cpu_fallback:
-        # accelerator backend is hung/unreachable: fall back to CPU before
-        # any in-process jax use so the run still produces its JSON line
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        log("accelerator backend init hung; falling back to CPU backend")
-
-    probe = probe_device_health()
-    log(f"device probe: {probe:.2f}s")
-    # soft deadline: optional sections are skipped once the elapsed budget
-    # is spent, so a mid-run tunnel degradation still yields a JSON line
     bench_start = time.perf_counter()
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    sections: dict[str, str] = {}
 
     def over_deadline(section: str) -> bool:
         elapsed = time.perf_counter() - bench_start
         if elapsed > deadline_s:
             log(f"{section} skipped: {elapsed:.0f}s elapsed > {deadline_s:.0f}s deadline")
+            sections[section] = f"skipped (deadline, {elapsed:.0f}s elapsed)"
             return True
         return False
-    overridden = any(
-        k in os.environ for k in ("BENCH_NODES", "BENCH_EDGES", "BENCH_BATCH", "BENCH_ITERS")
-    )
-    if (probe > 5.0 or cpu_fallback) and not overridden:
-        # degraded link / CPU fallback: shrink so the benchmark still
-        # completes and records
-        num_nodes, num_edges, batch = 20_000, 200_000, 32
-        log("degraded device link detected; downscaling benchmark sizes")
 
     log(f"graph: {num_nodes} nodes, {num_edges} directed entries; batch={batch}")
     src, dst, w = build_synthetic_graph(num_nodes, num_edges)
@@ -165,7 +169,10 @@ def main():
     seeds = rng.integers(0, num_nodes, size=(batch, 5))
     seed_weights = rng.uniform(0.1, 1.0, size=(batch, 5)).astype(np.float32)
 
-    # ------------------------- CPU baseline (scipy CSR) -------------------------
+    # ---------------- CPU baseline (scipy CSR, BEFORE any jax use) ----------------
+    # Runs first so a backend-probe failure can never cost the baseline,
+    # and the probe can be retried after this CPU-only work (the tunnel
+    # degrades in episodes — VERDICT r2 next-step 1b).
     import scipy.sparse as sp
 
     log("building CSR for CPU baseline...")
@@ -204,10 +211,47 @@ def main():
     cpu_time = min(pass1, pass2)
     cpu_qps = n_cpu / cpu_time
     log(f"CPU: best of {pass1:.2f}s/{pass2:.2f}s for {n_cpu} queries -> {cpu_qps:.2f} q/s")
+    sections["cpu_baseline"] = "ok"
 
-    # ------------------------- TPU batched -------------------------
+    # ---------------- backend decision (probe + one retry) ----------------
+    probe_timeout = float(os.environ.get("BENCH_INIT_PROBE_TIMEOUT", 300))
+    cpu_fallback = False
+    probe_init_s = 0.0
+    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+        cpu_fallback = True
+    elif os.environ.get("BENCH_SKIP_INIT_PROBE", "0") != "1":
+        t0 = time.perf_counter()
+        hung = backend_init_hangs(probe_timeout)
+        probe_init_s = time.perf_counter() - t0
+        if hung:
+            # one retry: tunnel-init episodes are transient; a single
+            # early probe must not forfeit the round to the CPU backend
+            log(
+                f"accelerator probe failed after {probe_init_s:.0f}s; "
+                "retrying once..."
+            )
+            time.sleep(min(60.0, probe_timeout / 4))
+            hung = backend_init_hangs(probe_timeout)
+            probe_init_s = time.perf_counter() - t0
+        cpu_fallback = hung
+
     import jax
     import jax.numpy as jnp
+
+    if cpu_fallback:
+        # accelerator backend is hung/unreachable after retry: fall back
+        # to CPU before any in-process jax use so the run still produces
+        # its JSON line. Sections below run at the SAME headline scale.
+        jax.config.update("jax_platforms", "cpu")
+        log("accelerator backend init hung twice; falling back to CPU backend")
+
+    probe = probe_device_health()
+    backend = jax.default_backend()
+    device_kind = jax.devices()[0].device_kind
+    dev_label = backend.upper()
+    log(f"backend: {backend} ({device_kind}); roundtrip probe {probe:.3f}s")
+    degraded = probe > 5.0
+    reps = 1 if (degraded or backend != "tpu") else 3
 
     from hipporag_tpu.graph.csr import round_up
     from hipporag_tpu.ops.pagerank import (
@@ -215,9 +259,9 @@ def main():
         batched_ppr,
         batched_ppr_ell,
         ell_from_coo,
+        ell_gathered_rows_per_iter,
     )
 
-    log(f"devices: {jax.devices()}")
     node_cap = round_up(num_nodes, 128)
     edge_cap = round_up(len(s2), 1024)
     src_pad = np.zeros(edge_cap, np.int32)
@@ -244,54 +288,89 @@ def main():
     log("building bucketed-ELL operator...")
     ell = ell_from_coo(src_pad, dst_pad, wn_pad, dang_pad, num_nodes, node_cap)
     ell = jax.tree.map(jax.device_put, ell)
+    rows_per_iter = ell_gathered_rows_per_iter(ell)
 
     log("compiling + warmup...")
-    out = batched_ppr_ell(ell, reset_dev, damping=damping, max_iters=max_iters, tol=tol)
-    np.asarray(out[0, 0])
+    out, iters_arr = batched_ppr_ell(
+        ell, reset_dev, damping=damping, max_iters=max_iters, tol=tol,
+        return_iters=True,
+    )
+    iters_np = np.asarray(iters_arr)
 
     # numeric cross-check vs CPU baseline
     out_np = np.asarray(out[:n_cpu, :num_nodes], dtype=np.float64)
     max_err = max(
         float(np.max(np.abs(out_np[i] - cpu_results[i]))) for i in range(n_cpu)
     )
-    log(f"TPU-vs-CPU max abs err over {n_cpu} queries: {max_err:.3e}")
+    log(f"{dev_label}-vs-CPU max abs err over {n_cpu} queries: {max_err:.3e}")
 
-    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = batched_ppr_ell(
             ell, reset_dev, damping=damping, max_iters=max_iters, tol=tol
         )
     np.asarray(out[0, 0])  # host sync (block_until_ready is unreliable on tunneled backends)
-    tpu_time = (time.perf_counter() - t0) / reps
-    tpu_qps = batch / tpu_time
-    log(f"TPU ELL: {tpu_time*1e3:.1f}ms per {batch}-query batch -> {tpu_qps:.1f} q/s")
+    dev_time = (time.perf_counter() - t0) / reps
+    dev_qps = batch / dev_time
+    log(f"{dev_label} ELL: {dev_time*1e3:.1f}ms per {batch}-query batch -> {dev_qps:.1f} q/s")
+    sections["headline_ppr"] = "ok"
 
-    extra = {}
+    # ---------------- roofline accounting (SURVEY §6, VERDICT r2 #2) ----------------
+    # every ELL entry (incl. padding) costs one gathered [lanes]-row per
+    # iteration; each 128-lane column tile runs its own while loop
+    lanes = min(batch, 128)
+    tile_iters = iters_np[::128][: -(-batch // 128)]
+    total_rows = int(rows_per_iter) * int(tile_iters.sum())
+    ppr_rows_per_s = total_rows / dev_time
+    ppr_gather_ns = dev_time / max(total_rows, 1) * 1e9
+    # gathered bytes: each row moves lanes * 4B of p, plus 4B idx + 4B wgt
+    # per entry for the operator stream
+    ppr_gbps = total_rows * (lanes * 4 + 8) / dev_time / 1e9
+    log(
+        f"roofline: {rows_per_iter} rows/iter x {tile_iters.tolist()} iters "
+        f"-> {ppr_rows_per_s/1e9:.2f} G rows/s, {ppr_gather_ns:.1f} ns/row "
+        f"(v5e descriptor floor ~{V5E_GATHER_NS_PER_ROW_FLOOR} ns), "
+        f"{ppr_gbps:.0f} GB/s effective"
+    )
+
+    extra = {
+        "ppr_iters_per_tile": tile_iters.tolist(),
+        "ppr_gathered_rows_per_iter": int(rows_per_iter),
+        "ppr_rows_per_s": round(ppr_rows_per_s, 1),
+        "ppr_gather_ns_per_row": round(ppr_gather_ns, 2),
+        "ppr_gbps": round(ppr_gbps, 1),
+    }
+
     # ---------------- COO segment-sum variant ----------------
-    try:
-        out_coo = batched_ppr(
-            graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
-        )
-        np.asarray(out_coo[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(reps):
+    if not over_deadline("coo_variant"):
+        try:
             out_coo = batched_ppr(
                 graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
             )
-        np.asarray(out_coo[0, 0])
-        t_coo = (time.perf_counter() - t0) / reps
-        extra["tpu_coo_batch_ms"] = round(t_coo * 1e3, 2)
-        log(f"TPU COO segment-sum: {t_coo*1e3:.1f}ms per batch")
-    except Exception as e:  # noqa: BLE001
-        log(f"COO PPR variant skipped: {e}")
+            np.asarray(out_coo[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out_coo = batched_ppr(
+                    graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
+                )
+            np.asarray(out_coo[0, 0])
+            t_coo = (time.perf_counter() - t0) / reps
+            extra["coo_batch_ms"] = round(t_coo * 1e3, 2)
+            sections["coo_variant"] = "ok"
+            log(f"{dev_label} COO segment-sum: {t_coo*1e3:.1f}ms per batch")
+        except Exception as e:  # noqa: BLE001
+            sections["coo_variant"] = f"skipped ({e})"
+            log(f"COO PPR variant skipped: {e}")
 
     # ---------------- large-batch scaling point ----------------
     # B=2x the headline batch exercises the 128-lane batch tiling in
     # batched_ppr_ell (lax.map over column tiles); throughput must stay
     # monotone in batch size (pre-fix, B=256 was 3.4x the B=128 time).
-    if (os.environ.get("BENCH_B2X", "1") != "0" and probe <= 5.0
-            and not over_deadline("large-batch")):
+    if os.environ.get("BENCH_B2X", "1") == "0":
+        sections["large_batch"] = "skipped (BENCH_B2X=0)"
+    elif degraded:
+        sections["large_batch"] = "skipped (degraded link)"
+    elif not over_deadline("large_batch"):
         try:
             b2 = 2 * batch
             seeds2 = rng.integers(0, num_nodes, size=(b2, 5))
@@ -314,19 +393,24 @@ def main():
             t_b2 = (time.perf_counter() - t0) / reps
             extra["b2x_batch"] = b2
             extra["b2x_batch_ms"] = round(t_b2 * 1e3, 2)
+            sections["large_batch"] = "ok"
             log(
-                f"TPU ELL B={b2}: {t_b2*1e3:.1f}ms per batch -> "
+                f"{dev_label} ELL B={b2}: {t_b2*1e3:.1f}ms per batch -> "
                 f"{b2/t_b2:.1f} q/s"
             )
         except Exception as e:  # noqa: BLE001
+            sections["large_batch"] = f"skipped ({e})"
             log(f"large-batch point skipped: {e}")
 
     # ---------------- big-graph capacity point ----------------
     # Records the single-chip latency at BASELINE.md scale (1M nodes / 20M
     # directed edges by default) so capacity regressions are visible to the
     # driver. BENCH_BIG=0 disables; skipped on a degraded tunnel.
-    if (os.environ.get("BENCH_BIG", "1") != "0" and probe <= 5.0
-            and not cpu_fallback and not over_deadline("big-graph")):
+    if os.environ.get("BENCH_BIG", "1") == "0":
+        sections["big_graph"] = "skipped (BENCH_BIG=0)"
+    elif degraded or cpu_fallback:
+        sections["big_graph"] = "skipped (degraded link or cpu fallback)"
+    elif not over_deadline("big_graph"):
         try:
             from hipporag_tpu.ops.pagerank import normalize_symmetric_coo
 
@@ -361,6 +445,7 @@ def main():
             extra["big_graph_nodes"] = big_nodes
             extra["big_graph_edges"] = len(bs2)
             extra["big_graph_batch_ms"] = round(t_big * 1e3, 1)
+            sections["big_graph"] = "ok"
             log(
                 f"big graph: {big_nodes} nodes / {len(bs2)} directed edges, "
                 f"{t_big*1e3:.0f}ms per {batch}-query batch "
@@ -368,13 +453,18 @@ def main():
             )
             del big_ell, big_reset_dev, outb
         except Exception as e:  # noqa: BLE001
+            sections["big_graph"] = f"skipped ({e})"
             log(f"big-graph section skipped: {e}")
 
-    # ---------------- end-to-end retrieval pipeline ----------------
-    # Index a synthetic corpus with the deterministic mock providers and
-    # time the full retrieve() path (scoring -> rerank -> seeds -> PPR ->
-    # ranking) for one query batch. BENCH_E2E=0 disables.
-    if os.environ.get("BENCH_E2E", "1") != "0" and not over_deadline("e2e"):
+    # ---------------- end-to-end retrieval + incremental indexing ----------------
+    # Index a synthetic corpus with the deterministic mock providers, time
+    # the full retrieve() path for one query batch, then index +10% more
+    # docs and PROVE the capacity-padded executables are reused (zero
+    # compiles) while unchanged queries keep their results. BENCH_E2E=0
+    # disables.
+    if os.environ.get("BENCH_E2E", "1") == "0":
+        sections["e2e"] = "skipped (BENCH_E2E=0)"
+    elif not over_deadline("e2e"):
         try:
             import tempfile
 
@@ -383,11 +473,24 @@ def main():
             n_docs = int(os.environ.get("BENCH_E2E_DOCS", 2000))
             n_q = int(os.environ.get("BENCH_E2E_QUERIES", 128))
             rng_e = np.random.default_rng(3)
-            corpus = [
-                f"Entity{i} of group {rng_e.integers(0, n_docs // 10)} relates to "
-                f"Entity{rng_e.integers(0, n_docs * 3)} and Entity{rng_e.integers(0, n_docs * 3)}."
-                for i in range(n_docs)
-            ]
+            # first increment is LARGE (+40%): it crosses the tight base
+            # capacities and makes the orchestrator re-provision every cap
+            # with graph_capacity_factor headroom (one-time recompiles);
+            # the second increment is small (+2%) and must then compile
+            # NOTHING — the steady-state continual-indexing claim
+            n_grow = int(n_docs * 0.4)
+            n_grow2 = max(n_docs // 50, 8)
+
+            def make_doc(i, prefix="Entity"):
+                return (
+                    f"{prefix}{i} of group {rng_e.integers(0, n_docs // 10)} relates to "
+                    f"{prefix}{rng_e.integers(0, n_docs * 3)} and {prefix}{rng_e.integers(0, n_docs * 3)}."
+                )
+
+            corpus = [make_doc(i) for i in range(n_docs)]
+            # growth docs reference DISJOINT entities so unchanged queries
+            # have no legitimate reason to re-rank toward them
+            growth = [make_doc(i, prefix="Newcomer") for i in range(n_grow)]
             queries = [
                 f"What relates to Entity{rng_e.integers(0, n_docs * 3)}?"
                 for _ in range(n_q)
@@ -412,38 +515,120 @@ def main():
             gi = rag.get_graph_info()
             extra["e2e_graph_nodes"] = gi["num_total_nodes"]
             assert results[0].docs  # sanity BEFORE publishing the numbers
+            sections["e2e"] = "ok"
             log(
                 f"e2e: indexed {n_docs} docs in {t_index:.1f}s "
                 f"({gi['num_total_nodes']} nodes); retrieve {n_q} queries "
                 f"-> {n_q/t_retr:.1f} q/s"
             )
+
+            # ---- incremental indexing (VERDICT r2 #7) ----
+            # two +n_grow increments: the FIRST growth may recompile once
+            # (the orchestrator rebuilds the ELL caps with
+            # graph_capacity_factor headroom on a growth event); the
+            # SECOND must fit inside that headroom and compile NOTHING —
+            # that is the capacity-padding executable-reuse claim.
             try:
-                # interactive serving latency: one query through the small
-                # (b_pad=8) sub-bucket executable, median of 5 after warmup;
-                # own try so a probe failure can't mislabel the batch
-                # numbers already recorded above
-                rag.retrieve(queries[:1])
-                lat = []
-                for q in queries[:5]:
+                jax_loggers = [
+                    logging.getLogger("jax._src.interpreters.pxla"),
+                    logging.getLogger("jax._src.dispatch"),
+                    logging.getLogger("jax._src.compiler"),
+                ]
+
+                def count_compiles(fn):
+                    counter = CompileCounter()
+                    jax.config.update("jax_log_compiles", True)
+                    for lg in jax_loggers:
+                        lg.addFilter(counter)
+                    try:
+                        t0 = time.perf_counter()
+                        out = fn()
+                        return out, time.perf_counter() - t0, counter.count
+                    finally:
+                        jax.config.update("jax_log_compiles", False)
+                        for lg in jax_loggers:
+                            lg.removeFilter(counter)
+
+                growth2 = [make_doc(n_grow + i, prefix="Newcomer")
+                           for i in range(n_grow2)]
+                (_, results_mid), t_incr1, n_comp1 = count_compiles(
+                    lambda: (rag.index(corpus + growth), rag.retrieve(queries))
+                )
+                (_, results2), t_incr2, n_comp2 = count_compiles(
+                    lambda: (
+                        rag.index(corpus + growth + growth2),
+                        rag.retrieve(queries),
+                    )
+                )
+                # across the SMALL increment, unchanged queries should
+                # keep their top-1 doc: the added docs reference disjoint
+                # fresh entities (the +40% provisioning increment is
+                # expected to reshape rankings — that is real growth)
+                stable = float(np.mean([
+                    a.docs[0] == b.docs[0]
+                    for a, b in zip(results_mid, results2)
+                ]))
+                extra["incr_provision_docs"] = n_grow
+                extra["incr_provision_index_s"] = round(t_incr1, 2)
+                extra["incr_provision_recompiles"] = n_comp1
+                extra["incr_added_docs"] = n_grow2
+                extra["incr_index_s"] = round(t_incr2, 2)
+                extra["incr_recompiles"] = n_comp2
+                extra["incr_top1_stable"] = round(stable, 3)
+                sections["incremental_index"] = "ok"
+                log(
+                    f"incremental: provisioning +{n_grow} docs {t_incr1:.1f}s "
+                    f"({n_comp1} compiles, headroom build); steady-state "
+                    f"+{n_grow2} docs {t_incr2:.1f}s ({n_comp2} compiles), "
+                    f"top-1 stable {stable:.3f}"
+                )
+            except Exception as e:  # noqa: BLE001
+                sections["incremental_index"] = f"skipped ({e})"
+                log(f"incremental-index section skipped: {e}")
+
+            # ---- single-query serving latency (VERDICT r2 #5) ----
+            # p50/p99 over the small (b_pad) sub-bucket executable, with
+            # the device graph-search stage (upload+solve+rank, measured
+            # host-side around the device calls) separated from the full
+            # end-to-end time (adds embed/rerank/LLM plumbing + tunnel).
+            try:
+                rag.retrieve(queries[:1])  # warm the b_pad=1-bucket path
+                e2e_lat, dev_lat = [], []
+                for q in queries[:9]:
+                    ppr_before = rag.ppr_time
                     t0 = time.perf_counter()
                     rag.retrieve([q])
-                    lat.append(time.perf_counter() - t0)
-                extra["e2e_single_query_ms"] = round(
-                    sorted(lat)[len(lat) // 2] * 1e3, 1
+                    e2e_lat.append(time.perf_counter() - t0)
+                    dev_lat.append(rag.ppr_time - ppr_before)
+                e2e_lat.sort()
+                dev_lat.sort()
+                n_l = len(e2e_lat)
+                extra["single_query_e2e_ms"] = round(e2e_lat[n_l // 2] * 1e3, 1)
+                extra["single_query_e2e_p99_ms"] = round(e2e_lat[-1] * 1e3, 1)
+                extra["single_query_device_ms"] = round(dev_lat[n_l // 2] * 1e3, 1)
+                sections["serving_latency"] = "ok"
+                log(
+                    f"single-query p50: e2e {extra['single_query_e2e_ms']:.0f} ms "
+                    f"(p99 {extra['single_query_e2e_p99_ms']:.0f}), device "
+                    f"graph-search {extra['single_query_device_ms']:.0f} ms"
                 )
-                log(f"e2e single-query p50: {extra['e2e_single_query_ms']:.0f} ms")
             except Exception as e:  # noqa: BLE001
+                sections["serving_latency"] = f"skipped ({e})"
                 log(f"single-query latency probe skipped: {e}")
         except Exception as e:  # noqa: BLE001
+            sections["e2e"] = f"skipped ({e})"
             log(f"e2e section skipped: {e}")
 
     # ---------------- JAX encoder throughput (MXU) ----------------
     # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing
-    # path's embedding forward. Reports docs/s at seq 256 and the achieved
-    # model FLOP/s (2 * params * tokens estimate) so MXU utilization is
-    # visible. BENCH_ENCODER=0 disables.
-    if (os.environ.get("BENCH_ENCODER", "1") != "0" and probe <= 5.0
-            and not cpu_fallback and not over_deadline("encoder")):
+    # path's embedding forward. Reports docs/s at seq 256, the achieved
+    # model FLOP/s (2 * params * tokens estimate) and, on the real TPU,
+    # MFU vs the v5e bf16 peak. BENCH_ENCODER=0 disables.
+    if os.environ.get("BENCH_ENCODER", "1") == "0":
+        sections["encoder"] = "skipped (BENCH_ENCODER=0)"
+    elif degraded or cpu_fallback:
+        sections["encoder"] = "skipped (degraded link or cpu fallback)"
+    elif not over_deadline("encoder"):
         try:
             from hipporag_tpu import BaseConfig
             from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
@@ -469,17 +654,29 @@ def main():
             flops = 2 * n_params * seq * len(docs_t)
             extra["encoder_docs_per_s"] = round(len(docs_t) / t_enc, 1)
             extra["encoder_tflops"] = round(flops / t_enc / 1e12, 1)
+            if backend == "tpu":
+                extra["encoder_mfu"] = round(
+                    flops / t_enc / 1e12 / V5E_PEAK_BF16_TFLOPS, 3
+                )
+            sections["encoder"] = "ok"
             log(
                 f"jax encoder (768x12, seq {seq}): {len(docs_t)/t_enc:.0f} "
                 f"docs/s, ~{flops/t_enc/1e12:.1f} TFLOP/s achieved"
+                + (
+                    f" (MFU {extra['encoder_mfu']:.1%} of v5e bf16 peak)"
+                    if backend == "tpu" else ""
+                )
             )
         except Exception as e:  # noqa: BLE001
+            sections["encoder"] = f"skipped ({e})"
             log(f"encoder section skipped: {e}")
 
     # ---------------- multi-hop quality: graph vs dense ----------------
     # The central HippoRAG capability claim, measured: 2-hop questions
     # where dense retrieval lacks a bridge to the second document.
-    if os.environ.get("BENCH_QUALITY", "1") != "0" and not over_deadline("quality"):
+    if os.environ.get("BENCH_QUALITY", "1") == "0":
+        sections["multihop_quality"] = "skipped (BENCH_QUALITY=0)"
+    elif not over_deadline("multihop_quality"):
         try:
             import tempfile
 
@@ -503,27 +700,31 @@ def main():
             _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
             extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
             extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
+            sections["multihop_quality"] = "ok"
             log(
                 f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
                 f"vs dense {dense_overall['Recall@2']}"
             )
         except Exception as e:  # noqa: BLE001
+            sections["multihop_quality"] = f"skipped ({e})"
             log(f"quality section skipped: {e}")
 
     # ---------------- dataset-scale quality: 2WikiMultihopQA ----------------
     # Real 6k-passage corpus through the production pipeline with the
     # deterministic OpenIE stand-in + hashing embedder, plus a NumPy twin of
-    # the retrieval math (evaluation/twiki.py). BENCH_2WIKI=0 disables.
+    # the retrieval math and an exact-solver (float64, tol 1e-12) ranking
+    # drift bound (evaluation/twiki.py). BENCH_2WIKI=0 disables.
     twiki_corpus = os.environ.get(
         "BENCH_2WIKI_CORPUS",
         "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json",
     )
-    if (
-        os.environ.get("BENCH_2WIKI", "1") != "0"
-        and os.path.exists(twiki_corpus)
-        and probe <= 5.0
-        and not over_deadline("2wiki")
-    ):
+    if os.environ.get("BENCH_2WIKI", "1") == "0":
+        sections["2wiki"] = "skipped (BENCH_2WIKI=0)"
+    elif not os.path.exists(twiki_corpus):
+        sections["2wiki"] = "skipped (corpus file missing)"
+    elif degraded:
+        sections["2wiki"] = "skipped (degraded link)"
+    elif not over_deadline("2wiki"):
         try:
             import tempfile
 
@@ -536,6 +737,7 @@ def main():
                 n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
                 top_k=20,
                 twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
+                exact_queries=int(os.environ.get("BENCH_2WIKI_EXACT", 0)),
             )
             extra["2wiki_docs"] = res["corpus_docs"]
             extra["2wiki_queries"] = res["num_queries"]
@@ -547,58 +749,78 @@ def main():
             extra["2wiki_rank_agreement"] = res["rank_agreement"]
             extra["2wiki_index_s"] = res["index_s"]
             extra["2wiki_retrieve_s"] = res["retrieve_s"]
+            if res.get("exact"):
+                extra["exact_rank_agreement"] = res["exact"]["agreement"]
+                extra["exact_max_rank_displacement"] = res["exact"][
+                    "max_rank_displacement"
+                ]
+                extra["exact_solver"] = res["exact"]["solver"]
+                extra["exact_queries"] = res["exact"]["queries"]
+            sections["2wiki"] = "ok"
             log(
                 f"2wiki ({res['corpus_docs']} docs, {res['num_queries']} queries): "
+                f"Recall@2 graph {res['recall'][2]} vs dense {res['dense_recall'][2]}; "
                 f"Recall@5 graph {res['recall'][5]} vs dense {res['dense_recall'][5]}; "
                 f"Recall@20 graph {res['recall'][20]} vs dense {res['dense_recall'][20]}; "
                 f"twin rank agreement {res['rank_agreement']}"
+                + (
+                    f"; exact-solver agreement {res['exact']['agreement']}"
+                    if res.get("exact") else ""
+                )
             )
         except Exception as e:  # noqa: BLE001
+            sections["2wiki"] = f"skipped ({e})"
             log(f"2wiki section skipped: {e}")
 
     # ---------------- fused Pallas scoring kernel ----------------
     # TPU-only: the Pallas kernel compiled for the CPU backend runs
     # minutes-slow emulation (tests use interpret=True instead).
-    if jax.default_backend() == "tpu" and not over_deadline("fused-topk"):
-      try:
-        from hipporag_tpu.ops.fused_topk import fused_score_topk
-        from hipporag_tpu.ops.scoring import score_and_topk
+    if backend != "tpu":
+        sections["fused_topk"] = "skipped (non-tpu backend)"
+    elif not over_deadline("fused_topk"):
+        try:
+            from hipporag_tpu.ops.fused_topk import fused_score_topk
+            from hipporag_tpu.ops.scoring import score_and_topk
 
-        nf, dim, bq, kk = 1_000_000, 768, 32, 8
-        if probe > 5.0:
-            nf = 65_536
-        rngs = np.random.default_rng(7)
-        qv = jnp.asarray(rngs.standard_normal((bq, dim)).astype(np.float32))
-        kv = jnp.asarray(rngs.standard_normal((nf, dim)).astype(np.float32))
-        vnf = jnp.asarray(nf, jnp.int32)
-        np.asarray(fused_score_topk(qv, kv, vnf, kk)[2])  # compile
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            o = fused_score_topk(qv, kv, vnf, kk)
-        np.asarray(o[2])
-        t_pl = (time.perf_counter() - t0) / reps
-        np.asarray(score_and_topk(qv, kv, vnf, kk)[2])  # compile
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            o2 = score_and_topk(qv, kv, vnf, kk)
-        np.asarray(o2[2])
-        t_xla = (time.perf_counter() - t0) / reps
-        extra["fused_topk_ms"] = round(t_pl * 1e3, 2)
-        extra["fused_topk_xla_ms"] = round(t_xla * 1e3, 2)
-        extra["fused_topk_gbps"] = round(nf * dim * 4 / t_pl / 1e9, 1)
-        log(
-            f"fused score+topk ({nf} x {dim} facts): pallas {t_pl*1e3:.2f}ms "
-            f"({nf*dim*4/t_pl/1e9:.0f} GB/s) vs xla {t_xla*1e3:.2f}ms"
-        )
-      except Exception as e:  # noqa: BLE001
-        log(f"fused scoring bench skipped: {e}")
+            nf, dim, bq, kk = 1_000_000, 768, 32, 8
+            if degraded:
+                nf = 65_536
+            rngs = np.random.default_rng(7)
+            qv = jnp.asarray(rngs.standard_normal((bq, dim)).astype(np.float32))
+            kv = jnp.asarray(rngs.standard_normal((nf, dim)).astype(np.float32))
+            vnf = jnp.asarray(nf, jnp.int32)
+            np.asarray(fused_score_topk(qv, kv, vnf, kk)[2])  # compile
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = fused_score_topk(qv, kv, vnf, kk)
+            np.asarray(o[2])
+            t_pl = (time.perf_counter() - t0) / reps
+            np.asarray(score_and_topk(qv, kv, vnf, kk)[2])  # compile
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o2 = score_and_topk(qv, kv, vnf, kk)
+            np.asarray(o2[2])
+            t_xla = (time.perf_counter() - t0) / reps
+            extra["fused_topk_ms"] = round(t_pl * 1e3, 2)
+            extra["fused_topk_xla_ms"] = round(t_xla * 1e3, 2)
+            extra["fused_topk_gbps"] = round(nf * dim * 4 / t_pl / 1e9, 1)
+            sections["fused_topk"] = "ok"
+            log(
+                f"fused score+topk ({nf} x {dim} facts): pallas {t_pl*1e3:.2f}ms "
+                f"({nf*dim*4/t_pl/1e9:.0f} GB/s) vs xla {t_xla*1e3:.2f}ms"
+            )
+        except Exception as e:  # noqa: BLE001
+            sections["fused_topk"] = f"skipped ({e})"
+            log(f"fused scoring bench skipped: {e}")
 
-    # effective SpMV bandwidth: per iteration touch ~E*(4B w + 4B idx*2 + 4B gather)
     result = {
         "metric": "batched_ppr_throughput",
-        "value": round(tpu_qps, 2),
+        "value": round(dev_qps, 2),
         "unit": "queries/sec",
-        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "vs_baseline": round(dev_qps / cpu_qps, 2),
+        "backend": backend,
+        "device_kind": device_kind,
+        "cpu_fallback": cpu_fallback,
         "detail": {
             "nodes": num_nodes,
             "directed_edges": int(len(s2)),
@@ -609,8 +831,12 @@ def main():
             # cross-checked against it via max_err_vs_cpu
             "baseline": "serial scipy-CSR PPR, reference-style per-query",
             "cpu_qps": round(cpu_qps, 2),
-            "tpu_batch_ms": round(tpu_time * 1e3, 2),
+            "device_batch_ms": round(dev_time * 1e3, 2),
             "max_err_vs_cpu": max_err,
+            "probe_init_s": round(probe_init_s, 1),
+            "probe_roundtrip_s": round(probe, 3),
+            "reps": reps,
+            "sections": sections,
             **extra,
         },
     }

@@ -303,6 +303,14 @@ class HippoRAG:
         k_needed = min(
             cfg.synonymy_edge_topk, cfg.synonymy_edge_max_neighbors + 8
         )
+        # sticky padded row capacity: incremental indexing grows the
+        # entity count a little each time, and the kNN executables embed
+        # the padded shape — pick_capacity headroom keeps them reusable
+        ent_cap = pick_capacity(
+            len(entity_ids), self._capacities.get("entity_knn"),
+            cfg.graph_capacity_factor, cfg.synonymy_edge_query_batch_size,
+        )
+        self._capacities["entity_knn"] = ent_cap
         with self.timers.track("index/synonymy_knn"):
             p_rows, p_cols, p_scores = retrieve_knn_pairs(
                 embs,
@@ -312,6 +320,7 @@ class HippoRAG:
                 sim_threshold=cfg.synonymy_edge_sim_threshold,
                 query_batch_size=cfg.synonymy_edge_query_batch_size,
                 key_batch_size=cfg.synonymy_edge_key_batch_size,
+                min_rows=ent_cap,
             )
         knn_indices: List[List[int]] = [[] for _ in entity_ids]
         knn_scores: List[List[float]] = [[] for _ in entity_ids]
@@ -543,17 +552,46 @@ class HippoRAG:
         graph_np = coo_np
         if cfg.ppr_format == "ell":
             # scatter-free bucketed-ELL operator: ~2x faster PPR on TPU
-            # than the COO segment-sum path (see ops/pagerank.py)
-            from .ops.pagerank import ell_from_coo
+            # than the COO segment-sum path (see ops/pagerank.py).
+            # Shape policy (recompile amortization): the first build uses
+            # TIGHT row caps (fastest PPR — every padding row costs a
+            # gathered row); an incremental re-index first tries the
+            # previous caps as minimums, and if the graph outgrew any of
+            # them, rebuilds once WITH graph_capacity_factor headroom so
+            # subsequent small increments change no shapes at all
+            # (pick_capacity semantics, applied to the ELL row caps).
+            from .ops.pagerank import ell_caps, ell_from_coo
 
-            graph_np = ell_from_coo(
-                coo_np.src,
-                coo_np.dst,
-                coo_np.w_norm,
-                coo_np.dangling,
-                int(coo_np.num_nodes),
-                node_cap,
-            )
+            def build_ell(min_caps):
+                return ell_from_coo(
+                    coo_np.src,
+                    coo_np.dst,
+                    coo_np.w_norm,
+                    coo_np.dangling,
+                    int(coo_np.num_nodes),
+                    node_cap,
+                    min_caps=min_caps,
+                )
+
+            prev_caps = self._capacities.get("ell")
+            graph_np = build_ell(prev_caps)
+            new_caps = ell_caps(graph_np)
+            if prev_caps is not None and new_caps != prev_caps:
+                f = cfg.graph_capacity_factor
+
+                def grow(c):
+                    return -(-int(np.ceil(c * f)) // 128) * 128 if c else 0
+
+                headroom = {
+                    "bucket_rows": tuple(
+                        grow(c) for c in new_caps["bucket_rows"]
+                    ),
+                    "hub_rows": grow(new_caps["hub_rows"]),
+                    "n_hub_cap": grow(new_caps["n_hub_cap"]),
+                }
+                graph_np = build_ell(headroom)
+                new_caps = ell_caps(graph_np)
+            self._capacities["ell"] = new_caps
 
         fact_cap = pick_capacity(
             len(self.fact_node_keys), self._capacities["fact"], cfg.graph_capacity_factor, 128

@@ -167,8 +167,14 @@ def retrieve_knn_pairs(
     key_batch_size: int = 10000,
     cap_per_row: int = 8,
     shared_queries_keys: bool | None = None,
+    min_rows: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Above-threshold kNN pairs: (rows, cols, scores) numpy arrays.
+
+    ``min_rows`` pins the padded query-row count (and, in the shared
+    synonymy case, the key-row count) to at least that capacity so the
+    compiled executables survive incremental entity growth — the
+    orchestrator passes a sticky pick_capacity value.
 
     Synonymy construction only consumes neighbors with cosine >=
     sim_threshold (a handful per entity), so the [Nq, k] result matrices
@@ -194,10 +200,22 @@ def retrieve_knn_pairs(
         if shared_queries_keys
         else np.ascontiguousarray(key_vecs, dtype=np.float32)
     )
-    k = min(k, num_keys)
+    # clamp k to the key count, but rounded up to a sublane multiple: an
+    # exact-num_keys k would bake the entity count into the executable
+    # shape (extra slots score -inf and never pass the threshold)
+    if k > num_keys:
+        k = -(-num_keys // 8) * 8
     n = queries.shape[0]
-    qbs = min(query_batch_size, n)
+    # ALWAYS use the configured batch width (padding the query set up to
+    # it) instead of the exact query count: incremental indexing grows the
+    # entity count a little each time, and any n-derived width would
+    # recompile on every growth (the incremental-index bench pins
+    # recompiles == 0). The padded rows are masked via n_real and cost
+    # only a sliver of matmul time.
+    qbs = query_batch_size
     n_pad = -(-n // qbs) * qbs
+    if min_rows:
+        n_pad = max(n_pad, -(-min_rows // qbs) * qbs)
     q_host = (
         np.pad(queries, ((0, n_pad - n), (0, 0))) if n_pad != n else queries
     )
@@ -206,13 +224,20 @@ def retrieve_knn_pairs(
         queries.shape == keys.shape
         and queries.ctypes.data == keys.ctypes.data
     )
-    # key padding rows (from the shared query padding) are masked by valid_k
-    keys_dev = queries_dev if shared else jax.device_put(keys)
+    if shared:
+        # key padding rows (from the shared query padding) are masked by
+        # valid_k; the padded row count always covers the rounded k
+        keys_dev = queries_dev
+    else:
+        if keys.shape[0] < k:
+            # rounded k may exceed the raw key rows; zero-pad (masked rows)
+            keys = np.pad(keys, ((0, k - keys.shape[0]), (0, 0)))
+        keys_dev = jax.device_put(keys)
     valid_k = jnp.asarray(num_keys, dtype=jnp.int32)
     n_real = jnp.asarray(n, jnp.int32)
     thr = jnp.asarray(sim_threshold, jnp.float32)
-    # k <= num_keys <= keys rows, so the inner min(k, nk) never bites and
-    # the [B, k] result width is exactly k
+    # k <= keys rows in both branches, so the inner min(k, nk) never bites
+    # and the [B, k] result width is exactly k
     cap0 = qbs * cap_per_row
 
     def batch_compact(start: int, cap: int):

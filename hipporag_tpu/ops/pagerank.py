@@ -396,6 +396,73 @@ DEFAULT_BUCKET_WIDTHS = tuple(range(1, 17)) + (
 )
 
 
+def ell_caps(graph: ELLGraph) -> dict:
+    """Extract the shape capacities of an ELLGraph, to be passed back into
+    ``ell_from_coo(min_caps=...)`` on the next incremental rebuild so the
+    compiled executables (whose shapes embed these caps) are reused."""
+    return {
+        "bucket_rows": tuple(int(i.shape[0]) for i in graph.bucket_idx),
+        "hub_rows": int(graph.hub_idx.shape[0]),
+        "n_hub_cap": int(graph.hub_zero.shape[0]),
+    }
+
+
+def _apply_min_caps(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap,
+                    local_inv, min_caps):
+    """Grow the packed ELL parts to at least the previous build's caps.
+
+    Shape stickiness is what makes incremental indexing recompile-free:
+    without it, any bucket whose row count crosses a row_multiple boundary
+    changes the ELLGraph pytree shapes and forces a fresh XLA compile of
+    every consumer. Growth pads rows with weight-0 entries (free in the
+    solve: they gather slot 0 with weight 0) and shifts the slot layout
+    (local_inv / hub_seg) to the new block offsets.
+    """
+    import numpy as np
+
+    old_caps = [int(a.shape[0]) for a in b_idx]
+    want = list(min_caps.get("bucket_rows", ()))
+    if len(want) != len(old_caps):
+        return b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv
+    new_caps = [max(c, m) for c, m in zip(old_caps, want)]
+    old_r = int(hub_idx.shape[0])
+    new_r = max(old_r, int(min_caps.get("hub_rows", 0)))
+    old_nh, new_nh = int(n_hub_cap), max(int(n_hub_cap), int(min_caps.get("n_hub_cap", 0)))
+    if new_caps == old_caps and new_r == old_r and new_nh == old_nh:
+        return b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv
+
+    b_idx = [
+        np.pad(a, ((0, nc - oc), (0, 0)))
+        for a, oc, nc in zip(b_idx, old_caps, new_caps)
+    ]
+    b_wgt = [
+        np.pad(a, ((0, nc - oc), (0, 0)))
+        for a, oc, nc in zip(b_wgt, old_caps, new_caps)
+    ]
+    hub_idx = np.pad(hub_idx, ((0, new_r - old_r), (0, 0)))
+    hub_wgt = np.pad(hub_wgt, ((0, new_r - old_r), (0, 0)))
+    hub_seg = np.pad(
+        np.asarray(hub_seg), (0, new_r - old_r), constant_values=old_nh
+    )
+    # pad hub rows point at the discard segment, whose id is the hub cap
+    hub_seg = np.where(hub_seg == old_nh, new_nh, hub_seg).astype(np.int32)
+
+    old_bases = np.cumsum([0] + old_caps)
+    new_bases = np.cumsum([0] + new_caps)
+    old_zero = int(old_bases[-1]) + old_nh
+    new_zero = int(new_bases[-1]) + new_nh
+    li = np.asarray(local_inv)
+    # block of each slot: bucket i for s in [old_bases[i], old_bases[i+1]),
+    # the hub block (index nb) for anything at or past sum(old_caps)
+    block = np.searchsorted(old_bases[1:], li, side="right")
+    shift = np.concatenate(
+        [new_bases[:-1] - old_bases[:-1], [new_bases[-1] - old_bases[-1]]]
+    )
+    out = li + shift[np.minimum(block, len(old_caps))]
+    out[li == old_zero] = new_zero  # zero-row marker moves with the layout
+    return b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, new_nh, out.astype(np.int32)
+
+
 def ell_from_coo(
     src,
     dst,
@@ -406,13 +473,17 @@ def ell_from_coo(
     bucket_widths=DEFAULT_BUCKET_WIDTHS,
     hub_width: int = 512,
     row_multiple: int = 128,
+    min_caps: dict | None = None,
 ) -> ELLGraph:
     """Host-side conversion from dst-sorted COO (numpy) to ELLGraph.
 
     Padded COO entries (w_norm == 0) are dropped. Per-bucket idx/wgt
     arrays are padded to the bucket width with weight-0 entries, and row
     counts round up to ``row_multiple`` so small incremental graph growth
-    keeps array shapes (and therefore compiled executables) stable.
+    keeps array shapes (and therefore compiled executables) stable;
+    ``min_caps`` (from ``ell_caps`` of the previous build) additionally
+    pins every cap to at least its previous value, making incremental
+    rebuilds recompile-free even across row_multiple boundaries.
     """
     import numpy as np
 
@@ -430,6 +501,13 @@ def ell_from_coo(
     from ..graph import native as _native
 
     def _build(b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap, local_inv):
+        if min_caps:
+            (b_idx, b_wgt, hub_idx, hub_wgt, hub_seg, n_hub_cap,
+             local_inv) = _apply_min_caps(
+                list(b_idx), list(b_wgt), np.asarray(hub_idx),
+                np.asarray(hub_wgt), np.asarray(hub_seg), n_hub_cap,
+                np.asarray(local_inv), min_caps,
+            )
         local_inv = np.asarray(local_inv)
         caps = [i.shape[0] for i in b_idx]
         zero_row = sum(caps) + n_hub_cap
@@ -635,6 +713,16 @@ def _stalled2(
     )
 
 
+def ell_gathered_rows_per_iter(graph: ELLGraph) -> int:
+    """Gathered [B]-lane rows per PPR iteration over this ELL operator
+    (every ELL entry — including width/row_multiple padding — costs one
+    gathered row; the measured v5e cost is ~4-8 ns/row, descriptor-bound).
+    Used by the bench's roofline accounting (SURVEY.md §6)."""
+    rows = sum(int(i.shape[0]) * int(i.shape[1]) for i in graph.bucket_idx)
+    rows += int(graph.hub_idx.shape[0]) * int(graph.hub_idx.shape[1])
+    return rows
+
+
 # Batch-axis tile for the ELL solve. XLA's ELL gather hits a latency
 # cliff once the trailing (lane) axis exceeds one 128-lane tile: on v5e
 # the 200k-node bench graph costs 16.8 ms/iter at B<=128 but 60 ms/iter
@@ -646,10 +734,12 @@ _PPR_BATCH_TILE = 128
 
 
 def tile_columns(solve_fn, r_slot: Array, rdm: Array):
-    """Run ``solve_fn(r_slot, rdm) -> (p_slot, c)`` in sequential
-    _PPR_BATCH_TILE-wide column tiles when the batch axis exceeds one
-    128-lane tile (see _PPR_BATCH_TILE). Shared by the single-chip and
-    sharded halo solvers so the padding/layout conventions can't diverge.
+    """Run ``solve_fn(r_slot, rdm) -> tuple of [*, b] arrays`` in
+    sequential _PPR_BATCH_TILE-wide column tiles when the batch axis
+    exceeds one 128-lane tile (see _PPR_BATCH_TILE). Shared by the
+    single-chip and sharded halo solvers so the padding/layout
+    conventions can't diverge. ``solve_fn`` may return any number of
+    outputs as long as each has the batch as its trailing axis.
 
     Padded columns have r = 0 and stay identically 0, contributing
     nothing to their tile's residual. Safe under collectives inside
@@ -661,23 +751,26 @@ def tile_columns(solve_fn, r_slot: Array, rdm: Array):
     tile = _PPR_BATCH_TILE
     n_tiles = -(-b // tile)
     pad = n_tiles * tile - b
-    s = r_slot.shape[0]
-    r_tiles = jnp.moveaxis(
-        jnp.pad(r_slot, ((0, 0), (0, pad))).reshape(s, n_tiles, tile), 1, 0
+
+    def _tile(col):
+        s = col.shape[0]
+        return jnp.moveaxis(
+            jnp.pad(col, ((0, 0), (0, pad))).reshape(s, n_tiles, tile), 1, 0
+        )
+
+    def _untile(out):
+        s = out.shape[1]
+        return jnp.moveaxis(out, 0, 1).reshape(s, n_tiles * tile)[:, :b]
+
+    outs = jax.lax.map(
+        lambda args: solve_fn(*args), (_tile(r_slot), _tile(rdm))
     )
-    rdm_tiles = jnp.moveaxis(
-        jnp.pad(rdm, ((0, 0), (0, pad))).reshape(1, n_tiles, tile), 1, 0
-    )
-    p_tiles, c_tiles = jax.lax.map(
-        lambda args: solve_fn(*args), (r_tiles, rdm_tiles)
-    )
-    p_slot = jnp.moveaxis(p_tiles, 0, 1).reshape(s, n_tiles * tile)[:, :b]
-    c = jnp.moveaxis(c_tiles, 0, 1).reshape(1, n_tiles * tile)[:, :b]
-    return p_slot, c
+    return tuple(_untile(o) for o in outs)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "compute_dtype", "accel")
+    jax.jit,
+    static_argnames=("max_iters", "compute_dtype", "accel", "return_iters"),
 )
 def batched_ppr_ell(
     graph: ELLGraph,
@@ -687,8 +780,14 @@ def batched_ppr_ell(
     tol: float | Array = 1.0e-8,
     compute_dtype: str | None = None,
     accel: str = "power",
+    return_iters: bool = False,
 ) -> Array:
     """batched_ppr over the scatter-free ELL operator (same semantics).
+
+    With ``return_iters=True`` returns ``(p, iters)`` where ``iters`` is
+    the per-query iteration count actually executed ([B] int32; columns in
+    the same 128-lane tile share a while-loop and therefore a count) — the
+    bench uses it for roofline math (gathered rows = ELL entries x iters).
 
     The iteration runs in slot space (see ELLGraph): reset is permuted in
     once, the result permuted out once. Zero-in-degree nodes are carried by
@@ -770,7 +869,7 @@ def batched_ppr_ell(
             x1, c1 = step(x0, c0)
             omega1 = 1.0 / (1.0 - rho2 / 2.0)
             inf = jnp.asarray(jnp.inf, r_slot.dtype)
-            _, _, p_slot, c, _, _, _, _ = jax.lax.while_loop(
+            _, _, p_slot, c, _, _, _, it = jax.lax.while_loop(
                 cond_c,
                 body_c,
                 (x0, c0, x1, c1, jnp.asarray(omega1, r_slot.dtype), inf, inf, 1),
@@ -795,12 +894,13 @@ def batched_ppr_ell(
                 return p_next, c_next, err_prev, err, err_next, it + 1
 
             inf = jnp.asarray(jnp.inf, r_slot.dtype)
-            p_slot, c, _, _, _, _ = jax.lax.while_loop(
+            p_slot, c, _, _, _, it = jax.lax.while_loop(
                 cond, body, (r_slot, one, inf, inf, inf, 0)
             )
-        return p_slot, c
+        it_row = jnp.full((1, r_slot.shape[1]), it, jnp.int32)
+        return p_slot, c, it_row
 
-    p_slot, c = tile_columns(_solve, r_slot, reset_dangling_mass)
+    p_slot, c, it_row = tile_columns(_solve, r_slot, reset_dangling_mass)
 
     # back to natural order: slots for live nodes, c·r for zero-in-degree
     zero_row = graph.slot_to_node.shape[0] - 1
@@ -809,4 +909,6 @@ def batched_ppr_ell(
         c * r_T,
         p_slot[graph.local_inv],
     )
+    if return_iters:
+        return p_T.T, it_row[0]
     return p_T.T

@@ -357,6 +357,67 @@ def test_batched_ppr_ell_tiled_batch_matches_coo():
     np.testing.assert_allclose(got[:2], anchor, rtol=1e-5, atol=1e-7)
 
 
+def test_ell_min_caps_keep_shapes_and_results():
+    """Sticky ELL capacities (incremental-index recompile avoidance): a
+    grown graph rebuilt with the previous build's min_caps must keep every
+    pytree shape (so jitted consumers are reused) AND solve to the same
+    answer as a fresh build of the grown graph."""
+    import numpy as np
+
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        batched_ppr_ell, ell_caps, ell_from_coo, normalize_symmetric_coo,
+    )
+
+    rng = np.random.default_rng(23)
+    n, node_cap = 700, round_up(700, 128)
+
+    def build_coo(n_edges, seed):
+        r = np.random.default_rng(seed)
+        src = r.integers(0, n, n_edges)
+        dst = r.integers(0, n, n_edges)
+        keep = src != dst
+        w = r.uniform(0.5, 2.0, keep.sum()).astype(np.float32)
+        return normalize_symmetric_coo(src[keep], dst[keep], w, n, node_cap)
+
+    kw = dict(bucket_widths=(2, 4, 8, 16), hub_width=64, row_multiple=16)
+    s2, d2, wn, dang = build_coo(2000, 1)
+    ell_small = ell_from_coo(s2, d2, wn, dang, n, node_cap, **kw)
+    caps = ell_caps(ell_small)
+
+    # grown graph: 2.5x the edges shifts nodes between degree buckets and
+    # grows hub rows — without min_caps the shapes change
+    s3, d3, wn3, dang3 = build_coo(5000, 2)
+    fresh = ell_from_coo(s3, d3, wn3, dang3, n, node_cap, **kw)
+    sticky = ell_from_coo(
+        s3, d3, wn3, dang3, n, node_cap, min_caps=caps, **kw
+    )
+    grown_caps = ell_caps(sticky)
+    for key in ("bucket_rows", "hub_rows", "n_hub_cap"):
+        want = caps[key]
+        got = grown_caps[key]
+        if isinstance(want, tuple):
+            assert all(g >= w_ for g, w_ in zip(got, want)), (key, got, want)
+        else:
+            assert got >= want, (key, got, want)
+
+    # and the DOWN direction: rebuilding the SMALL graph with the grown
+    # caps keeps the grown shapes exactly (this is the executable-reuse
+    # case after a delete/shrink)
+    shrunk = ell_from_coo(s2, d2, wn, dang, n, node_cap, min_caps=grown_caps, **kw)
+    assert ell_caps(shrunk) == grown_caps
+
+    reset = np.zeros((4, node_cap), np.float32)
+    for i in range(4):
+        reset[i, rng.integers(0, n, 3)] = rng.uniform(0.3, 1.0, 3)
+    want = np.asarray(batched_ppr_ell(fresh, jnp.asarray(reset)))
+    got = np.asarray(batched_ppr_ell(sticky, jnp.asarray(reset)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+    got_small_fresh = np.asarray(batched_ppr_ell(ell_small, jnp.asarray(reset)))
+    got_small_sticky = np.asarray(batched_ppr_ell(shrunk, jnp.asarray(reset)))
+    np.testing.assert_allclose(got_small_sticky, got_small_fresh, rtol=1e-6, atol=1e-8)
+
+
 def test_batched_ppr_ell_chebyshev_matches_power():
     import numpy as np
 
