@@ -141,6 +141,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 128))
     max_iters = int(os.environ.get("BENCH_ITERS", 64))
     damping, tol = 0.5, 1e-8
+    # the deadline clock starts AFTER the backend decision (see below):
+    # probe/retry delays during a degraded-tunnel episode must not eat
+    # the budget of the measurement sections
     bench_start = time.perf_counter()
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
     sections: dict[str, str] = {}
@@ -245,6 +248,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         log("accelerator backend init hung twice; falling back to CPU backend")
 
+    bench_start = time.perf_counter()  # restart the section-deadline clock
     probe = probe_device_health()
     backend = jax.default_backend()
     device_kind = jax.devices()[0].device_kind
@@ -296,6 +300,13 @@ def main():
         return_iters=True,
     )
     iters_np = np.asarray(iters_arr)
+    # warm the NON-return_iters executable too — it is a distinct static
+    # signature and is the one the timed loop runs (without this, the
+    # first timed rep silently pays its compile)
+    out = batched_ppr_ell(
+        ell, reset_dev, damping=damping, max_iters=max_iters, tol=tol
+    )
+    np.asarray(out[0, 0])
 
     # numeric cross-check vs CPU baseline
     out_np = np.asarray(out[:n_cpu, :num_nodes], dtype=np.float64)

@@ -42,7 +42,8 @@ def test_pipeline_matches_numpy_twin_and_beats_dense(tmp_path):
     from hipporag_tpu.evaluation.twiki import run_2wiki_eval
 
     res = run_2wiki_eval(
-        CORPUS, save_dir=str(tmp_path), n_queries=12, n_docs=250, top_k=20
+        CORPUS, save_dir=str(tmp_path), n_queries=12, n_docs=250, top_k=20,
+        exact_queries=12,
     )
     assert res["num_queries"] == 12
     # TPU pipeline vs independent NumPy twin: VERDICT r1 #1 requires >= 0.99
@@ -52,6 +53,10 @@ def test_pipeline_matches_numpy_twin_and_beats_dense(tmp_path):
         assert abs(res["twin_recall"][k] - res["recall"][k]) < 0.1, res
     # the central capability claim on real text: graph >= dense at recall@20
     assert res["recall"][20] >= res["dense_recall"][20], res
+    # exact-solver drift bound (VERDICT r2 #6): the stall-exit f32 solver's
+    # top-20 must match the float64 tol-1e-12 serial solve
+    assert res["exact"]["agreement"] >= 0.99, res["exact"]
+    assert res["exact"]["max_rank_displacement"] <= 1, res["exact"]
     json.dumps(res)  # serializable for the bench JSON
 
 
