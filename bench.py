@@ -234,8 +234,11 @@ def main():
                 "retrying once..."
             )
             time.sleep(min(60.0, probe_timeout / 4))
+            t1 = time.perf_counter()
             hung = backend_init_hangs(probe_timeout)
-            probe_init_s = time.perf_counter() - t0
+            # actual probing time only — the fixed backoff sleep is not
+            # probe cost and must not inflate the reported number
+            probe_init_s += time.perf_counter() - t1
         cpu_fallback = hung
 
     import jax
@@ -256,6 +259,14 @@ def main():
     log(f"backend: {backend} ({device_kind}); roundtrip probe {probe:.3f}s")
     degraded = probe > 5.0
     reps = 1 if (degraded or backend != "tpu") else 3
+    if cpu_fallback and "BENCH_BATCH" not in os.environ:
+        # CPU fallback keeps the GRAPH at headline scale (so vs_baseline
+        # stays scale-comparable) but shrinks the batch: the full 128-lane
+        # batched solve on the CPU backend would run for many minutes and
+        # risk never emitting the JSON line. The batch size is recorded in
+        # the JSON; q/s is per-batch throughput at the recorded batch.
+        batch = min(batch, 32)
+        log(f"cpu fallback: batch reduced to {batch} (graph scale kept)")
 
     from hipporag_tpu.graph.csr import round_up
     from hipporag_tpu.ops.pagerank import (
@@ -379,8 +390,8 @@ def main():
     # monotone in batch size (pre-fix, B=256 was 3.4x the B=128 time).
     if os.environ.get("BENCH_B2X", "1") == "0":
         sections["large_batch"] = "skipped (BENCH_B2X=0)"
-    elif degraded:
-        sections["large_batch"] = "skipped (degraded link)"
+    elif degraded or cpu_fallback:
+        sections["large_batch"] = "skipped (degraded link or cpu fallback)"
     elif not over_deadline("large_batch"):
         try:
             b2 = 2 * batch
@@ -741,6 +752,13 @@ def main():
 
             from hipporag_tpu.evaluation.twiki import run_2wiki_eval
 
+            # BENCH_2WIKI_EXACT: unset/"all" = every query, "0" = off
+            # (matching the other BENCH_*=0 disable convention), N = first N
+            exact_env = os.environ.get("BENCH_2WIKI_EXACT", "all")
+            exact_q = (
+                None if exact_env == "0"
+                else 0 if exact_env == "all" else int(exact_env)
+            )
             res = run_2wiki_eval(
                 twiki_corpus,
                 save_dir=tempfile.mkdtemp(),
@@ -748,7 +766,7 @@ def main():
                 n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
                 top_k=20,
                 twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
-                exact_queries=int(os.environ.get("BENCH_2WIKI_EXACT", 0)),
+                exact_queries=exact_q,
             )
             extra["2wiki_docs"] = res["corpus_docs"]
             extra["2wiki_queries"] = res["num_queries"]

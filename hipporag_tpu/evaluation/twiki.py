@@ -196,16 +196,29 @@ def _twin_seeds(rag, queries: List[str]) -> Dict:
     }
 
 
-def numpy_retrieval_twin(rag, queries: List[str], top_k: int = 20) -> List[List[str]]:
+def _slice_seeds(s: Dict, n: int) -> Dict:
+    """First-n-queries view of a _twin_seeds dict (per-query arrays are
+    sliced; the shared operator arrays pass through)."""
+    out = dict(s)
+    for key in ("reset", "dpr_norm", "has_facts"):
+        out[key] = s[key][:n]
+    return out
+
+
+def numpy_retrieval_twin(
+    rag, queries: List[str], top_k: int = 20, seeds: Dict | None = None
+) -> List[List[str]]:
     """Host-side reimplementation of retrieve() (ref HippoRAG.py:1427-1656).
 
     Uses only host data (GraphBuilder dicts, parquet stores, the embedder)
     and scipy/numpy math — no JAX. Returns top_k doc texts per query.
+    ``seeds`` (a precomputed ``_twin_seeds`` dict covering at least these
+    queries) avoids re-deriving the operator and seed construction.
     """
     import scipy.sparse as sp
 
     cfg = rag.global_config
-    s = _twin_seeds(rag, queries)
+    s = _slice_seeds(seeds, len(queries)) if seeds else _twin_seeds(rag, queries)
     n, d = s["n"], s["damping"]
     T = sp.csr_matrix((s["w_norm"], (s["dst"], s["src"])), shape=(n, n))
     dangling = s["dangling"]
@@ -235,7 +248,11 @@ def numpy_retrieval_twin(rag, queries: List[str], top_k: int = 20) -> List[List[
 
 
 def exact_rank_check(
-    rag, queries: List[str], tpu_doc_lists: List[List[str]], top_k: int = 20
+    rag,
+    queries: List[str],
+    tpu_doc_lists: List[List[str]],
+    top_k: int = 20,
+    seeds: Dict | None = None,
 ) -> Dict:
     """Bound the production solver's ranking drift against the EXACT solver
     (VERDICT r2 #6): solve every query's PPR with the native serial
@@ -249,7 +266,7 @@ def exact_rank_check(
     """
     from ..graph import native as _native
 
-    s = _twin_seeds(rag, queries)
+    s = _slice_seeds(seeds, len(queries)) if seeds else _twin_seeds(rag, queries)
     n, d = s["n"], s["damping"]
     src32 = np.ascontiguousarray(s["src"], np.int32)
     dst32 = np.ascontiguousarray(s["dst"], np.int32)
@@ -388,8 +405,17 @@ def run_2wiki_eval(
     dense_results, dense_recall = rag.retrieve_dpr(questions, gold_docs=gold_docs)
 
     nt = twin_queries or len(questions)
+    ne = (
+        None if exact_queries is None else (exact_queries or len(questions))
+    )
+    # one seed-construction pass covers both the NumPy twin and the
+    # exact-solver check (operator build + fact scoring + reset vectors
+    # are the dominant host cost and identical for both)
+    seeds = _twin_seeds(rag, questions[: max(nt, ne or 0)])
     t0 = time.time()
-    twin_docs = numpy_retrieval_twin(rag, questions[:nt], top_k=top_k)
+    twin_docs = numpy_retrieval_twin(
+        rag, questions[:nt], top_k=top_k, seeds=seeds
+    )
     twin_s = time.time() - t0
     overlaps = []
     for got, want in zip(results[:nt], twin_docs):
@@ -401,11 +427,11 @@ def run_2wiki_eval(
     )
 
     exact = None
-    if exact_queries is not None:
-        ne = exact_queries or len(questions)
+    if ne is not None:
         t0 = time.time()
         exact = exact_rank_check(
-            rag, questions[:ne], [r.docs for r in results[:ne]], top_k=top_k
+            rag, questions[:ne], [r.docs for r in results[:ne]], top_k=top_k,
+            seeds=seeds,
         )
         exact["check_s"] = round(time.time() - t0, 1)
         logger.info("2wiki exact-solver check: %s", exact)

@@ -437,7 +437,7 @@ class HippoRAG:
         # NOT force the device-graph build: at 1M-node scale that would
         # turn a bookkeeping op into a multi-second compile, and the device
         # state is invalidated below anyway (ready_to_retrieve = False)
-        self._ensure_host_refcounts()
+        all_openie_info = self._ensure_host_refcounts()
 
         current = set(self.chunk_embedding_store.get_all_texts())
         docs_to_delete = [d for d in docs_to_delete if d in current]
@@ -446,8 +446,6 @@ class HippoRAG:
         }
         if not chunk_ids_to_delete:
             return
-
-        all_openie_info, _ = self.load_existing_openie([])
         triples_to_delete, remaining = [], []
         triples_by_chunk: Dict[str, List] = {}
         for doc in all_openie_info:
@@ -506,7 +504,8 @@ class HippoRAG:
         """Rebuild entity→chunk refcounts + triple→docs map from the
         OpenIE JSON (host-side only — no device work). Used by both
         prepare_retrieval_objects and delete(); deletion needs the
-        refcounts but must not pay the device-graph compile."""
+        refcounts but must not pay the device-graph compile. Returns the
+        loaded OpenIE info so callers don't re-parse the JSON."""
         all_openie_info, _ = self.load_existing_openie([])
         self.proc_triples_to_docs: Dict[str, Set[str]] = {}
         if all_openie_info and not self.graph.ent_node_to_chunk_ids:
@@ -520,6 +519,7 @@ class HippoRAG:
             for t in flatten_facts([filter_invalid_triples(doc["extracted_triples"])]):
                 key = _fact_text(tuple(text_processing(list(t))))
                 self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
+        return all_openie_info
 
     def prepare_retrieval_objects(self):
         import jax

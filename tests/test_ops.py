@@ -418,6 +418,46 @@ def test_ell_min_caps_keep_shapes_and_results():
     np.testing.assert_allclose(got_small_sticky, got_small_fresh, rtol=1e-6, atol=1e-8)
 
 
+def test_ell_min_caps_numpy_path_matches_native(monkeypatch):
+    """The numpy fallback packer must produce the same ELLGraph as the
+    native C++ packer under min_caps (both route through _build, but the
+    pre-_build layouts differ — this pins them)."""
+    import numpy as np
+
+    import hipporag_tpu.graph.native as native_mod
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import (
+        ell_caps, ell_from_coo, normalize_symmetric_coo,
+    )
+
+    if not native_mod.native_available():
+        pytest.skip("native graph core not built")
+
+    rng = np.random.default_rng(31)
+    n, node_cap = 600, round_up(600, 128)
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    keep = src != dst
+    w = rng.uniform(0.5, 2.0, keep.sum()).astype(np.float32)
+    s2, d2, wn, dang = normalize_symmetric_coo(src[keep], dst[keep], w, n, node_cap)
+
+    kw = dict(bucket_widths=(2, 4, 8, 16), hub_width=64, row_multiple=16)
+    min_caps = {
+        "bucket_rows": (64, 160, 64, 32),
+        "hub_rows": 32,
+        "n_hub_cap": 128,
+    }
+    ell_native = ell_from_coo(s2, d2, wn, dang, n, node_cap, min_caps=min_caps, **kw)
+    monkeypatch.setattr(native_mod, "ell_pack", lambda *a, **k: None)
+    ell_numpy = ell_from_coo(s2, d2, wn, dang, n, node_cap, min_caps=min_caps, **kw)
+
+    import jax
+
+    assert ell_caps(ell_native) == ell_caps(ell_numpy)
+    for a, b in zip(jax.tree.leaves(ell_native), jax.tree.leaves(ell_numpy)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_batched_ppr_ell_chebyshev_matches_power():
     import numpy as np
 
