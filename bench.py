@@ -145,7 +145,11 @@ def main():
     # probe/retry delays during a degraded-tunnel episode must not eat
     # the budget of the measurement sections
     bench_start = time.perf_counter()
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    # measured full-run section time on the tunneled v5e is ~30 min (bulk
+    # uploads dominate); the default budget must cover it or the
+    # highest-value late sections (2wiki quality + exact-solver check)
+    # silently drop
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 2400))
     sections: dict[str, str] = {}
 
     def over_deadline(section: str) -> bool:
@@ -641,96 +645,6 @@ def main():
             sections["e2e"] = f"skipped ({e})"
             log(f"e2e section skipped: {e}")
 
-    # ---------------- JAX encoder throughput (MXU) ----------------
-    # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing
-    # path's embedding forward. Reports docs/s at seq 256, the achieved
-    # model FLOP/s (2 * params * tokens estimate) and, on the real TPU,
-    # MFU vs the v5e bf16 peak. BENCH_ENCODER=0 disables.
-    if os.environ.get("BENCH_ENCODER", "1") == "0":
-        sections["encoder"] = "skipped (BENCH_ENCODER=0)"
-    elif degraded or cpu_fallback:
-        sections["encoder"] = "skipped (degraded link or cpu fallback)"
-    elif not over_deadline("encoder"):
-        try:
-            from hipporag_tpu import BaseConfig
-            from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
-
-            enc_cfg = BaseConfig(
-                embedding_model_name="jax/random-768x12",
-                embedding_max_seq_len=256,
-                embedding_batch_size=256,
-            )
-            enc = JaxEncoderEmbeddingModel(enc_cfg)
-            rng_t = np.random.default_rng(7)
-            words = [f"w{i:03d}" for i in range(5000)]
-            docs_t = [
-                " ".join(rng_t.choice(words, size=220)) for _ in range(512)
-            ]
-            enc.batch_encode(docs_t[:256])  # compile + warmup
-            t0 = time.perf_counter()
-            out_e = enc.batch_encode(docs_t)
-            t_enc = time.perf_counter() - t0
-            assert out_e.shape[0] == len(docs_t)
-            d_model, n_layers, seq = 768, 12, 256
-            n_params = n_layers * 12 * d_model * d_model  # attn+ffn weights
-            flops = 2 * n_params * seq * len(docs_t)
-            extra["encoder_docs_per_s"] = round(len(docs_t) / t_enc, 1)
-            extra["encoder_tflops"] = round(flops / t_enc / 1e12, 1)
-            if backend == "tpu":
-                extra["encoder_mfu"] = round(
-                    flops / t_enc / 1e12 / V5E_PEAK_BF16_TFLOPS, 3
-                )
-            sections["encoder"] = "ok"
-            log(
-                f"jax encoder (768x12, seq {seq}): {len(docs_t)/t_enc:.0f} "
-                f"docs/s, ~{flops/t_enc/1e12:.1f} TFLOP/s achieved"
-                + (
-                    f" (MFU {extra['encoder_mfu']:.1%} of v5e bf16 peak)"
-                    if backend == "tpu" else ""
-                )
-            )
-        except Exception as e:  # noqa: BLE001
-            sections["encoder"] = f"skipped ({e})"
-            log(f"encoder section skipped: {e}")
-
-    # ---------------- multi-hop quality: graph vs dense ----------------
-    # The central HippoRAG capability claim, measured: 2-hop questions
-    # where dense retrieval lacks a bridge to the second document.
-    if os.environ.get("BENCH_QUALITY", "1") == "0":
-        sections["multihop_quality"] = "skipped (BENCH_QUALITY=0)"
-    elif not over_deadline("multihop_quality"):
-        try:
-            import tempfile
-
-            from hipporag_tpu import BaseConfig, HippoRAG, StandardRAG
-
-            n_chains = 12
-            qdocs, qqs, qgold = [], [], []
-            for i in range(n_chains):
-                a, bb, c = f"Alpha{i}", f"Bridge{i}", f"Omega{i}"
-                d1, d2_ = f"{a} is linked to {bb}.", f"{bb} is linked to {c}."
-                qdocs += [d1, d2_]
-                qqs.append(f"What does {a} eventually reach?")
-                qgold.append([d1, d2_])
-            qcfg = dict(llm_name="mock", embedding_model_name="mock",
-                        ppr_batch_size=16, jax_compilation_cache_dir=None)
-            dense = StandardRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
-            dense.index(qdocs)
-            _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)
-            g = HippoRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
-            g.index(qdocs)
-            _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
-            extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
-            extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
-            sections["multihop_quality"] = "ok"
-            log(
-                f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
-                f"vs dense {dense_overall['Recall@2']}"
-            )
-        except Exception as e:  # noqa: BLE001
-            sections["multihop_quality"] = f"skipped ({e})"
-            log(f"quality section skipped: {e}")
-
     # ---------------- dataset-scale quality: 2WikiMultihopQA ----------------
     # Real 6k-passage corpus through the production pipeline with the
     # deterministic OpenIE stand-in + hashing embedder, plus a NumPy twin of
@@ -800,6 +714,96 @@ def main():
         except Exception as e:  # noqa: BLE001
             sections["2wiki"] = f"skipped ({e})"
             log(f"2wiki section skipped: {e}")
+
+    # ---------------- multi-hop quality: graph vs dense ----------------
+    # The central HippoRAG capability claim, measured: 2-hop questions
+    # where dense retrieval lacks a bridge to the second document.
+    if os.environ.get("BENCH_QUALITY", "1") == "0":
+        sections["multihop_quality"] = "skipped (BENCH_QUALITY=0)"
+    elif not over_deadline("multihop_quality"):
+        try:
+            import tempfile
+
+            from hipporag_tpu import BaseConfig, HippoRAG, StandardRAG
+
+            n_chains = 12
+            qdocs, qqs, qgold = [], [], []
+            for i in range(n_chains):
+                a, bb, c = f"Alpha{i}", f"Bridge{i}", f"Omega{i}"
+                d1, d2_ = f"{a} is linked to {bb}.", f"{bb} is linked to {c}."
+                qdocs += [d1, d2_]
+                qqs.append(f"What does {a} eventually reach?")
+                qgold.append([d1, d2_])
+            qcfg = dict(llm_name="mock", embedding_model_name="mock",
+                        ppr_batch_size=16, jax_compilation_cache_dir=None)
+            dense = StandardRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            dense.index(qdocs)
+            _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)
+            g = HippoRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            g.index(qdocs)
+            _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
+            extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
+            extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
+            sections["multihop_quality"] = "ok"
+            log(
+                f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
+                f"vs dense {dense_overall['Recall@2']}"
+            )
+        except Exception as e:  # noqa: BLE001
+            sections["multihop_quality"] = f"skipped ({e})"
+            log(f"quality section skipped: {e}")
+
+    # ---------------- JAX encoder throughput (MXU) ----------------
+    # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing
+    # path's embedding forward. Reports docs/s at seq 256, the achieved
+    # model FLOP/s (2 * params * tokens estimate) and, on the real TPU,
+    # MFU vs the v5e bf16 peak. BENCH_ENCODER=0 disables.
+    if os.environ.get("BENCH_ENCODER", "1") == "0":
+        sections["encoder"] = "skipped (BENCH_ENCODER=0)"
+    elif degraded or cpu_fallback:
+        sections["encoder"] = "skipped (degraded link or cpu fallback)"
+    elif not over_deadline("encoder"):
+        try:
+            from hipporag_tpu import BaseConfig
+            from hipporag_tpu.embedding.jax_encoder import JaxEncoderEmbeddingModel
+
+            enc_cfg = BaseConfig(
+                embedding_model_name="jax/random-768x12",
+                embedding_max_seq_len=256,
+                embedding_batch_size=256,
+            )
+            enc = JaxEncoderEmbeddingModel(enc_cfg)
+            rng_t = np.random.default_rng(7)
+            words = [f"w{i:03d}" for i in range(5000)]
+            docs_t = [
+                " ".join(rng_t.choice(words, size=220)) for _ in range(512)
+            ]
+            enc.batch_encode(docs_t[:256])  # compile + warmup
+            t0 = time.perf_counter()
+            out_e = enc.batch_encode(docs_t)
+            t_enc = time.perf_counter() - t0
+            assert out_e.shape[0] == len(docs_t)
+            d_model, n_layers, seq = 768, 12, 256
+            n_params = n_layers * 12 * d_model * d_model  # attn+ffn weights
+            flops = 2 * n_params * seq * len(docs_t)
+            extra["encoder_docs_per_s"] = round(len(docs_t) / t_enc, 1)
+            extra["encoder_tflops"] = round(flops / t_enc / 1e12, 1)
+            if backend == "tpu":
+                extra["encoder_mfu"] = round(
+                    flops / t_enc / 1e12 / V5E_PEAK_BF16_TFLOPS, 3
+                )
+            sections["encoder"] = "ok"
+            log(
+                f"jax encoder (768x12, seq {seq}): {len(docs_t)/t_enc:.0f} "
+                f"docs/s, ~{flops/t_enc/1e12:.1f} TFLOP/s achieved"
+                + (
+                    f" (MFU {extra['encoder_mfu']:.1%} of v5e bf16 peak)"
+                    if backend == "tpu" else ""
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            sections["encoder"] = f"skipped ({e})"
+            log(f"encoder section skipped: {e}")
 
     # ---------------- fused Pallas scoring kernel ----------------
     # TPU-only: the Pallas kernel compiled for the CPU backend runs

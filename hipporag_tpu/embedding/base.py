@@ -83,10 +83,15 @@ class BaseEmbeddingModel(ABC):
             computed = []
             for s in range(0, len(to_compute), bs):
                 batch_idx = to_compute[s : s + bs]
-                computed.append(
-                    np.asarray(self._encode_batch([prefixed[i] for i in batch_idx]))
-                )
-            computed_arr = np.concatenate(computed, axis=0)
+                # device-backed encoders return an UNMATERIALIZED array
+                # (jax dispatch is async): the np.asarray below only runs
+                # after every batch is dispatched, so host-side
+                # tokenization of batch i+1 overlaps device compute of
+                # batch i instead of blocking on its transfer
+                computed.append(self._encode_batch([prefixed[i] for i in batch_idx]))
+            computed_arr = np.concatenate(
+                [np.asarray(c) for c in computed], axis=0
+            )
             puts = []
             for j, i in enumerate(to_compute):
                 results[i] = computed_arr[j].astype(np.float32)

@@ -310,4 +310,7 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
         out = encode_forward(
             self.params, ids, mask, self.num_heads, self.compute_dtype
         )
-        return np.asarray(out, dtype=np.float32)[:b_real]
+        # return the DEVICE array (sliced lazily): base.batch_encode
+        # materializes after all batches dispatch, so tokenization of the
+        # next batch overlaps this batch's forward pass
+        return out[:b_real]
