@@ -29,6 +29,10 @@ class BaseConfig:
         default_factory=lambda: {"type": "json_object"}
     )
     max_retry_attempts: int = 5
+    # read-only reference-format SQLite cache (llm/replay_cache.py): lets
+    # recorded reference-run LLM responses (OpenIE / filter / QA) replay
+    # through this framework for pinned parity evals
+    llm_replay_cache_path: Optional[str] = None
 
     # -------------------------------------------------------------- indexing
     force_openie_from_scratch: bool = False

@@ -124,6 +124,11 @@ class CacheOpenAILLM(BaseLLM):
         cache_filename = cache_filename or f"{cfg.llm_name.replace('/', '_')}_cache.sqlite"
         self.cache = SqliteKVCache(os.path.join(cache_dir, cache_filename), table="llm")
         self.max_retries = cfg.max_retry_attempts
+        self.replay_cache = None
+        if cfg.llm_replay_cache_path:
+            from .replay_cache import ReferenceReplayCache
+
+            self.replay_cache = ReferenceReplayCache(cfg.llm_replay_cache_path)
         self.client = OpenAIChatClient(
             base_url=cfg.llm_base_url, azure_endpoint=cfg.azure_endpoint,
             transport=transport,
@@ -157,6 +162,17 @@ class CacheOpenAILLM(BaseLLM):
         hit = self.cache.get(key)
         if hit is not None:
             return hit[0], hit[1], True
+
+        if self.replay_cache is not None:
+            # reference-recorded response replay (pinned parity evals);
+            # forward hits into the live cache so the replay file is only
+            # consulted once per distinct request
+            replayed = self.replay_cache.get(
+                messages, model, cfg.seed, cfg.temperature
+            )
+            if replayed is not None:
+                self.cache.put(key, replayed[0], replayed[1])
+                return replayed[0], replayed[1], True
 
         import httpx
 

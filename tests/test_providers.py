@@ -113,6 +113,67 @@ def test_cache_openai_llm_roundtrip_and_cache(tmp_path, monkeypatch):
     assert text2 == "pong" and hit2 is True
 
 
+def test_reference_replay_cache(tmp_path, monkeypatch):
+    """Responses recorded by a REFERENCE run (its SQLite cache format and
+    sha256 key derivation, ref llm/openai_gpt.py:44-75) replay through
+    CacheOpenAILLM without any network call — pinned parity evals
+    (SURVEY §7 'LLM nondeterminism')."""
+    import json
+    import sqlite3
+
+    from hipporag_tpu.llm.openai_llm import CacheOpenAILLM
+    from hipporag_tpu.llm.replay_cache import reference_cache_key
+
+    msgs = [
+        {"role": "system", "content": "You extract entities."},
+        {"role": "user", "content": "Radio City is in India."},
+    ]
+    ref_path = str(tmp_path / "ref_cache.sqlite")
+    conn = sqlite3.connect(ref_path)
+    conn.execute(
+        "CREATE TABLE cache (key TEXT PRIMARY KEY, message TEXT, metadata TEXT)"
+    )
+    # the reference computes the key over the raw message list + model +
+    # seed + temperature exactly like this
+    key = reference_cache_key(msgs, "gpt-test", None, 0.0)
+    conn.execute(
+        "INSERT INTO cache VALUES (?, ?, ?)",
+        (key, '{"named_entities": ["Radio City", "India"]}',
+         json.dumps({"prompt_tokens": 11, "finish_reason": "stop"})),
+    )
+    conn.commit()
+    conn.close()
+
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    cfg = BaseConfig(
+        llm_name="gpt-test", save_dir=str(tmp_path),
+        llm_replay_cache_path=ref_path,
+    )
+    # a 500-only transport proves no network call is ever attempted
+    llm = CacheOpenAILLM(cfg, transport=_chat_response(status=500))
+    text, meta, hit = llm.infer(msgs)
+    assert hit is True
+    assert json.loads(text)["named_entities"] == ["Radio City", "India"]
+    assert meta["prompt_tokens"] == 11
+
+    # the hit was forwarded into the live cache: a second instance WITHOUT
+    # the replay file still serves it
+    cfg2 = BaseConfig(llm_name="gpt-test", save_dir=str(tmp_path))
+    llm2 = CacheOpenAILLM(cfg2, transport=_chat_response(status=500))
+    text2, _, hit2 = llm2.infer(msgs)
+    assert text2 == text and hit2 is True
+
+    # unknown request: replay misses and the transport error surfaces
+    # (bounded by retries), proving the miss path still goes to the API
+    cfg3 = BaseConfig(
+        llm_name="gpt-test", save_dir=str(tmp_path / "other"),
+        llm_replay_cache_path=ref_path, max_retry_attempts=1,
+    )
+    llm3 = CacheOpenAILLM(cfg3, transport=_chat_response(status=500))
+    with pytest.raises(RuntimeError):
+        llm3.infer([{"role": "user", "content": "something unrecorded"}])
+
+
 def test_cache_openai_llm_retries_transient_errors(tmp_path, monkeypatch):
     import httpx
 
