@@ -28,6 +28,7 @@ a numerical no-op.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -608,7 +609,7 @@ def ell_from_coo(
 # materializes the [rows, W, B] einsum input at that size) and solves
 # chunked. An earlier "5x slower" reading predated the ragged-hub fix
 # and was an artifact of the hub-cube padding blowup.
-_ELL_GATHER_BYTES = 2 << 30
+_ELL_GATHER_BYTES = int(os.environ.get("HIPPO_ELL_GATHER_BYTES", 2 << 30))
 
 
 def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:

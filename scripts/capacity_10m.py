@@ -28,10 +28,6 @@ def main():
 
     from bench import build_synthetic_graph
 
-    t0 = time.time()
-    src, dst, w = build_synthetic_graph(nodes, edges, seed=21)
-    print(f"graph sampled in {time.time()-t0:.0f}s", flush=True)
-
     import jax
     import jax.numpy as jnp
 
@@ -42,11 +38,21 @@ def main():
     )
 
     cap = round_up(nodes, 128)
-    t0 = time.time()
-    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, nodes, cap)
-    del src, dst, w
-    print(f"symmetric operator: {len(s2)} entries in {time.time()-t0:.0f}s",
-          flush=True)
+    cache_npz = f"/tmp/cap_{nodes}_{edges}.npz"
+    if os.path.exists(cache_npz):
+        z = np.load(cache_npz)
+        s2, d2, wn, dang = z["s2"], z["d2"], z["wn"], z["dang"]
+        print(f"operator loaded from {cache_npz}: {len(s2)} entries", flush=True)
+    else:
+        t0 = time.time()
+        src, dst, w = build_synthetic_graph(nodes, edges, seed=21)
+        print(f"graph sampled in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, nodes, cap)
+        del src, dst, w
+        print(f"symmetric operator: {len(s2)} entries in {time.time()-t0:.0f}s",
+              flush=True)
+        np.savez(cache_npz, s2=s2, d2=d2, wn=wn, dang=dang)
     t0 = time.time()
     ell = ell_from_coo(s2, d2, wn, dang, nodes, cap)
     del s2, d2, wn
