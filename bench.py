@@ -152,6 +152,38 @@ def main():
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 2400))
     sections: dict[str, str] = {}
 
+    # hard-kill safety net: if the tunnel hangs mid-section past the hard
+    # deadline, or the driver SIGTERMs the run, emit the JSON line with
+    # whatever has completed instead of dying with an empty artifact
+    # (best-effort: a hang inside an uninterruptible C call can still
+    # defer delivery). The alarm is cleared before the normal print.
+    import signal
+
+    snapshot = {
+        "metric": "batched_ppr_throughput", "value": 0.0,
+        "unit": "queries/sec", "vs_baseline": 0.0,
+        "backend": None, "device_kind": None, "cpu_fallback": None,
+    }
+    extra: dict = {}
+    _emitted: list = []
+
+    def _emit_partial(signum, frame):
+        if _emitted:
+            os._exit(1)
+        _emitted.append(True)
+        out = dict(snapshot)
+        out["detail"] = {
+            "sections": sections,
+            "aborted": f"signal {signum} after {time.perf_counter() - bench_start:.0f}s",
+            **extra,
+        }
+        print(json.dumps(out), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGALRM, _emit_partial)
+    signal.alarm(int(float(os.environ.get("BENCH_HARD_KILL_S", 3300))))
+
     def over_deadline(section: str) -> bool:
         elapsed = time.perf_counter() - bench_start
         if elapsed > deadline_s:
@@ -219,6 +251,10 @@ def main():
     cpu_qps = n_cpu / cpu_time
     log(f"CPU: best of {pass1:.2f}s/{pass2:.2f}s for {n_cpu} queries -> {cpu_qps:.2f} q/s")
     sections["cpu_baseline"] = "ok"
+    extra.update(
+        nodes=num_nodes, directed_edges=int(len(s2)), batch=batch,
+        cpu_qps=round(cpu_qps, 2),
+    )
 
     # ---------------- backend decision (probe + one retry) ----------------
     probe_timeout = float(os.environ.get("BENCH_INIT_PROBE_TIMEOUT", 300))
@@ -260,6 +296,12 @@ def main():
     backend = jax.default_backend()
     device_kind = jax.devices()[0].device_kind
     dev_label = backend.upper()
+    snapshot.update(
+        backend=backend, device_kind=device_kind, cpu_fallback=cpu_fallback
+    )
+    extra.update(
+        probe_init_s=round(probe_init_s, 1), probe_roundtrip_s=round(probe, 3)
+    )
     log(f"backend: {backend} ({device_kind}); roundtrip probe {probe:.3f}s")
     degraded = probe > 5.0
     reps = 1 if (degraded or backend != "tpu") else 3
@@ -270,6 +312,7 @@ def main():
         # risk never emitting the JSON line. The batch size is recorded in
         # the JSON; q/s is per-batch throughput at the recorded batch.
         batch = min(batch, 32)
+        extra["batch"] = batch
         log(f"cpu fallback: batch reduced to {batch} (graph scale kept)")
 
     from hipporag_tpu.graph.csr import round_up
@@ -340,6 +383,9 @@ def main():
     dev_qps = batch / dev_time
     log(f"{dev_label} ELL: {dev_time*1e3:.1f}ms per {batch}-query batch -> {dev_qps:.1f} q/s")
     sections["headline_ppr"] = "ok"
+    snapshot.update(
+        value=round(dev_qps, 2), vs_baseline=round(dev_qps / cpu_qps, 2)
+    )
 
     # ---------------- roofline accounting (SURVEY §6, VERDICT r2 #2) ----------------
     # every ELL entry (incl. padding) costs one gathered [lanes]-row per
@@ -359,13 +405,15 @@ def main():
         f"{ppr_gbps:.0f} GB/s effective"
     )
 
-    extra = {
-        "ppr_iters_per_tile": tile_iters.tolist(),
-        "ppr_gathered_rows_per_iter": int(rows_per_iter),
-        "ppr_rows_per_s": round(ppr_rows_per_s, 1),
-        "ppr_gather_ns_per_row": round(ppr_gather_ns, 2),
-        "ppr_gbps": round(ppr_gbps, 1),
-    }
+    extra.update(
+        device_batch_ms=round(dev_time * 1e3, 2),
+        max_err_vs_cpu=max_err,
+        ppr_iters_per_tile=tile_iters.tolist(),
+        ppr_gathered_rows_per_iter=int(rows_per_iter),
+        ppr_rows_per_s=round(ppr_rows_per_s, 1),
+        ppr_gather_ns_per_row=round(ppr_gather_ns, 2),
+        ppr_gbps=round(ppr_gbps, 1),
+    )
 
     # ---------------- COO segment-sum variant ----------------
     if not over_deadline("coo_variant"):
@@ -873,6 +921,8 @@ def main():
             **extra,
         },
     }
+    signal.alarm(0)
+    _emitted.append(True)  # a late SIGTERM must not double-print
     print(json.dumps(result), flush=True)
 
 
