@@ -132,7 +132,13 @@ class GraphBuilder:
         sim_threshold: float,
         max_neighbors: int = 100,
     ) -> int:
-        """Add cosine-similarity edges from kNN results (ref HippoRAG.py:996-1018)."""
+        """Add cosine-similarity edges from kNN results (ref HippoRAG.py:996-1018).
+
+        Keeps up to ``max_neighbors + 1`` neighbors per node: the break
+        condition is ``kept > max_neighbors`` AFTER adding, deliberately
+        reproducing the reference's own off-by-one (``num_nns > 100``,
+        HippoRAG.py:1007) so edge sets stay bit-identical at any setting.
+        """
         num_added = 0
         for qi, node_key in enumerate(entity_keys):
             content = entity_contents.get(node_key, "")

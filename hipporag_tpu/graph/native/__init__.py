@@ -30,15 +30,27 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     # always invoke make: the Makefile dependency makes it a no-op when the
-    # .so is fresh, and rebuilds stale libraries after source updates
+    # .so is fresh, and rebuilds stale libraries after source updates.
+    # A file lock serializes concurrent builders (e.g. the bench's
+    # subprocess-isolated probe racing the main process) — without it one
+    # process can CDLL a partially written .so.
     try:
-        subprocess.run(
-            ["make", "-s", "libgraph_core.so"],
-            cwd=_THIS_DIR,
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        from filelock import FileLock
+
+        lock = FileLock(_LIB_PATH + ".lock")
+    except Exception:  # noqa: BLE001 — filelock genuinely unavailable
+        import contextlib
+
+        lock = contextlib.nullcontext()
+    try:
+        with lock:
+            subprocess.run(
+                ["make", "-s", "libgraph_core.so"],
+                cwd=_THIS_DIR,
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
     except Exception as e:  # noqa: BLE001 — fall back to numpy
         if not os.path.exists(_LIB_PATH):
             logger.warning("native graph core build failed (%s); using NumPy path", e)
@@ -92,12 +104,16 @@ def coo_compile(
     src = np.ascontiguousarray(src, np.int32)
     dst = np.ascontiguousarray(dst, np.int32)
     w = np.ascontiguousarray(w, np.float32)
-    n = lib.coo_compile(src, dst, w, len(src), num_nodes, int(normalize), None, None, None, None)
-    src_out = np.empty(n, np.int32)
-    dst_out = np.empty(n, np.int32)
-    w_out = np.empty(n, np.float32)
+    # each input entry creates at most two directed keys (a->b and b->a),
+    # so 2*len(src) bounds the output — allocate once and slice instead of
+    # paying the full symmetrize+dedup accumulation twice (the sizing call
+    # used to redo all the work it threw away)
+    cap = 2 * len(src)
+    src_out = np.empty(cap, np.int32)
+    dst_out = np.empty(cap, np.int32)
+    w_out = np.empty(cap, np.float32)
     strength = np.zeros(num_nodes, np.float64)
-    lib.coo_compile(
+    n = lib.coo_compile(
         src,
         dst,
         w,
@@ -109,7 +125,7 @@ def coo_compile(
         w_out.ctypes.data_as(ctypes.c_void_p),
         strength.ctypes.data_as(ctypes.c_void_p),
     )
-    return src_out, dst_out, w_out, strength
+    return src_out[:n].copy(), dst_out[:n].copy(), w_out[:n].copy(), strength
 
 
 def ppr_serial(

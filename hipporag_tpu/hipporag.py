@@ -635,7 +635,6 @@ class HippoRAG:
         # fact endpoint nodes + validity
         fact_subj = np.full(fact_cap, pad_slot, dtype=np.int32)
         fact_obj = np.full(fact_cap, pad_slot, dtype=np.int32)
-        fact_valid = np.zeros(fact_cap, dtype=np.float32)
         rows = self.fact_embedding_store.get_rows(self.fact_node_keys)
         self._fact_tuples: List[Tuple[str, str, str]] = []
         for i, fid in enumerate(self.fact_node_keys):
@@ -647,7 +646,6 @@ class HippoRAG:
             oi = self.graph.node_to_idx.get(obj_key)
             fact_subj[i] = si if si is not None else pad_slot
             fact_obj[i] = oi if oi is not None else pad_slot
-            fact_valid[i] = 1.0
 
         node_chunk_counts = np.zeros(node_cap, dtype=np.float32)
         for ent, chunks in self.graph.ent_node_to_chunk_ids.items():
@@ -680,7 +678,6 @@ class HippoRAG:
             graph=jax.tree.map(device_put, graph_np),
             fact_subj_node=device_put(fact_subj),
             fact_obj_node=device_put(fact_obj),
-            fact_valid=device_put(fact_valid),
             node_chunk_counts=device_put(node_chunk_counts),
             passage_node_ids=device_put(passage_node_ids),
             num_facts=device_put(np.asarray(len(self.fact_node_keys), np.int32)),

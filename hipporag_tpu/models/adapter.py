@@ -93,10 +93,30 @@ def make_sharded_train_step(
     psum across dp from the sharding annotations alone.
     """
     param_sh, batch_sh = adapter_shardings(mesh)
+    replicated = NamedSharding(mesh, P())
+
+    def _map_state(fn_params, fn_other, state):
+        """Apply fn_params to AdapterParams-shaped subtrees (Adam moments
+        mirror the param pytree) and fn_other to everything else (step
+        counters etc.)."""
+        return jax.tree.map(
+            lambda sub: (
+                fn_params(sub) if isinstance(sub, AdapterParams) else fn_other(sub)
+            ),
+            state,
+            is_leaf=lambda x: isinstance(x, AdapterParams),
+        )
 
     def place(params: AdapterParams, opt_state, queries, positives):
         params = jax.tree.map(jax.device_put, params, param_sh)
-        opt_state = jax.device_put(opt_state)
+        # optimizer moments must shard LIKE the params: for Adam they are
+        # 2x the param bytes, and replicating them would cost each chip
+        # the full state the tensor-sharded design exists to split
+        opt_state = _map_state(
+            lambda sub: jax.tree.map(jax.device_put, sub, param_sh),
+            lambda leaf: jax.device_put(leaf, replicated),
+            opt_state,
+        )
         queries = jax.device_put(queries, batch_sh)
         positives = jax.device_put(positives, batch_sh)
         return params, opt_state, queries, positives
@@ -109,6 +129,11 @@ def make_sharded_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = jax.lax.with_sharding_constraint(params, param_sh)
+        opt_state = _map_state(
+            lambda sub: jax.lax.with_sharding_constraint(sub, param_sh),
+            lambda leaf: leaf,
+            opt_state,
+        )
         return params, opt_state, loss
 
     return train_step, place

@@ -44,11 +44,61 @@ class RetrievalIndex(NamedTuple):
     graph: COOGraph  # or ELLGraph (scatter-free SpMV; dispatched by type)
     fact_subj_node: Array  # [F_pad] int32
     fact_obj_node: Array  # [F_pad] int32
-    fact_valid: Array  # [F_pad] float32 (1.0 = real fact row)
     node_chunk_counts: Array  # [N_pad] float32 (>=0; divisor clamped to 1)
     passage_node_ids: Array  # [P_pad] int32
     num_facts: Array  # [] int32
     num_passages: Array  # [] int32
+
+
+def _phrase_seed_weights(
+    sel_scores: Array,  # [B, K]
+    top_fact_idx: Array,  # [B, K]
+    top_fact_mask: Array,  # [B, K]
+    fact_subj_node: Array,  # [F_cap]
+    fact_obj_node: Array,  # [F_cap]
+    node_chunk_counts: Array,  # [N_cap]
+    num_nodes: Array,  # [] int32
+    link_top_k: int,
+):
+    """Phrase half of the seed construction (ref HippoRAG.py:1583-1623):
+    each selected fact contributes score / |chunks containing endpoint| to
+    both endpoints, per-phrase weights average over contributions, and only
+    the top-``link_top_k`` phrases keep weight. The SINGLE device copy —
+    shared by graph_search_batch and the sharded backend's
+    build_reset_batch so the score semantics (pinned by
+    tests/test_graph_search_semantics.py) cannot diverge. Returns
+    (kept [B, N_cap], rows [B, 1])."""
+    b, _ = top_fact_idx.shape
+    n_cap = node_chunk_counts.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    subj = fact_subj_node[top_fact_idx]
+    obj = fact_obj_node[top_fact_idx]
+    endpoints = jnp.concatenate([subj, obj], axis=1)  # [B, 2K]
+    ep_scores = jnp.concatenate([sel_scores, sel_scores], axis=1)
+    ep_mask = jnp.concatenate([top_fact_mask, top_fact_mask], axis=1)
+    # also mask endpoints that point at the padding node
+    ep_valid = ep_mask * (endpoints < num_nodes)
+
+    divisor = jnp.maximum(node_chunk_counts[endpoints], 1.0)
+    contrib = ep_scores / divisor * ep_valid
+
+    # route masked endpoints to the padding slot so they never touch a real node
+    pad_slot = jnp.int32(n_cap - 1)
+    safe_endpoints = jnp.where(ep_valid > 0, endpoints, pad_slot)
+
+    zeros = jnp.zeros((b, n_cap), dtype=jnp.float32)
+    weight_sum = zeros.at[rows, safe_endpoints].add(contrib)
+    occurs = zeros.at[rows, safe_endpoints].add(ep_valid)
+    phrase_weights = jnp.where(occurs > 0, weight_sum / jnp.maximum(occurs, 1.0), 0.0)
+    phrase_weights = phrase_weights.at[:, pad_slot].set(0.0)
+
+    # keep only the top-`link_top_k` phrases per query (ref get_top_k_weights)
+    top_vals, top_idx = jax.lax.top_k(phrase_weights, link_top_k)
+    kept = jnp.zeros_like(phrase_weights).at[rows, top_idx].set(
+        jnp.where(top_vals > 0, top_vals, 0.0)
+    )
+    return kept, rows
 
 
 @functools.partial(
@@ -79,32 +129,10 @@ def graph_search_batch(
     b, k = top_fact_idx.shape
     p_pad = index.passage_node_ids.shape[0]
 
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-    subj = index.fact_subj_node[top_fact_idx]  # [B, K]
-    obj = index.fact_obj_node[top_fact_idx]
-    endpoints = jnp.concatenate([subj, obj], axis=1)  # [B, 2K]
-    ep_scores = jnp.concatenate([sel_scores, sel_scores], axis=1)
-    ep_mask = jnp.concatenate([top_fact_mask, top_fact_mask], axis=1)
-    # also mask endpoints that point at the padding node
-    ep_valid = ep_mask * (endpoints < index.graph.num_nodes)
-
-    divisor = jnp.maximum(index.node_chunk_counts[endpoints], 1.0)
-    contrib = ep_scores / divisor * ep_valid
-
-    # route masked endpoints to the padding slot so they never touch a real node
-    pad_slot = jnp.int32(index.node_chunk_counts.shape[0] - 1)
-    safe_endpoints = jnp.where(ep_valid > 0, endpoints, pad_slot)
-
-    zeros = jnp.zeros((b, index.node_chunk_counts.shape[0]), dtype=jnp.float32)
-    weight_sum = zeros.at[rows, safe_endpoints].add(contrib)
-    occurs = zeros.at[rows, safe_endpoints].add(ep_valid)
-    phrase_weights = jnp.where(occurs > 0, weight_sum / jnp.maximum(occurs, 1.0), 0.0)
-    phrase_weights = phrase_weights.at[:, pad_slot].set(0.0)
-
-    # keep only the top-`link_top_k` phrases per query (ref get_top_k_weights)
-    top_vals, top_idx = jax.lax.top_k(phrase_weights, link_top_k)
-    kept = jnp.zeros_like(phrase_weights).at[rows, top_idx].set(
-        jnp.where(top_vals > 0, top_vals, 0.0)
+    kept, rows = _phrase_seed_weights(
+        sel_scores, top_fact_idx, top_fact_mask,
+        index.fact_subj_node, index.fact_obj_node, index.node_chunk_counts,
+        index.graph.num_nodes, link_top_k,
     )
 
     # ------------------------------------------------------------------
@@ -113,7 +141,7 @@ def graph_search_batch(
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
     p_valid = pcol < index.num_passages
     dpr_norm = min_max_normalize(dpr_scores, where=p_valid)
-    passage_weights = jnp.zeros_like(phrase_weights).at[
+    passage_weights = jnp.zeros_like(kept).at[
         rows, index.passage_node_ids[None, :].repeat(b, axis=0)
     ].add(dpr_norm * passage_node_weight * p_valid)
 
@@ -182,33 +210,15 @@ def build_reset_batch(
     matrices never stage through host memory (parallel/seeds.py is the
     host twin for small graphs and tests)."""
     b, k = top_fact_idx.shape
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
     n_cap = node_chunk_counts.shape[0]
 
-    subj = fact_subj_node[top_fact_idx]
-    obj = fact_obj_node[top_fact_idx]
-    endpoints = jnp.concatenate([subj, obj], axis=1)
-    ep_scores = jnp.concatenate([sel_scores, sel_scores], axis=1)
-    ep_mask = jnp.concatenate([top_fact_mask, top_fact_mask], axis=1)
-    ep_valid = ep_mask * (endpoints < num_nodes)
-
-    divisor = jnp.maximum(node_chunk_counts[endpoints], 1.0)
-    contrib = ep_scores / divisor * ep_valid
-    pad_slot = jnp.int32(n_cap - 1)
-    safe_endpoints = jnp.where(ep_valid > 0, endpoints, pad_slot)
-
-    zeros = jnp.zeros((b, n_cap), dtype=jnp.float32)
-    weight_sum = zeros.at[rows, safe_endpoints].add(contrib)
-    occurs = zeros.at[rows, safe_endpoints].add(ep_valid)
-    phrase_weights = jnp.where(occurs > 0, weight_sum / jnp.maximum(occurs, 1.0), 0.0)
-    phrase_weights = phrase_weights.at[:, pad_slot].set(0.0)
-
-    top_vals, top_idx = jax.lax.top_k(phrase_weights, link_top_k)
-    kept = jnp.zeros_like(phrase_weights).at[rows, top_idx].set(
-        jnp.where(top_vals > 0, top_vals, 0.0)
+    kept, rows = _phrase_seed_weights(
+        sel_scores, top_fact_idx, top_fact_mask,
+        fact_subj_node, fact_obj_node, node_chunk_counts,
+        num_nodes, link_top_k,
     )
 
-    passage_weights = jnp.zeros_like(phrase_weights).at[
+    passage_weights = jnp.zeros_like(kept).at[
         rows, passage_node_ids[None, :].repeat(b, axis=0)
     ].add(dpr_norm * passage_node_weight)
 

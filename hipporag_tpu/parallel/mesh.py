@@ -32,8 +32,11 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if mesh_shape is None or tuple(mesh_shape) == (1, 1):
-        # default: all devices on the corpus axis
+    if mesh_shape is None:
+        # default: all devices on the corpus axis. An EXPLICIT shape is
+        # always honored exactly — (1, 1) means a single-device mesh and
+        # gets the same shape-mismatch error as any other wrong shape,
+        # never a silent rewrite to (1, n).
         mesh_shape = (1, n)
     dp, corpus = mesh_shape
     if dp * corpus != n:

@@ -143,27 +143,49 @@ def make_sharded_ppr(mesh, max_iters: int = 64, damping: float = 0.5, tol: float
         r = jnp.where(total > 0, reset / jnp.where(total > 0, total, 1.0), uniform)
 
         d = jnp.asarray(damping, r.dtype)
+        # transposed layout [Ns, b]: the per-iteration gather's trailing
+        # axis is the batch, so the shared tile_columns scaffold keeps it
+        # within one 128-lane tile (same cliff all other solvers tile
+        # around), and each tile gets its own early-exit loop
+        r_T = r.T
 
-        def body(state):
-            p, _, it = state
-            p_full = jax.lax.all_gather(p, CORPUS_AXIS, axis=1, tiled=True)  # [B/dp, N]
-            gathered = p_full.T[src] * w_norm[:, None]  # [Es, B/dp]
-            y = jax.ops.segment_sum(
-                gathered, dst_local, num_segments=ns, indices_are_sorted=True
-            ).T  # [B/dp, Ns]
-            dm_local = jnp.sum(p * dangling[None, :], axis=1, keepdims=True)
-            dm = jax.lax.psum(dm_local, CORPUS_AXIS)
-            p_next = (1.0 - d) * r + d * (y + dm * r)
-            err_local = jnp.max(jnp.abs(p_next - p))
-            err = jax.lax.pmax(err_local, CORPUS_AXIS)
-            return p_next, err, it + 1
+        def _solve(r_t, _unused):
+            def body(state):
+                p_t, _, err_prev, err, it = state
+                p_full = jax.lax.all_gather(
+                    p_t, CORPUS_AXIS, axis=0, tiled=True
+                )  # [N, b]
+                gathered = p_full[src] * w_norm[:, None]  # [Es, b]
+                y = jax.ops.segment_sum(
+                    gathered, dst_local, num_segments=ns, indices_are_sorted=True
+                )  # [Ns, b]
+                dm_local = jnp.sum(p_t * dangling[:, None], axis=0, keepdims=True)
+                dm = jax.lax.psum(dm_local, CORPUS_AXIS)
+                p_next = (1.0 - d) * r_t + d * (y + dm * r_t)
+                err_next = jax.lax.pmax(
+                    jnp.max(jnp.abs(p_next - p_t)), CORPUS_AXIS
+                )
+                return p_next, err_prev, err, err_next, it + 1
 
-        def cond(state):
-            _, err, it = state
-            return jnp.logical_and(err > tol, it < max_iters)
+            def cond(state):
+                _, err_prev2, err_prev, err, it = state
+                return jnp.logical_and(
+                    jnp.logical_and(err > tol, it < max_iters),
+                    jnp.logical_not(
+                        _stalled2(err, err_prev, err_prev2, tol, d)
+                    ),
+                )
 
-        p, _, _ = jax.lax.while_loop(cond, body, (r, jnp.asarray(jnp.inf, r.dtype), 0))
-        return p
+            inf = jnp.asarray(jnp.inf, r_t.dtype)
+            p_t, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (r_t, inf, inf, inf, 0)
+            )
+            return p_t, _unused
+
+        p_T, _ = tile_columns(
+            _solve, r_T, jnp.zeros((1, r_T.shape[1]), r_T.dtype)
+        )
+        return p_T.T
 
     mapped = shard_map(
         ppr_shard,
@@ -191,6 +213,40 @@ def make_sharded_ppr(mesh, max_iters: int = 64, damping: float = 0.5, tol: float
 # Sharded scoring + distributed top-k
 # ---------------------------------------------------------------------------
 
+def _norm_scores_shard(q, keys, valid_n, dtype):
+    """Per-shard matmul + DISTRIBUTED min-max normalization: the single
+    copy of the normalization semantics (must match
+    ops/scoring.min_max_normalize and the reference's per-query min-max,
+    HippoRAG.py:1459-1461 — incl. the rng==0 constant-row convention).
+    Shared by the top-k scorer and the DPR norm-scores path so fact
+    scoring and passage seeding can never disagree on the same mesh.
+    Returns (norm [B/dp, Nk/c] with invalid cols 0, valid mask, base)."""
+    nk = keys.shape[0]
+    shard_idx = jax.lax.axis_index(CORPUS_AXIS)
+    base = shard_idx * nk
+    raw = jax.lax.dot_general(
+        q.astype(dtype),
+        keys.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    col = base + jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    valid = col < valid_n
+    # global min-max over real columns
+    lo = jax.lax.pmin(
+        jnp.min(jnp.where(valid, raw, jnp.inf), axis=1, keepdims=True),
+        CORPUS_AXIS,
+    )
+    hi = jax.lax.pmax(
+        jnp.max(jnp.where(valid, raw, -jnp.inf), axis=1, keepdims=True),
+        CORPUS_AXIS,
+    )
+    rng = hi - lo
+    norm = jnp.where(rng == 0, 1.0, (raw - lo) / jnp.where(rng == 0, 1.0, rng))
+    return jnp.where(valid, norm, 0.0), valid, base
+
+
 def make_sharded_score_topk(mesh, k: int, compute_dtype: str = "float32"):
     """Build a jitted sharded scorer.
 
@@ -203,25 +259,7 @@ def make_sharded_score_topk(mesh, k: int, compute_dtype: str = "float32"):
     def score_shard(q, keys, valid_n):
         # q [B/dp, D]; keys [Nk/c, D]
         nk = keys.shape[0]
-        shard_idx = jax.lax.axis_index(CORPUS_AXIS)
-        base = shard_idx * nk
-        raw = jax.lax.dot_general(
-            q.astype(dtype),
-            keys.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        col = base + jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
-        valid = col < valid_n
-        # global min-max over real columns
-        lo_l = jnp.min(jnp.where(valid, raw, jnp.inf), axis=1, keepdims=True)
-        hi_l = jnp.max(jnp.where(valid, raw, -jnp.inf), axis=1, keepdims=True)
-        lo = jax.lax.pmin(lo_l, CORPUS_AXIS)
-        hi = jax.lax.pmax(hi_l, CORPUS_AXIS)
-        rng = hi - lo
-        norm = jnp.where(rng == 0, 1.0, (raw - lo) / jnp.where(rng == 0, 1.0, rng))
-        norm = jnp.where(valid, norm, 0.0)
+        norm, valid, base = _norm_scores_shard(q, keys, valid_n, dtype)
 
         # local top-k then all-gather + merge
         k_local = min(k, nk)
@@ -678,29 +716,8 @@ def make_sharded_norm_scores(mesh, compute_dtype: str = "float32"):
     dtype = jnp.dtype(compute_dtype)
 
     def score_shard(q, keys, valid_n):
-        nk = keys.shape[0]
-        shard_idx = jax.lax.axis_index(CORPUS_AXIS)
-        base = shard_idx * nk
-        raw = jax.lax.dot_general(
-            q.astype(dtype),
-            keys.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        col = base + jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
-        valid = col < valid_n
-        lo = jax.lax.pmin(
-            jnp.min(jnp.where(valid, raw, jnp.inf), axis=1, keepdims=True),
-            CORPUS_AXIS,
-        )
-        hi = jax.lax.pmax(
-            jnp.max(jnp.where(valid, raw, -jnp.inf), axis=1, keepdims=True),
-            CORPUS_AXIS,
-        )
-        rng = hi - lo
-        norm = jnp.where(rng == 0, 1.0, (raw - lo) / jnp.where(rng == 0, 1.0, rng))
-        return jnp.where(valid, norm, 0.0)
+        norm, _, _ = _norm_scores_shard(q, keys, valid_n, dtype)
+        return norm
 
     mapped = shard_map(
         score_shard,

@@ -56,10 +56,8 @@ def _build_random_index(rng, n_entities=40, n_passages=10, n_facts=30):
     passage_cap = round_up(n_passages, 128)
     fact_subj = np.full(fact_cap, pad_slot, np.int32)
     fact_obj = np.full(fact_cap, pad_slot, np.int32)
-    fact_valid = np.zeros(fact_cap, np.float32)
     fact_subj[:n_facts] = rng.integers(0, n_entities, n_facts)
     fact_obj[:n_facts] = rng.integers(0, n_entities, n_facts)
-    fact_valid[:n_facts] = 1.0
 
     passage_node_ids = np.full(passage_cap, pad_slot, np.int32)
     passage_node_ids[:n_passages] = np.arange(n_entities, n_nodes)
@@ -70,7 +68,6 @@ def _build_random_index(rng, n_entities=40, n_passages=10, n_facts=30):
         graph=graph,
         fact_subj_node=jnp.asarray(fact_subj),
         fact_obj_node=jnp.asarray(fact_obj),
-        fact_valid=jnp.asarray(fact_valid),
         node_chunk_counts=jnp.asarray(chunk_counts),
         passage_node_ids=jnp.asarray(passage_node_ids),
         num_facts=jnp.asarray(n_facts, jnp.int32),

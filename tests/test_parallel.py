@@ -285,10 +285,8 @@ def test_full_sharded_retrieval_pipeline_matches_single_device():
     fact_cap = round_up(n_facts, 128)
     fact_subj = np.full(fact_cap, pad_slot, np.int32)
     fact_obj = np.full(fact_cap, pad_slot, np.int32)
-    fact_valid = np.zeros(fact_cap, np.float32)
     fact_subj[:n_facts] = rng.integers(0, n_entities, n_facts)
     fact_obj[:n_facts] = rng.integers(0, n_entities, n_facts)
-    fact_valid[:n_facts] = 1.0
     pcap = round_up(n_passages, 128)
     passage_node_ids = np.full(pcap, pad_slot, np.int32)
     passage_node_ids[:n_passages] = np.arange(n_entities, n_nodes)
@@ -305,7 +303,6 @@ def test_full_sharded_retrieval_pipeline_matches_single_device():
         graph=jax.tree.map(jnp.asarray, coo),
         fact_subj_node=jnp.asarray(fact_subj),
         fact_obj_node=jnp.asarray(fact_obj),
-        fact_valid=jnp.asarray(fact_valid),
         node_chunk_counts=jnp.asarray(chunk_counts),
         passage_node_ids=jnp.asarray(passage_node_ids),
         num_facts=jnp.asarray(n_facts, jnp.int32),
