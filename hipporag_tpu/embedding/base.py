@@ -32,9 +32,17 @@ class BaseEmbeddingModel(ABC):
         self.embedding_model_name = self.global_config.embedding_model_name
         self.embedding_dim: Optional[int] = None
         self._cache: Optional[SqliteKVCache] = None
+        self._cache_dim_key = "model-default"
 
     def attach_cache(self, cache_path: str):
         self._cache = SqliteKVCache(cache_path, table="embeddings")
+        # dimension component of the cache key, frozen at attach time:
+        # dim-CONFIGURABLE embedders (hashing/mock — dim known at
+        # construction) must not serve blobs recorded under a different
+        # embedding_dim; model-determined embedders that only learn their
+        # dim after the first encode contribute a stable constant instead,
+        # so their keys never shift mid-lifetime
+        self._cache_dim_key = self.embedding_dim or "model-default"
 
     @abstractmethod
     def _encode_batch(self, texts: List[str]) -> np.ndarray:
@@ -57,15 +65,28 @@ class BaseEmbeddingModel(ABC):
             texts = [texts]
         if norm is None:
             norm = self.global_config.embedding_return_as_normalized
+        if not texts:
+            dim = self.embedding_dim or self.global_config.embedding_dim or 0
+            return np.zeros((0, dim), dtype=np.float32)
 
         prefixed = [self.format_with_instruction(t, instruction) for t in texts]
+
+        # the key includes the RAW instruction (not just the prefixed
+        # text): instruction-stateful backends (GritLM/Cohere) pass the
+        # instruction out-of-band and return the text unchanged, so a
+        # prefixed-text-only key would collide across query_to_fact /
+        # query_to_passage and silently return the wrong embedding
+        def _key(p: str) -> str:
+            return hash_key(
+                "emb", self.embedding_model_name, self._cache_dim_key,
+                instruction, p,
+            )
 
         results: List[Optional[np.ndarray]] = [None] * len(prefixed)
         to_compute: List[int] = []
         if self._cache is not None:
-            for i, p in enumerate(prefixed):
-                key = hash_key("emb", self.embedding_model_name, p)
-                hit = self._cache.get(key)
+            hits = self._cache.get_many([_key(p) for p in prefixed])
+            for i, hit in enumerate(hits):
                 if hit is not None:
                     value = hit[0]
                     results[i] = (
@@ -96,8 +117,7 @@ class BaseEmbeddingModel(ABC):
             for j, i in enumerate(to_compute):
                 results[i] = computed_arr[j].astype(np.float32)
                 if self._cache is not None:
-                    key = hash_key("emb", self.embedding_model_name, prefixed[i])
-                    puts.append((key, results[i].tobytes()))
+                    puts.append((_key(prefixed[i]), results[i].tobytes()))
             if puts:
                 self._cache.put_many(puts)
 

@@ -28,10 +28,21 @@ class OpenAIEmbeddingModel(BaseEmbeddingModel):
             self.api_version = os.environ.get("AZURE_OPENAI_API_VERSION", "2024-10-21")
             headers = {"api-key": os.environ.get("AZURE_OPENAI_API_KEY", "EMPTY")}
         else:
+            from ..llm.openai_llm import _is_local_endpoint
+
             self.base_url = (cfg.embedding_base_url or "https://api.openai.com/v1").rstrip("/")
             api_key = os.environ.get("OPENAI_API_KEY")
-            if api_key is None and "localhost" in self.base_url:
-                api_key = "EMPTY"
+            if api_key is None:
+                if _is_local_endpoint(self.base_url):
+                    api_key = "EMPTY"  # auth-less local/LAN server convention
+                else:
+                    # fail fast like the chat client: a missing key would
+                    # otherwise send 'Bearer None' and surface as opaque 401s
+                    raise ValueError(
+                        "No OpenAI API key: set OPENAI_API_KEY (use "
+                        "OPENAI_API_KEY=EMPTY for auth-less endpoints) for "
+                        f"remote embedding endpoint {self.base_url}"
+                    )
             headers = {"Authorization": f"Bearer {api_key}"}
         headers["Content-Type"] = "application/json"
         self._client = httpx.Client(headers=headers, timeout=120.0)

@@ -71,7 +71,9 @@ class QAExactMatch(BaseMetric):
         for golds, pred in zip(gold_answers, predicted_answers):
             pred_norm = normalize_answer(pred)
             scores = [1.0 if normalize_answer(g) == pred_norm else 0.0 for g in golds]
-            agg = float(aggregation_fn(scores))
+            # a row with no gold answers scores 0 instead of crashing the
+            # whole eval inside np.max on a zero-size array
+            agg = float(aggregation_fn(scores)) if scores else 0.0
             example_results.append({"ExactMatch": agg})
             total += agg
         avg = total / len(gold_answers) if gold_answers else 0.0
@@ -104,7 +106,7 @@ class QAF1Score(BaseMetric):
         total = 0.0
         for golds, pred in zip(gold_answers, predicted_answers):
             scores = [_token_f1(g, pred) for g in golds]
-            agg = float(aggregation_fn(scores))
+            agg = float(aggregation_fn(scores)) if scores else 0.0
             example_results.append({"F1": agg})
             total += agg
         avg = total / len(gold_answers) if gold_answers else 0.0

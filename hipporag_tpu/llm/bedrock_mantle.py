@@ -113,12 +113,15 @@ class BedrockMantleLLM(BaseLLM):
                 return text, metadata, False
             except Exception as e:  # noqa: BLE001
                 last_err = e
-                wait = min(2**attempt, 30)
-                logger.warning(
-                    "Bedrock Mantle call failed (attempt %d): %s; retrying in %ss",
-                    attempt + 1, e, wait,
-                )
-                time.sleep(wait)
+                if attempt + 1 < self.max_retries:
+                    # backoff only BEFORE a retry — never after the final
+                    # failure (dead wall-clock on a hard-down endpoint)
+                    wait = min(2**attempt, 30)
+                    logger.warning(
+                        "Bedrock Mantle call failed (attempt %d): %s; retrying in %ss",
+                        attempt + 1, e, wait,
+                    )
+                    time.sleep(wait)
         raise RuntimeError(
             f"Bedrock Mantle inference failed after {self.max_retries} attempts: {last_err}"
         )

@@ -156,15 +156,27 @@ class TransformersOffline(BaseLLM):
             )
         results = []
         plen = inputs["input_ids"].shape[1]
+        attn = inputs.get("attention_mask")
+        pad_id = self._tokenizer.pad_token_id
         for i in range(out.shape[0]):
             gen = out[i][plen:]
             text = self._tokenizer.decode(gen, skip_special_tokens=True)
             if json_schema is not None and extract_json_dict(text) is None:
                 text = repair_truncated_json(text)
+            # per-row accounting: the padded batch tensor is rectangular,
+            # so raw shapes over-count pad tokens for every row that
+            # stopped before the batch maximum
+            row_prompt = (
+                int(attn[i].sum()) if attn is not None else int(plen)
+            )
+            if pad_id is not None:
+                row_gen = int((gen != pad_id).sum())
+            else:
+                row_gen = int(gen.shape[0])
             meta = {
-                "prompt_tokens": int(plen),
-                "completion_tokens": int(gen.shape[0]),
-                "finish_reason": "length" if gen.shape[0] >= max_new else "stop",
+                "prompt_tokens": row_prompt,
+                "completion_tokens": row_gen,
+                "finish_reason": "length" if row_gen >= max_new else "stop",
             }
             results.append((text, meta, False))
         return results

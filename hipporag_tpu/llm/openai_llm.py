@@ -138,9 +138,11 @@ class CacheOpenAILLM(BaseLLM):
     def from_experiment_config(cls, global_config):
         return cls(global_config)
 
-    def _cache_key(self, messages, gen_kwargs) -> str:
+    def _cache_key(self, model, messages, gen_kwargs) -> str:
+        # keyed by the RESOLVED model (infer accepts a per-call override),
+        # not self.llm_name — otherwise two models' responses collide
         cfg = self.global_config
-        return hash_key("llm", self.llm_name, cfg.seed, cfg.temperature, messages, gen_kwargs)
+        return hash_key("llm", model, cfg.seed, cfg.temperature, messages, gen_kwargs)
 
     def infer(
         self, messages: List[TextChatMessage], **kwargs
@@ -158,7 +160,7 @@ class CacheOpenAILLM(BaseLLM):
         kwargs.pop("response_format", None)
         gen_kwargs = {k: v for k, v in gen_kwargs.items() if v is not None}
 
-        key = self._cache_key(messages, gen_kwargs)
+        key = self._cache_key(model, messages, gen_kwargs)
         hit = self.cache.get(key)
         if hit is not None:
             return hit[0], hit[1], True
@@ -178,6 +180,16 @@ class CacheOpenAILLM(BaseLLM):
 
         last_err = None
         for attempt in range(self.max_retries):
+            if attempt:
+                # backoff BEFORE each retry — never after the final failure
+                # (a trailing sleep would add dead wall-clock per chunk on a
+                # hard-down endpoint, hours across a large OpenIE run)
+                wait = min(2 ** (attempt - 1), 30)
+                logger.warning(
+                    "LLM call failed (attempt %d): %s; retrying in %ss",
+                    attempt, last_err, wait,
+                )
+                time.sleep(wait)
             try:
                 resp = self.client.chat(model, messages, **gen_kwargs)
                 choice = resp["choices"][0]
@@ -194,9 +206,4 @@ class CacheOpenAILLM(BaseLLM):
                 raise  # deterministic 4xx (bad key/model/request): don't retry
             except (TransientAPIError, httpx.TransportError, KeyError, ValueError) as e:
                 last_err = e
-                wait = min(2**attempt, 30)
-                logger.warning(
-                    "LLM call failed (attempt %d): %s; retrying in %ss", attempt + 1, e, wait
-                )
-                time.sleep(wait)
         raise RuntimeError(f"LLM inference failed after {self.max_retries} attempts: {last_err}")

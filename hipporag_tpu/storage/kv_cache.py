@@ -32,6 +32,8 @@ class SqliteKVCache:
         self.table = table
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._local = threading.local()
+        self._all_conns: list = []  # every thread's connection, for close()
+        self._conns_lock = threading.Lock()
         with self._conn() as conn:
             conn.execute(
                 f"CREATE TABLE IF NOT EXISTS {table} "
@@ -41,11 +43,26 @@ class SqliteKVCache:
     def _conn(self) -> sqlite3.Connection:
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = sqlite3.connect(self.path, timeout=30.0)
+            # check_same_thread=False ONLY so close() can reach worker
+            # threads' connections after their pool exits; each connection
+            # is still used by exactly one thread (threading.local)
+            conn = sqlite3.connect(
+                self.path, timeout=30.0, check_same_thread=False
+            )
             conn.execute("PRAGMA journal_mode=WAL")
             conn.execute("PRAGMA busy_timeout=30000")
             self._local.conn = conn
+            with self._conns_lock:
+                self._all_conns.append(conn)
         return conn
+
+    @staticmethod
+    def _decode_row(row) -> tuple:
+        # bytes values (e.g. raw float32 embeddings) are stored verbatim;
+        # everything else round-trips through JSON
+        value = row[0] if isinstance(row[0], bytes) else json.loads(row[0])
+        meta = json.loads(row[1]) if row[1] else {}
+        return value, meta
 
     def get(self, key: str) -> Optional[tuple]:
         cur = self._conn().execute(
@@ -54,11 +71,28 @@ class SqliteKVCache:
         row = cur.fetchone()
         if row is None:
             return None
-        # bytes values (e.g. raw float32 embeddings) are stored verbatim;
-        # everything else round-trips through JSON
-        value = row[0] if isinstance(row[0], bytes) else json.loads(row[0])
-        meta = json.loads(row[1]) if row[1] else {}
-        return value, meta
+        return self._decode_row(row)
+
+    def get_many(self, keys) -> list:
+        """Batched lookup: one IN-query per ~900 keys instead of one SELECT
+        round-trip per key (the warm-re-index hot path: a 117k-row corpus
+        would otherwise issue 117k SELECTs per store per run). Returns a
+        list aligned with ``keys`` — (value, meta) or None per key."""
+        keys = list(keys)
+        found = {}
+        conn = self._conn()
+        chunk = 900  # stay under SQLite's default 999-variable limit
+        for s in range(0, len(keys), chunk):
+            part = keys[s : s + chunk]
+            marks = ",".join("?" * len(part))
+            cur = conn.execute(
+                f"SELECT key, value, meta FROM {self.table} "
+                f"WHERE key IN ({marks})",
+                part,
+            )
+            for key, value, meta in cur.fetchall():
+                found[key] = self._decode_row((value, meta))
+        return [found.get(k) for k in keys]
 
     @staticmethod
     def _encode_value(value: Any):
@@ -98,7 +132,14 @@ class SqliteKVCache:
         return cur.fetchone()[0]
 
     def close(self):
-        conn = getattr(self._local, "conn", None)
-        if conn is not None:
-            conn.close()
-            self._local.conn = None
+        """Close EVERY thread's connection, not just the caller's —
+        batch_infer thread pools open per-thread connections that would
+        otherwise pin the -wal/-shm files until GC."""
+        with self._conns_lock:
+            conns, self._all_conns = self._all_conns, []
+        for conn in conns:
+            try:
+                conn.close()
+            except sqlite3.ProgrammingError:
+                pass  # already closed by its owner thread
+        self._local.conn = None
