@@ -61,8 +61,16 @@ def get_gold_answers(samples: List[dict]) -> List[List[str]]:
                 answer.extend(value if isinstance(value, list) else [value])
         else:
             raise ValueError("Each query sample must contain an answer field")
-        answers = {answer} if isinstance(answer, str) else set(answer)
-        answers.update(sample.get("answer_aliases", []))
+        # QA datasets carry scalar answers of any JSON type (strings, but
+        # also numbers or null) — normalize everything to strings instead
+        # of crashing on set(1898) / set(None)
+        if isinstance(answer, (list, tuple, set)):
+            answers = {str(a) for a in answer if a is not None}
+        elif answer is None:
+            answers = set()
+        else:
+            answers = {str(answer)}
+        answers.update(str(a) for a in sample.get("answer_aliases", []))
         gold_answers.append(sorted(answers))
     return gold_answers
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from .config import BaseConfig
 from .embedding import get_embedding_model
-from .evaluation import QAExactMatch, QAF1Score, RetrievalRecall
+from .evaluation import RetrievalRecall
 from .graph import GraphBuilder, compile_device_graph, pick_capacity
 from .llm import get_llm
 from .openie import LLMOpenIE
@@ -42,13 +42,13 @@ from .utils.logging import get_logger
 from .utils.misc import (
     Chunk,
     QuerySolution,
-    RetrievalResult,
     compute_mdhash_id,
     extract_entity_nodes,
     filter_invalid_triples,
     flatten_facts,
     text_processing,
 )
+from .utils.qa_utils import finish_rag_qa
 from .utils.timing import StageTimers
 
 logger = get_logger(__name__)
@@ -264,6 +264,10 @@ class HippoRAG:
             self.fact_embedding_store.insert_strings([_fact_text(f) for f in facts])
 
         if self.global_config.skip_graph:
+            # the prepared retrieval state is stale either way — without
+            # this, a retrieve after an incremental skip_graph index would
+            # silently serve the old passage list
+            self.ready_to_retrieve = False
             return
 
         with self.timers.track("index/graph_build"):
@@ -341,11 +345,19 @@ class HippoRAG:
     # OpenIE results persistence (format-compatible with the reference:
     # {"docs": [{idx, passage, extracted_entities, extracted_triples}], ...})
     # ------------------------------------------------------------------
-    def load_existing_openie(self, chunk_keys) -> Tuple[List[dict], Set[str]]:
+    def load_existing_openie(
+        self, chunk_keys, ignore_force: bool = False
+    ) -> Tuple[List[dict], Set[str]]:
+        """``ignore_force=True`` reads the persisted results even under
+        force_openie_from_scratch — bookkeeping paths (delete, refcount
+        rebuild) must always see what is actually on disk, otherwise a
+        delete() under the force flag would see zero triples, remove
+        nothing, and then OVERWRITE openie_results.json with an empty
+        list (permanent extraction loss)."""
         keys_to_process: Set[str] = set()
-        if not self.global_config.force_openie_from_scratch and os.path.isfile(
-            self.openie_results_path
-        ):
+        if (
+            ignore_force or not self.global_config.force_openie_from_scratch
+        ) and os.path.isfile(self.openie_results_path):
             with open(self.openie_results_path, encoding="utf-8") as f:
                 all_info = json.load(f).get("docs", [])
             for info in all_info:
@@ -501,24 +513,34 @@ class HippoRAG:
     # Retrieval preparation (ref prepare_retrieval_objects, 1287-1389)
     # ==================================================================
     def _ensure_host_refcounts(self):
-        """Rebuild entity→chunk refcounts + triple→docs map from the
-        OpenIE JSON (host-side only — no device work). Used by both
-        prepare_retrieval_objects and delete(); deletion needs the
-        refcounts but must not pay the device-graph compile. Returns the
-        loaded OpenIE info so callers don't re-parse the JSON."""
-        all_openie_info, _ = self.load_existing_openie([])
-        self.proc_triples_to_docs: Dict[str, Set[str]] = {}
+        """Rebuild entity→chunk refcounts from the OpenIE JSON (host-side
+        only — no device work). Used by both prepare_retrieval_objects and
+        delete(); deletion needs the refcounts but must not pay the
+        device-graph compile. Returns the loaded OpenIE info so callers
+        don't re-parse the JSON.
+
+        Self-heal for a missing/legacy graph pickle: fact AND passage
+        edges rebuild from the persisted extractions; synonymy edges need
+        the entity-similarity kNN and are NOT rebuilt here — a warning
+        tells the operator to re-index (force_index_from_scratch) if they
+        matter, instead of quality silently collapsing."""
+        all_openie_info, _ = self.load_existing_openie([], ignore_force=True)
         if all_openie_info and not self.graph.ent_node_to_chunk_ids:
+            logger.warning(
+                "Graph state is missing its refcounts (absent or legacy "
+                "kg_builder.pickle); rebuilding fact+passage edges from "
+                "openie_results.json. Synonymy edges CANNOT be rebuilt "
+                "this way — re-index with force_index_from_scratch=True "
+                "to restore them."
+            )
             chunk_ids = [d["idx"] for d in all_openie_info]
             chunk_triples = [
                 [tuple(text_processing(t)) for t in filter_invalid_triples(d["extracted_triples"])]
                 for d in all_openie_info
             ]
             self.graph.add_fact_edges(chunk_ids, chunk_triples)
-        for doc in all_openie_info:
-            for t in flatten_facts([filter_invalid_triples(doc["extracted_triples"])]):
-                key = _fact_text(tuple(text_processing(list(t))))
-                self.proc_triples_to_docs.setdefault(key, set()).add(doc["idx"])
+            _, chunk_triple_entities = extract_entity_nodes(chunk_triples)
+            self.graph.add_passage_edges(chunk_ids, chunk_triple_entities)
         return all_openie_info
 
     def prepare_retrieval_objects(self):
@@ -1204,22 +1226,10 @@ class HippoRAG:
                 queries = self.retrieve(queries)
 
         solutions, responses, metadata = self.qa(queries)
-
-        if gold_answers is not None:
-            em, _ = QAExactMatch(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            f1, _ = QAF1Score(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
-            logger.info("QA eval: %s", overall)
-            for i, s in enumerate(solutions):
-                s.gold_answers = list(gold_answers[i])
-                if gold_docs is not None:
-                    s.gold_docs = gold_docs[i]
-            return solutions, responses, metadata, overall_retrieval_result, overall
-        return solutions, responses, metadata
+        return finish_rag_qa(
+            self.global_config, solutions, responses, metadata,
+            overall_retrieval_result, gold_docs, gold_answers,
+        )
 
     # ==================================================================
     # Pure-DPR retrieval path (ref HippoRAG.py:665-806)
@@ -1241,14 +1251,24 @@ class HippoRAG:
 
         self.get_query_embeddings(queries)
         num_passages = len(self.passage_node_keys)
-        qp = np.stack(
-            [self.query_to_embedding["passage"][q] for q in queries]
-        ).astype(np.float32)
-        scores = self._dpr_normalized_scores(qp, num_passages)
+        # fixed sub-bucket padding (same scheme as _retrieve_batches):
+        # bounds the [B, P] score matrix and keeps one executable per
+        # bucket width instead of one per distinct query-list length
+        bucket = max(1, cfg.ppr_batch_size)
+        sub_buckets = [b for b in (8, 32, 128, 512) if b < bucket] + [bucket]
         results = []
-        for i, q in enumerate(queries):
-            order = np.argsort(-scores[i])[:num_to_retrieve]
-            results.append(self._build_result(q, order, scores[i][order], []))
+        for off in range(0, len(queries), bucket):
+            part = queries[off : off + bucket]
+            b_pad = next(b for b in sub_buckets if b >= len(part))
+            qp = np.zeros(
+                (b_pad, self.passage_embeddings.shape[1]), dtype=np.float32
+            )
+            for i, q in enumerate(part):
+                qp[i] = self.query_to_embedding["passage"][q]
+            scores = self._dpr_normalized_scores(qp, num_passages)[: len(part)]
+            for i, q in enumerate(part):
+                order = np.argsort(-scores[i])[:num_to_retrieve]
+                results.append(self._build_result(q, order, scores[i][order], []))
         self.all_retrieval_time += time.time() - retrieve_start
 
         if gold_docs is not None:
@@ -1277,22 +1297,11 @@ class HippoRAG:
                 queries = self.retrieve_dpr(queries)
 
         solutions, responses, metadata = self.qa(queries)
-
-        if gold_answers is not None:
-            em, _ = QAExactMatch(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            f1, _ = QAF1Score(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
-            logger.info("DPR QA eval: %s", overall)
-            for i, s in enumerate(solutions):
-                s.gold_answers = list(gold_answers[i])
-                if gold_docs is not None:
-                    s.gold_docs = gold_docs[i]
-            return solutions, responses, metadata, overall_retrieval_result, overall
-        return solutions, responses, metadata
+        return finish_rag_qa(
+            self.global_config, solutions, responses, metadata,
+            overall_retrieval_result, gold_docs, gold_answers,
+            log_label="DPR QA",
+        )
 
     # ==================================================================
     # IRCoT iterative retrieval (ref HippoRAG.py:509-589)
@@ -1410,6 +1419,13 @@ class HippoRAG:
         max_qa_steps: int = 2,
     ):
         retrieved = self.retrieve_ircot(queries, max_qa_steps=max_qa_steps, gold_docs=gold_docs)
+        ircot_retrieval_eval = None
         if gold_docs is not None:
-            retrieved, _ = retrieved
-        return self.rag_qa(retrieved, gold_docs=gold_docs, gold_answers=gold_answers)
+            retrieved, ircot_retrieval_eval = retrieved
+        out = self.rag_qa(retrieved, gold_docs=gold_docs, gold_answers=gold_answers)
+        if gold_answers is not None and ircot_retrieval_eval is not None:
+            # rag_qa received QuerySolutions so its retrieval-eval slot is
+            # None; substitute the IRCoT retrieval eval the caller asked for
+            solutions, responses, metadata, _, qa_eval = out
+            return solutions, responses, metadata, ircot_retrieval_eval, qa_eval
+        return out

@@ -21,7 +21,7 @@ import numpy as np
 
 from .config import BaseConfig
 from .embedding import get_embedding_model
-from .evaluation import QAExactMatch, QAF1Score, RetrievalRecall
+from .evaluation import RetrievalRecall
 from .llm import get_llm
 from .preprocessing import get_preprocessor
 from .prompts import PromptTemplateManager, get_query_instruction
@@ -140,6 +140,20 @@ class StandardRAG:
             self.prepare_retrieval_objects()
         retrieve_start = time.time()
 
+        if not self.passage_node_keys:
+            # empty index: empty-but-usable results (mirrors HippoRAG),
+            # not an opaque zero-width broadcast error
+            results = [
+                QuerySolution(question=q, docs=[], doc_scores=np.zeros(0))
+                for q in queries
+            ]
+            if gold_docs is not None:
+                overall, _ = RetrievalRecall(cfg).calculate_metric_scores(
+                    gold_docs, [[] for _ in results], RETRIEVAL_K_LIST
+                )
+                return results, overall
+            return results
+
         todo = [q for q in queries if q not in self.query_to_embedding]
         if todo:
             embs = self.embedding_model.batch_encode(
@@ -201,7 +215,11 @@ class StandardRAG:
 
     # dense_passage_retrieval kept for API parity with the reference
     def dense_passage_retrieval(self, query: str):
-        result = self.retrieve([query])[0]
+        """Full ranking over ALL passages — same contract as
+        HippoRAG.dense_passage_retrieval (the reference returns the whole
+        argsort, ref StandardRAG.py:383-429), so callers written against
+        either class see the same result length."""
+        result = self.retrieve([query], num_to_retrieve=len(self.passage_node_keys))[0]
         keys = {k: i for i, k in enumerate(self.passage_node_keys)}
         order = np.asarray(
             [keys[self.chunk_embedding_store.text_to_hash_id[d]] for d in result.docs]
@@ -245,17 +263,10 @@ class StandardRAG:
             else:
                 queries = self.retrieve(queries)
         solutions, responses, metadata = self.qa(queries)
-        if gold_answers is not None:
-            em, _ = QAExactMatch(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            f1, _ = QAF1Score(self.global_config).calculate_metric_scores(
-                gold_answers, [s.answer for s in solutions], np.max
-            )
-            overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
-            for i, s in enumerate(solutions):
-                s.gold_answers = list(gold_answers[i])
-                if gold_docs is not None:
-                    s.gold_docs = gold_docs[i]
-            return solutions, responses, metadata, overall_retrieval_result, overall
-        return solutions, responses, metadata
+        from .utils.qa_utils import finish_rag_qa
+
+        return finish_rag_qa(
+            self.global_config, solutions, responses, metadata,
+            overall_retrieval_result, gold_docs, gold_answers,
+            log_label="StandardRAG QA",
+        )

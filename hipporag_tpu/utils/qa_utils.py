@@ -36,3 +36,40 @@ def reason_step(dataset, prompt_template_manager, query: str, passages: List[str
     messages = prompt_template_manager.render(name, prompt_user=prompt_user)
     response, _, _ = llm.infer(messages, response_format=None)
     return response.strip()
+
+
+def finish_rag_qa(
+    config,
+    solutions,
+    responses,
+    metadata,
+    overall_retrieval_result,
+    gold_docs,
+    gold_answers,
+    log_label: str = "QA",
+):
+    """Shared rag_qa epilogue (EM/F1 scoring, 4-dp rounding, gold
+    attachment — ref HippoRAG.py:641-663): ONE copy for HippoRAG.rag_qa,
+    rag_qa_dpr, and StandardRAG.rag_qa so the eval contract cannot
+    silently diverge between retrievers."""
+    if gold_answers is None:
+        return solutions, responses, metadata
+
+    import numpy as np
+
+    from ..evaluation import QAExactMatch, QAF1Score
+    from .logging import get_logger
+
+    em, _ = QAExactMatch(config).calculate_metric_scores(
+        gold_answers, [s.answer for s in solutions], np.max
+    )
+    f1, _ = QAF1Score(config).calculate_metric_scores(
+        gold_answers, [s.answer for s in solutions], np.max
+    )
+    overall = {k: round(float(v), 4) for k, v in {**em, **f1}.items()}
+    get_logger(__name__).info("%s eval: %s", log_label, overall)
+    for i, s in enumerate(solutions):
+        s.gold_answers = list(gold_answers[i])
+        if gold_docs is not None:
+            s.gold_docs = gold_docs[i]
+    return solutions, responses, metadata, overall_retrieval_result, overall

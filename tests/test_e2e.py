@@ -192,6 +192,59 @@ def test_delete_is_host_only(tmp_path, toy_data):
     assert len(sols[0].docs) == len(docs) - 2
 
 
+def test_delete_under_force_openie_preserves_results(tmp_path, toy_data):
+    """delete() under force_openie_from_scratch must still read the
+    persisted OpenIE results — previously it saw zero triples, removed no
+    facts, and overwrote openie_results.json with an empty list."""
+    import json as _json
+
+    docs, _, _, _ = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "fdel"))
+    rag.index(docs[:4])
+    n_facts = len(rag.fact_embedding_store.get_all_ids())
+    assert n_facts > 0
+
+    rag2 = HippoRAG(
+        global_config=_config(tmp_path / "fdel", force_openie_from_scratch=True)
+    )
+    rag2.delete(docs[:1])
+    # the remaining three docs' extractions survive on disk
+    with open(rag2.openie_results_path) as f:
+        remaining = _json.load(f)["docs"]
+    assert len(remaining) == 3
+    # and the deleted doc's facts actually left the store
+    assert len(rag2.fact_embedding_store.get_all_ids()) < n_facts
+
+
+def test_skip_graph_incremental_index_invalidates_retrieval(tmp_path):
+    docs = [f"Alpha{i} relates to Beta{i}." for i in range(4)]
+    rag = HippoRAG(global_config=_config(tmp_path / "skipg", skip_graph=True))
+    rag.index(docs[:2])
+    assert len(rag.retrieve(["What relates to Alpha0?"])[0].docs) == 2
+    rag.index(docs)  # incremental under skip_graph
+    # new docs must be visible (stale prepared state invalidated)
+    assert len(rag.retrieve(["What relates to Alpha3?"])[0].docs) == 4
+
+
+def test_answer_with_ircot_returns_retrieval_eval(tmp_path, toy_data):
+    docs, queries, gold_docs, gold_answers = toy_data
+    rag = HippoRAG(global_config=_config(tmp_path / "ircot_eval"))
+    rag.index(docs)
+    out = rag.answer_with_ircot(
+        [queries[0]], gold_docs=[gold_docs[0]], gold_answers=[gold_answers[0]],
+        max_qa_steps=2,
+    )
+    solutions, _resp, _meta, retrieval_eval, qa_eval = out
+    assert retrieval_eval is not None and "Recall@5" in retrieval_eval
+    assert "ExactMatch" in qa_eval
+
+
+def test_standard_rag_empty_index_returns_empty(tmp_path):
+    rag = StandardRAG(global_config=_config(tmp_path / "empty_std"))
+    sols = rag.retrieve(["anything?"])
+    assert sols[0].docs == []
+
+
 def test_offline_openie_two_phase(tmp_path, toy_data):
     docs, _, _, _ = toy_data
     cfg = _config(tmp_path / "off", openie_mode="offline")
