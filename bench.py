@@ -183,6 +183,10 @@ def main():
     signal.signal(signal.SIGTERM, _emit_partial)
     signal.signal(signal.SIGALRM, _emit_partial)
     signal.alarm(int(float(os.environ.get("BENCH_HARD_KILL_S", 3300))))
+    # expose the partial state so the __main__ exception handler can emit
+    # the JSON line when an unguarded section (e.g. the headline solve on
+    # a mid-run-degraded tunnel) raises instead of hanging
+    main._partial = (snapshot, sections, extra, _emitted)
 
     def over_deadline(section: str) -> bool:
         elapsed = time.perf_counter() - bench_start
@@ -195,13 +199,16 @@ def main():
     log(f"graph: {num_nodes} nodes, {num_edges} directed entries; batch={batch}")
     src, dst, w = build_synthetic_graph(num_nodes, num_edges)
 
-    # symmetric expansion (undirected walk), sorted by dst — matches
-    # GraphBuilder.symmetric_coo output
-    s2 = np.concatenate([src, dst])
-    d2 = np.concatenate([dst, src])
-    w2 = np.concatenate([w, w])
-    order = np.argsort(d2, kind="stable")
-    s2, d2, w2 = s2[order], d2[order], w2[order]
+    # the SHARED production operator recipe (symmetric expansion, dst
+    # sort, strength normalization, dangling mask) — importing jax does
+    # not initialize a backend, so this stays safe before the probe
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops.pagerank import normalize_symmetric_coo
+
+    node_cap = round_up(num_nodes, 128)
+    s2, d2, wn, dang_cap = normalize_symmetric_coo(
+        src, dst, w, num_nodes, node_cap
+    )
 
     # reset vectors: 5 seeds per query
     rng = np.random.default_rng(1)
@@ -211,15 +218,16 @@ def main():
     # ---------------- CPU baseline (scipy CSR, BEFORE any jax use) ----------------
     # Runs first so a backend-probe failure can never cost the baseline,
     # and the probe can be retried after this CPU-only work (the tunnel
-    # degrades in episodes — VERDICT r2 next-step 1b).
+    # degrades in episodes — VERDICT r2 next-step 1b). The baseline solves
+    # (in float64 arithmetic) the SAME f32-rounded operator the device
+    # uses, so max_err_vs_cpu measures pure solver error.
     import scipy.sparse as sp
 
     log("building CSR for CPU baseline...")
-    strength = np.zeros(num_nodes, dtype=np.float64)
-    np.add.at(strength, s2, w2.astype(np.float64))
-    w_norm_cpu = w2.astype(np.float64) / strength[s2]
-    T = sp.csr_matrix((w_norm_cpu, (d2, s2)), shape=(num_nodes, num_nodes))
-    dangling = (strength == 0).astype(np.float64)
+    T = sp.csr_matrix(
+        (wn.astype(np.float64), (d2, s2)), shape=(num_nodes, num_nodes)
+    )
+    dangling = dang_cap[:num_nodes].astype(np.float64)
 
     def cpu_ppr(reset_row):
         r = reset_row / reset_row.sum()
@@ -315,7 +323,6 @@ def main():
         extra["batch"] = batch
         log(f"cpu fallback: batch reduced to {batch} (graph scale kept)")
 
-    from hipporag_tpu.graph.csr import round_up
     from hipporag_tpu.ops.pagerank import (
         COOGraph,
         batched_ppr,
@@ -324,16 +331,14 @@ def main():
         ell_gathered_rows_per_iter,
     )
 
-    node_cap = round_up(num_nodes, 128)
     edge_cap = round_up(len(s2), 1024)
     src_pad = np.zeros(edge_cap, np.int32)
     dst_pad = np.full(edge_cap, node_cap - 1, np.int32)
     wn_pad = np.zeros(edge_cap, np.float32)
     src_pad[: len(s2)] = s2
     dst_pad[: len(s2)] = d2
-    wn_pad[: len(s2)] = (w2.astype(np.float64) / strength[s2]).astype(np.float32)
-    dang_pad = np.zeros(node_cap, np.float32)
-    dang_pad[:num_nodes] = dangling
+    wn_pad[: len(s2)] = wn
+    dang_pad = dang_cap
 
     graph = COOGraph(
         src=jax.device_put(jnp.asarray(src_pad)),
@@ -689,6 +694,9 @@ def main():
             except Exception as e:  # noqa: BLE001
                 sections["serving_latency"] = f"skipped ({e})"
                 log(f"single-query latency probe skipped: {e}")
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         except Exception as e:  # noqa: BLE001
             sections["e2e"] = f"skipped ({e})"
             log(f"e2e section skipped: {e}")
@@ -721,9 +729,10 @@ def main():
                 None if exact_env == "0"
                 else 0 if exact_env == "all" else int(exact_env)
             )
+            twiki_tmp = tempfile.mkdtemp()
             res = run_2wiki_eval(
                 twiki_corpus,
-                save_dir=tempfile.mkdtemp(),
+                save_dir=twiki_tmp,
                 n_queries=int(os.environ.get("BENCH_2WIKI_QUERIES", 600)),
                 n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
                 top_k=20,
@@ -762,6 +771,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             sections["2wiki"] = f"skipped ({e})"
             log(f"2wiki section skipped: {e}")
+        finally:
+            import shutil
+
+            shutil.rmtree(locals().get("twiki_tmp", "/nonexistent"),
+                          ignore_errors=True)
 
     # ---------------- multi-hop quality: graph vs dense ----------------
     # The central HippoRAG capability claim, measured: 2-hop questions
@@ -784,10 +798,11 @@ def main():
                 qgold.append([d1, d2_])
             qcfg = dict(llm_name="mock", embedding_model_name="mock",
                         ppr_batch_size=16, jax_compilation_cache_dir=None)
-            dense = StandardRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            mh_dirs = [tempfile.mkdtemp(), tempfile.mkdtemp()]
+            dense = StandardRAG(global_config=BaseConfig(save_dir=mh_dirs[0], **qcfg))
             dense.index(qdocs)
             _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)
-            g = HippoRAG(global_config=BaseConfig(save_dir=tempfile.mkdtemp(), **qcfg))
+            g = HippoRAG(global_config=BaseConfig(save_dir=mh_dirs[1], **qcfg))
             g.index(qdocs)
             _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
             extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
@@ -800,6 +815,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             sections["multihop_quality"] = f"skipped ({e})"
             log(f"quality section skipped: {e}")
+        finally:
+            import shutil
+
+            for d in locals().get("mh_dirs", []):
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---------------- JAX encoder throughput (MXU) ----------------
     # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing
@@ -927,4 +947,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        # the one-JSON-line contract holds even on an uncaught exception:
+        # emit the partial snapshot (CPU baseline / probe data may already
+        # be in it) before exiting nonzero
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        state = getattr(main, "_partial", None)
+        if state is not None:
+            snapshot, sections, extra, emitted = state
+            if not emitted:
+                emitted.append(True)
+                out = dict(snapshot)
+                out["detail"] = {
+                    "sections": sections,
+                    "aborted": f"exception: {type(exc).__name__}: {exc}",
+                    **extra,
+                }
+                print(json.dumps(out), flush=True)
+        sys.exit(1)

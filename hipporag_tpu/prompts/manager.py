@@ -69,13 +69,26 @@ class PromptTemplateManager:
         return sorted(self.templates.keys())
 
     def render(self, name: str, **kwargs):
-        """Render a template; chat templates return a message list."""
+        """Render a template; chat templates return a message list.
+
+        Substitution is STRICT (like the reference manager,
+        prompt_template_manager.py:123-133): a missing kwarg raises
+        instead of silently shipping a literal ``${placeholder}`` to the
+        LLM (which would corrupt extractions with no error anywhere).
+        Extra kwargs are ignored; messages without placeholders pass
+        through unchanged.
+        """
         template = self.templates[name]
         if isinstance(template, Template):
             return template.substitute(**kwargs)
         rendered = []
         for msg in template:
-            rendered.append(
-                {"role": msg["role"], "content": msg["content"].safe_substitute(**kwargs)}
-            )
+            try:
+                content = msg["content"].substitute(**kwargs)
+            except KeyError as e:
+                raise ValueError(
+                    f"Template '{name}' is missing required kwarg {e} "
+                    f"(got {sorted(kwargs)})"
+                ) from e
+            rendered.append({"role": msg["role"], "content": content})
         return rendered

@@ -195,6 +195,13 @@ def test_prompt_manager_renders():
     assert msgs[-1]["content"] == "Some passage about Paris."
     re_msgs = ptm.render("triple_extraction", passage="P", named_entity_json='{"named_entities": []}')
     assert "P" in re_msgs[-1]["content"]
+    # strict substitution (reference parity): a missing/typo'd kwarg must
+    # raise, never ship a literal '${passage}' to the LLM
+    with pytest.raises(ValueError, match="passage"):
+        ptm.render("ner", passages="typo'd kwarg name")
+    # extra kwargs are ignored; values containing '$' are safe
+    ok = ptm.render("ner", passage="costs $5", unused="x")
+    assert ok[-1]["content"] == "costs $5"
 
 
 def test_query_instruction():
