@@ -94,6 +94,49 @@ def make_variant(additive_mask: bool):
     return fwd
 
 
+def make_fused_attn():
+    """v3: jax.nn.dot_product_attention (fused XLA attention path) with
+    the current f32 residual stream."""
+
+    @functools.partial(jax.jit, static_argnames=("num_heads",))
+    def fwd(params, input_ids, attention_mask, num_heads):
+        dtype = jnp.bfloat16
+        mask = attention_mask.astype(bool)
+        l = input_ids.shape[1]
+        x = (
+            params["word_emb"][input_ids]
+            + params["pos_emb"][:l][None, :, :]
+            + params["type_emb"][0][None, None, :]
+        )
+        x = _ln(x, params["emb_ln_s"], params["emb_ln_b"], jnp.float32)
+        for layer in params["layers"]:
+            b_, l_, d_ = x.shape
+            hd = d_ // num_heads
+
+            def split(t):
+                return t.reshape(b_, l_, num_heads, hd)  # [B,L,H,hd]
+
+            q = split(_dense(x, layer["q_w"], layer["q_b"], dtype, dtype))
+            k = split(_dense(x, layer["k_w"], layer["k_b"], dtype, dtype))
+            v = split(_dense(x, layer["v_w"], layer["v_b"], dtype, dtype))
+            ctx = jax.nn.dot_product_attention(
+                q, k, v, mask=mask[:, None, None, :]
+            )
+            ctx = ctx.reshape(b_, l_, d_)
+            out = _dense(ctx, layer["attn_out_w"], layer["attn_out_b"], dtype, jnp.float32)
+            x = _ln(x + out, layer["attn_ln_s"], layer["attn_ln_b"], jnp.float32)
+            h = jax.nn.gelu(_dense(x, layer["ffn_in_w"], layer["ffn_in_b"], dtype, dtype))
+            out = _dense(h, layer["ffn_out_w"], layer["ffn_out_b"], dtype, jnp.float32)
+            x = _ln(x + out, layer["ffn_ln_s"], layer["ffn_ln_b"], jnp.float32)
+        m = mask[..., None].astype(jnp.float32)
+        pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+
+    return fwd
+
+
 def bench(fn, params, ids, mask, heads, label, reps=4, **kw):
     out = fn(params, ids, mask, heads, **kw)
     np.asarray(out[0, 0])
@@ -119,11 +162,9 @@ def main():
 
     o0 = bench(encode_forward, params, ids, mask, heads, "v0 current",
                compute_dtype="bfloat16")
-    o1 = bench(make_variant(False), params, ids, mask, heads, "v1 bf16 stream")
-    o2 = bench(make_variant(True), params, ids, mask, heads, "v2 +additive mask")
-    for label, o in (("v1", o1), ("v2", o2)):
-        cos = np.sum(o0 * o, axis=-1)
-        print(f"{label} vs v0: min cosine {cos.min():.6f}", flush=True)
+    o3 = bench(make_fused_attn(), params, ids, mask, heads, "v3 fused dpa")
+    cos = np.sum(o0 * o3, axis=-1)
+    print(f"v3 vs v0: min cosine {cos.min():.6f}", flush=True)
 
 
 if __name__ == "__main__":
