@@ -166,6 +166,38 @@ def main():
     cos = np.sum(o0 * o3, axis=-1)
     print(f"v3 vs v0: min cosine {cos.min():.6f}", flush=True)
 
+    # v4: attention score/softmax/ctx REMOVED (ctx := v) — the time delta
+    # vs v0 bounds what a perfect flash-attention kernel could reclaim
+    @functools.partial(jax.jit, static_argnames=("num_heads",))
+    def fwd_noattn(params, input_ids, attention_mask, num_heads):
+        dtype = jnp.bfloat16
+        mask = attention_mask.astype(bool)
+        l = input_ids.shape[1]
+        x = (
+            params["word_emb"][input_ids]
+            + params["pos_emb"][:l][None, :, :]
+            + params["type_emb"][0][None, None, :]
+        )
+        x = _ln(x, params["emb_ln_s"], params["emb_ln_b"], jnp.float32)
+        for layer in params["layers"]:
+            b_, l_, d_ = x.shape
+            _q = _dense(x, layer["q_w"], layer["q_b"], dtype, dtype)
+            _k = _dense(x, layer["k_w"], layer["k_b"], dtype, dtype)
+            v = _dense(x, layer["v_w"], layer["v_b"], dtype, dtype)
+            ctx = v + 0 * (_q + _k)  # keep QKV matmuls live
+            out = _dense(ctx, layer["attn_out_w"], layer["attn_out_b"], dtype, jnp.float32)
+            x = _ln(x + out, layer["attn_ln_s"], layer["attn_ln_b"], jnp.float32)
+            h = jax.nn.gelu(_dense(x, layer["ffn_in_w"], layer["ffn_in_b"], dtype, dtype))
+            out = _dense(h, layer["ffn_out_w"], layer["ffn_out_b"], dtype, jnp.float32)
+            x = _ln(x + out, layer["ffn_ln_s"], layer["ffn_ln_b"], jnp.float32)
+        m = mask[..., None].astype(jnp.float32)
+        pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+
+    bench(fwd_noattn, params, ids, mask, heads, "v4 no-attention (bound)")
+
 
 if __name__ == "__main__":
     main()
