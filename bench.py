@@ -140,7 +140,10 @@ def main():
     num_edges = int(os.environ.get("BENCH_EDGES", 2_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 128))
     max_iters = int(os.environ.get("BENCH_ITERS", 64))
-    damping, tol = 0.5, 1e-8
+    # tol matches the production default (config.ppr_tol): ranking-exact
+    # per the 2wiki exact_rank_check below; BENCH_TOL=1e-8 measures the
+    # probability-exact setting (~13 vs ~8 iterations)
+    damping, tol = 0.5, float(os.environ.get("BENCH_TOL", 1e-6))
     # the deadline clock starts AFTER the backend decision (see below):
     # probe/retry delays during a degraded-tunnel episode must not eat
     # the budget of the measurement sections
