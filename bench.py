@@ -759,6 +759,9 @@ def main():
                 ]
                 extra["exact_solver"] = res["exact"]["solver"]
                 extra["exact_queries"] = res["exact"]["queries"]
+                extra["exact_queries_with_displacement"] = res["exact"][
+                    "queries_with_displacement"
+                ]
             sections["2wiki"] = "ok"
             log(
                 f"2wiki ({res['corpus_docs']} docs, {res['num_queries']} queries): "

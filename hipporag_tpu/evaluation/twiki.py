@@ -283,6 +283,7 @@ def exact_rank_check(
         solver = "scipy_float64"
 
     overlaps, max_disp = [], 0
+    n_displaced = 0  # queries with ANY top-k position differing
     iters_used = []
     for i, q in enumerate(queries):
         reset = s["reset"][i].astype(np.float64)
@@ -317,8 +318,11 @@ def exact_rank_check(
 
         got = [text_to_pos[t] for t in tpu_doc_lists[i][:top_k]]
         overlaps.append(len(set(got) & exact_top) / max(len(exact_top), 1))
+        q_disp = 0
         for pos_tpu, j in enumerate(got):
-            max_disp = max(max_disp, abs(int(exact_rank[j]) - pos_tpu))
+            q_disp = max(q_disp, abs(int(exact_rank[j]) - pos_tpu))
+        max_disp = max(max_disp, q_disp)
+        n_displaced += q_disp > 0
 
     return {
         "solver": solver,
@@ -326,6 +330,7 @@ def exact_rank_check(
         "agreement": round(float(np.mean(overlaps)), 4),
         "worst_overlap": round(float(np.min(overlaps)), 4),
         "max_rank_displacement": int(max_disp),
+        "queries_with_displacement": int(n_displaced),
         "mean_exact_iters": round(float(np.mean(iters_used)), 1),
     }
 
