@@ -19,6 +19,21 @@ Variants per (S, B):
 Indices are identical across variants (same rows, same partition
 grouping) so only the operand layout differs.
 
+MEASURED (v5e, 2026-08-17, /tmp/gather_probe2.log; tunnel partially
+degraded both runs so absolute ns are inflated ~1.7x vs the clean-link
+3.8 ns floor — the RATIOS are the finding):
+  S=262k  B=128: map 21.8 | unroll 20.8 | nochunk  6.5 ns/row
+  S=1M    B=128: map 21.9 | unroll 20.8 | nochunk  6.4 | parts 6.7 | slice 6.9
+  S=10M   B=16 : map 15.3 | unroll 15.2 | nochunk 15.1 | parts 8.5 | slice 8.8
+Conclusions: (1) the lax.map chunking itself costs ~3.4x and inline
+unrolled chunks are JUST AS SLOW — the penalty is the chunked
+gather+einsum structure, not the while-loop; (2) a single UNchunked
+gather is at the floor up to ~1M slots, so the 1M big-graph point only
+needs a bigger gather budget, not partitioning; (3) above ~1M slots the
+operand size itself is the cost and only partitioned (or in-jit sliced)
+sub-tables restore the floor (1.8x at 10M); (4) "slice" == "parts":
+the iterate can stay monolithic, sub-tables can be lax.slice views.
+
 Usage: JAX_PLATFORMS=... python scripts/gather_partition_probe.py
 Env: PROBE_CASES="200000:128,1000000:128,10000000:16" PROBE_ROWS=4400000
 """
@@ -67,17 +82,22 @@ def main():
 
     budget = int(os.environ.get("PROBE_GATHER_BYTES", 1 << 30))
 
-    def chunked_reduce(table, idx, wgt):
+    def chunked_reduce(table, idx, wgt, mode="map"):
         nb = idx.shape[0]
         b = table.shape[1]
         per = W * b * 4
         chunk = max(1, budget // per)
-        if nb <= chunk:
+        if nb <= chunk or mode == "nochunk":
             return reduce_rows(table, idx, wgt)
         n_chunks = -(-nb // chunk)
         pad = n_chunks * chunk - nb
         idx_c = jnp.pad(idx, ((0, pad), (0, 0))).reshape(n_chunks, chunk, W)
         wgt_c = jnp.pad(wgt, ((0, pad), (0, 0))).reshape(n_chunks, chunk, W)
+        if mode == "unroll":
+            out = jnp.concatenate(
+                [reduce_rows(table, idx_c[c], wgt_c[c])
+                 for c in range(n_chunks)], axis=0)
+            return out[:nb]
         out = jax.lax.map(lambda a: reduce_rows(table, a[0], a[1]),
                           (idx_c, wgt_c))
         return out.reshape(-1, b)[:nb]
@@ -119,7 +139,15 @@ def main():
 
         @jax.jit
         def f_single(t, i, g):
-            return chunked_reduce(t, i, g)
+            return chunked_reduce(t, i, g, mode="map")
+
+        @jax.jit
+        def f_single_unroll(t, i, g):
+            return chunked_reduce(t, i, g, mode="unroll")
+
+        @jax.jit
+        def f_single_nochunk(t, i, g):
+            return chunked_reduce(t, i, g, mode="nochunk")
 
         @jax.jit
         def f_parts(ts, i3, g3):
@@ -137,6 +165,8 @@ def main():
 
         variants = {
             "single": (f_single, (table_d, glob_d, wgt_d), nb * W),
+            "unroll": (f_single_unroll, (table_d, glob_d, wgt_d), nb * W),
+            "nochunk": (f_single_nochunk, (table_d, glob_d, wgt_d), nb * W),
             "parts": (f_parts, (parts_d, loc_d, wgtp_d), n_parts * pmax * W),
             "slice": (f_slice, (table_d, loc_d, wgtp_d), n_parts * pmax * W),
         }
