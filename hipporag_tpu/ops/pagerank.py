@@ -601,19 +601,26 @@ def ell_from_coo(
                   n_hub_cap, local_inv)
 
 
-# Per-bucket gathered-intermediate budget: larger buckets stream through
-# a lax.map in chunks. Measured on v5e with ragged hubs: the 200k-node
-# benchmark graph (largest bucket ~7.6GB gathered) times identically
-# chunked vs unchunked (1154ms/batch), the 1M-node graph is ~15% slower
-# chunked — while the 2M-node/40M-edge graph OOMs UNchunked (XLA
-# materializes the [rows, W, B] einsum input at that size) and solves
-# chunked. An earlier "5x slower" reading predated the ragged-hub fix
-# and was an artifact of the hub-cube padding blowup.
+# Per-bucket gathered-intermediate budget: XLA materializes the
+# [rows, W, B] einsum input, so buckets past the budget are reduced in
+# WIDTH blocks (wc columns gathered + accumulated at a time, O(nb*wc*B)
+# temp) instead of one shot. Width blocking replaced the earlier
+# lax.map ROW chunking after the gather-partition probe
+# (scripts/gather_partition_probe.py) measured row chunks at ~3.4x the
+# unchunked per-row cost — inline-unrolled row chunks equally slow, so
+# the penalty is the chunked gather structure itself — while
+# column-split gathers run AT the unchunked floor (6.2 vs 6.5 ns/row,
+# v5e). The old row chunking survives only as the fallback when width
+# blocking would need pathologically many blocks.
 _ELL_GATHER_BYTES = int(os.environ.get("HIPPO_ELL_GATHER_BYTES", 2 << 30))
+# Max unrolled width blocks per bucket before falling back to row
+# chunking: bounds traced-op count (compile time) when one bucket's row
+# count alone exceeds the budget many times over.
+_ELL_MAX_WIDTH_BLOCKS = int(os.environ.get("HIPPO_ELL_MAX_WIDTH_BLOCKS", 64))
 
 
 def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
-    """[nb, W] rows -> [nb, B]; row-chunked when the gather would be huge."""
+    """[nb, W] rows -> [nb, B]; width-blocked when the gather would be huge."""
     nb, w = idx.shape
     b = p_g.shape[1]
     itemsize = jnp.dtype(p_g.dtype).itemsize
@@ -626,6 +633,13 @@ def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
 
     if nb * w * b * itemsize <= _ELL_GATHER_BYTES or nb < 2:
         return reduce_rows(idx, wgt)
+
+    wc = max(1, _ELL_GATHER_BYTES // (nb * b * itemsize))
+    if -(-w // wc) <= _ELL_MAX_WIDTH_BLOCKS:
+        out = reduce_rows(idx[:, :wc], wgt[:, :wc])
+        for j in range(wc, w, wc):
+            out = out + reduce_rows(idx[:, j:j + wc], wgt[:, j:j + wc])
+        return out
 
     chunk = max(1, _ELL_GATHER_BYTES // (w * b * itemsize))
     n_chunks = -(-nb // chunk)

@@ -150,6 +150,15 @@ def main():
             return chunked_reduce(t, i, g, mode="nochunk")
 
         @jax.jit
+        def f_colacc(t, i, g):
+            # accumulate over width columns: W gathers of [nb, B], no
+            # [nb, W, B] temp — candidate replacement for row chunking
+            out = t[i[:, 0]] * g[:, 0][:, None]
+            for j in range(1, W):
+                out = out + t[i[:, j]] * g[:, j][:, None]
+            return out
+
+        @jax.jit
         def f_parts(ts, i3, g3):
             return jnp.concatenate(
                 [chunked_reduce(t, i3[p], g3[p]) for p, t in enumerate(ts)],
@@ -167,6 +176,7 @@ def main():
             "single": (f_single, (table_d, glob_d, wgt_d), nb * W),
             "unroll": (f_single_unroll, (table_d, glob_d, wgt_d), nb * W),
             "nochunk": (f_single_nochunk, (table_d, glob_d, wgt_d), nb * W),
+            "colacc": (f_colacc, (table_d, glob_d, wgt_d), nb * W),
             "parts": (f_parts, (parts_d, loc_d, wgtp_d), n_parts * pmax * W),
             "slice": (f_slice, (table_d, loc_d, wgtp_d), n_parts * pmax * W),
         }
