@@ -738,6 +738,31 @@ def ell_gathered_rows_per_iter(graph: ELLGraph) -> int:
     return rows
 
 
+def bucket_reduce_plan(graph: ELLGraph, batch: int, itemsize: int = 4):
+    """Which reduce path each bucket takes at this batch size, mirroring
+    ``_bucket_reduce``'s branch logic under the current gather budget —
+    provenance for capacity probes ("oneshot" / "width×k" / "rowchunk×k").
+    The per-tile batch is what reaches the reduce, so callers should pass
+    ``min(batch, _PPR_BATCH_TILE)``."""
+    plan = []
+    parts = list(zip(graph.bucket_idx, graph.bucket_wgt))
+    if graph.hub_idx.shape[0]:
+        parts.append((graph.hub_idx, graph.hub_wgt))
+    for idx, _ in parts:
+        nb, w = int(idx.shape[0]), int(idx.shape[1])
+        if nb * w * batch * itemsize <= _ELL_GATHER_BYTES or nb < 2:
+            plan.append(f"[{nb}x{w}] oneshot")
+            continue
+        wc = max(1, _ELL_GATHER_BYTES // (nb * batch * itemsize))
+        n_blocks = -(-w // wc)
+        if n_blocks <= _ELL_MAX_WIDTH_BLOCKS:
+            plan.append(f"[{nb}x{w}] width x{n_blocks}")
+        else:
+            chunk = max(1, _ELL_GATHER_BYTES // (w * batch * itemsize))
+            plan.append(f"[{nb}x{w}] rowchunk x{-(-nb // chunk)}")
+    return plan
+
+
 # Batch-axis tile for the ELL solve. XLA's ELL gather hits a latency
 # cliff once the trailing (lane) axis exceeds one 128-lane tile: on v5e
 # the 200k-node bench graph costs 16.8 ms/iter at B<=128 but 60 ms/iter

@@ -28,8 +28,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.pagerank import (
-    COOGraph, _stalled2, pack_ell_rows, pack_hub_chunks, tile_columns,
-    validate_symmetric_operator,
+    COOGraph, _bucket_reduce, _stalled2, pack_ell_rows, pack_hub_chunks,
+    tile_columns, validate_symmetric_operator,
 )
 from ..utils.logging import get_logger
 from .mesh import CORPUS_AXIS, DP_AXIS
@@ -615,15 +615,15 @@ def make_sharded_ppr_ell(
                 q = jnp.concatenate(
                     [p_slot, recv.reshape(num_shards * h_cap, -1)], axis=0
                 )
+                # budget-aware per-bucket reduce (shared with the
+                # single-chip solver): at pod scale a shard's biggest
+                # bucket alone can gather a multi-GB [nb, W, B]
+                # intermediate, so over-budget buckets accumulate in
+                # width blocks instead of one shot
                 parts = [
-                    jnp.einsum("nwb,nw->nb", q[i], g,
-                               preferred_element_type=jnp.float32)
-                    for i, g in zip(b_idx, b_wgt)
+                    _bucket_reduce(q, i, g) for i, g in zip(b_idx, b_wgt)
                 ]
-                hub_partial = jnp.einsum(
-                    "rwb,rw->rb", q[hub_idx], hub_wgt,
-                    preferred_element_type=jnp.float32,
-                )
+                hub_partial = _bucket_reduce(q, hub_idx, hub_wgt)
                 parts.append(
                     jax.ops.segment_sum(
                         hub_partial, hub_seg, num_segments=n_hub + 1,

@@ -39,11 +39,20 @@ def parse_args():
     p.add_argument("--rerank_dspy_file_path", default=None)
     p.add_argument("--corpus_len", type=int, default=None, help="Truncate corpus for smoke runs")
     p.add_argument("--output_json", default=None, help="Write per-query solutions + metrics here")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="Force the JAX platform (site configs can override the "
+             "JAX_PLATFORMS env var; this applies jax.config before first use)",
+    )
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     logging.basicConfig(level=logging.INFO)
     save_dir = os.path.join(args.save_dir, args.dataset)
 

@@ -33,8 +33,8 @@ def main():
 
     from hipporag_tpu.graph.csr import round_up
     from hipporag_tpu.ops.pagerank import (
-        batched_ppr_ell, ell_from_coo, ell_gathered_rows_per_iter,
-        normalize_symmetric_coo,
+        _PPR_BATCH_TILE, batched_ppr_ell, bucket_reduce_plan, ell_from_coo,
+        ell_gathered_rows_per_iter, normalize_symmetric_coo,
     )
 
     cap = round_up(nodes, 128)
@@ -59,6 +59,8 @@ def main():
     rows = ell_gathered_rows_per_iter(ell)
     print(f"ELL packed in {time.time()-t0:.0f}s; {rows} gathered rows/iter",
           flush=True)
+    for line in bucket_reduce_plan(ell, min(b, _PPR_BATCH_TILE)):
+        print(f"  reduce plan: {line}", flush=True)
 
     t0 = time.time()
     ell = jax.tree.map(jax.device_put, ell)

@@ -800,3 +800,39 @@ def test_ppr_ell_width_blocked_end_to_end(monkeypatch):
     finally:
         batched_ppr_ell.clear_cache()
     np.testing.assert_allclose(blocked, base, rtol=1e-6, atol=1e-7)
+
+
+def test_bucket_reduce_plan_mirrors_branches(monkeypatch):
+    """bucket_reduce_plan must report the same branch _bucket_reduce takes
+    for each bucket under the active budget/block-cap globals."""
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops import pagerank as pr
+
+    rng = np.random.default_rng(9)
+    n = 400
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    cap = round_up(n, 128)
+    s2, d2, wn, dang = pr.normalize_symmetric_coo(src, dst, w, n, cap)
+    ell = pr.ell_from_coo(s2, d2, wn, dang, n, cap, bucket_widths=(4, 16, 64),
+                          hub_width=64)
+
+    n_parts = len(ell.bucket_idx) + (1 if ell.hub_idx.shape[0] else 0)
+
+    plan = pr.bucket_reduce_plan(ell, 8)
+    assert len(plan) == n_parts
+    assert all("oneshot" in line for line in plan)  # default 2GB budget
+
+    monkeypatch.setattr(pr, "_ELL_GATHER_BYTES", 4096)
+    plan = pr.bucket_reduce_plan(ell, 8)
+    assert any("width x" in line for line in plan)
+    # every over-budget bucket must pick width blocks or the row fallback
+    assert all(("oneshot" in p) or ("width x" in p) or ("rowchunk x" in p)
+               for p in plan)
+
+    monkeypatch.setattr(pr, "_ELL_MAX_WIDTH_BLOCKS", 1)
+    plan_rc = pr.bucket_reduce_plan(ell, 8)
+    assert any("rowchunk x" in line for line in plan_rc)

@@ -164,6 +164,19 @@ def test_sharded_ell_ppr_matches_single_device():
     np.testing.assert_allclose(got[:, node_cap:], 0.0, atol=1e-9)
 
 
+def test_sharded_ell_ppr_width_blocked_matches_single_device(monkeypatch):
+    """A tiny gather budget forces the sharded solver's per-bucket reduce
+    through the width-blocked (and, for wide hub chunks, the row-chunked
+    fallback) paths; ranking must stay identical to the default one-shot
+    reduce. At pod scale a shard's largest bucket alone can gather a
+    multi-GB [nb, W, B] intermediate, so the budget logic is shared with
+    the single-chip solver (ops/pagerank._bucket_reduce)."""
+    from hipporag_tpu.ops import pagerank as pr
+
+    monkeypatch.setattr(pr, "_ELL_GATHER_BYTES", 4096)
+    test_sharded_ell_ppr_matches_single_device()
+
+
 def test_sharded_ell_ppr_tiled_batch_matches_single_device():
     """Per-device batches past one 128-lane tile engage the lax.map column
     tiling inside the sharded halo solver; results must match the
