@@ -232,14 +232,14 @@ def main():
     )
     dangling = dang_cap[:num_nodes].astype(np.float64)
 
-    def cpu_ppr(reset_row):
+    def cpu_ppr(reset_row, iter_cap=None, stop_tol=None):
         r = reset_row / reset_row.sum()
         p = r.copy()
-        for _ in range(max_iters):
+        for _ in range(max_iters if iter_cap is None else iter_cap):
             y = T @ p
             dm = float(dangling @ p)
             p_next = (1 - damping) * r + damping * (y + dm * r)
-            if np.max(np.abs(p_next - p)) < tol:
+            if np.max(np.abs(p_next - p)) < (tol if stop_tol is None else stop_tol):
                 p = p_next
                 break
             p = p_next
@@ -261,6 +261,13 @@ def main():
     cpu_time = min(pass1, pass2)
     cpu_qps = n_cpu / cpu_time
     log(f"CPU: best of {pass1:.2f}s/{pass2:.2f}s for {n_cpu} queries -> {cpu_qps:.2f} q/s")
+    # untimed near-exact reference (fixed tight tol, independent of the
+    # shared serving tol): max_err_vs_cpu must bound device-vs-exact
+    # solver error, not compare two tol-truncated solutions
+    cpu_results = [
+        cpu_ppr(reset_cpu[i], iter_cap=256, stop_tol=1e-12)
+        for i in range(n_cpu)
+    ]
     sections["cpu_baseline"] = "ok"
     extra.update(
         nodes=num_nodes, directed_edges=int(len(s2)), batch=batch,

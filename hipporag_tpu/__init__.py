@@ -9,7 +9,7 @@ batched Personalized PageRank over a device-resident graph.
 from .config import BaseConfig
 from .utils.misc import Chunk, QuerySolution, RetrievalResult
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "BaseConfig",

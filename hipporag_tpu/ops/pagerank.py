@@ -619,6 +619,22 @@ _ELL_GATHER_BYTES = int(os.environ.get("HIPPO_ELL_GATHER_BYTES", 2 << 30))
 _ELL_MAX_WIDTH_BLOCKS = int(os.environ.get("HIPPO_ELL_MAX_WIDTH_BLOCKS", 64))
 
 
+def _bucket_plan(nb: int, w: int, b: int, itemsize: int):
+    """The single branch decision shared by ``_bucket_reduce`` (execution)
+    and ``bucket_reduce_plan`` (reporting): returns ``("oneshot", None)``,
+    ``("width", wc)`` with block width wc, or ``("rowchunk", chunk)`` with
+    row-chunk size chunk. The width path is only legal when at least one
+    whole column fits the budget — when even an [nb, 1, B] gather exceeds
+    it, only splitting nb (row chunks) actually bounds the temp."""
+    if nb * w * b * itemsize <= _ELL_GATHER_BYTES or nb < 2:
+        return "oneshot", None
+    wc = _ELL_GATHER_BYTES // (nb * b * itemsize)
+    if wc >= 1 and -(-w // wc) <= _ELL_MAX_WIDTH_BLOCKS:
+        return "width", wc
+    chunk = max(1, _ELL_GATHER_BYTES // (w * b * itemsize))
+    return "rowchunk", chunk
+
+
 def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
     """[nb, W] rows -> [nb, B]; width-blocked when the gather would be huge."""
     nb, w = idx.shape
@@ -631,17 +647,18 @@ def _bucket_reduce(p_g: Array, idx: Array, wgt: Array) -> Array:
             preferred_element_type=jnp.float32,
         )
 
-    if nb * w * b * itemsize <= _ELL_GATHER_BYTES or nb < 2:
+    path, param = _bucket_plan(nb, w, b, itemsize)
+    if path == "oneshot":
         return reduce_rows(idx, wgt)
 
-    wc = max(1, _ELL_GATHER_BYTES // (nb * b * itemsize))
-    if -(-w // wc) <= _ELL_MAX_WIDTH_BLOCKS:
+    if path == "width":
+        wc = param
         out = reduce_rows(idx[:, :wc], wgt[:, :wc])
         for j in range(wc, w, wc):
             out = out + reduce_rows(idx[:, j:j + wc], wgt[:, j:j + wc])
         return out
 
-    chunk = max(1, _ELL_GATHER_BYTES // (w * b * itemsize))
+    chunk = param
     n_chunks = -(-nb // chunk)
     pad = n_chunks * chunk - nb
     idx_c = jnp.pad(idx, ((0, pad), (0, 0))).reshape(n_chunks, chunk, w)
@@ -739,27 +756,25 @@ def ell_gathered_rows_per_iter(graph: ELLGraph) -> int:
 
 
 def bucket_reduce_plan(graph: ELLGraph, batch: int, itemsize: int = 4):
-    """Which reduce path each bucket takes at this batch size, mirroring
-    ``_bucket_reduce``'s branch logic under the current gather budget —
-    provenance for capacity probes ("oneshot" / "width×k" / "rowchunk×k").
-    The per-tile batch is what reaches the reduce, so callers should pass
-    ``min(batch, _PPR_BATCH_TILE)``."""
+    """Which reduce path each bucket takes at this batch size — provenance
+    for capacity probes ("oneshot" / "width×k" / "rowchunk×k"). Shares
+    ``_bucket_plan`` with the execution path, so it cannot drift. The
+    per-tile batch is what reaches the reduce, so callers should pass
+    ``min(batch, _PPR_BATCH_TILE)``; pass ``itemsize=2`` when running
+    ``compute_dtype="bfloat16"`` gathers."""
     plan = []
     parts = list(zip(graph.bucket_idx, graph.bucket_wgt))
     if graph.hub_idx.shape[0]:
         parts.append((graph.hub_idx, graph.hub_wgt))
     for idx, _ in parts:
         nb, w = int(idx.shape[0]), int(idx.shape[1])
-        if nb * w * batch * itemsize <= _ELL_GATHER_BYTES or nb < 2:
+        path, param = _bucket_plan(nb, w, batch, itemsize)
+        if path == "oneshot":
             plan.append(f"[{nb}x{w}] oneshot")
-            continue
-        wc = max(1, _ELL_GATHER_BYTES // (nb * batch * itemsize))
-        n_blocks = -(-w // wc)
-        if n_blocks <= _ELL_MAX_WIDTH_BLOCKS:
-            plan.append(f"[{nb}x{w}] width x{n_blocks}")
+        elif path == "width":
+            plan.append(f"[{nb}x{w}] width x{-(-w // param)}")
         else:
-            chunk = max(1, _ELL_GATHER_BYTES // (w * batch * itemsize))
-            plan.append(f"[{nb}x{w}] rowchunk x{-(-nb // chunk)}")
+            plan.append(f"[{nb}x{w}] rowchunk x{-(-nb // param)}")
     return plan
 
 

@@ -40,9 +40,11 @@ def parse_args():
     p.add_argument("--corpus_len", type=int, default=None, help="Truncate corpus for smoke runs")
     p.add_argument("--output_json", default=None, help="Write per-query solutions + metrics here")
     p.add_argument(
-        "--platform", default=None, choices=["cpu", "tpu"],
-        help="Force the JAX platform (site configs can override the "
-             "JAX_PLATFORMS env var; this applies jax.config before first use)",
+        "--platform", default=None,
+        help="Force the JAX platform by registered backend name (e.g. cpu, "
+             "tpu, or a site-specific name like axon). Site configs can "
+             "override the JAX_PLATFORMS env var; this applies jax.config "
+             "before first use.",
     )
     return p.parse_args()
 

@@ -836,3 +836,24 @@ def test_bucket_reduce_plan_mirrors_branches(monkeypatch):
     monkeypatch.setattr(pr, "_ELL_MAX_WIDTH_BLOCKS", 1)
     plan_rc = pr.bucket_reduce_plan(ell, 8)
     assert any("rowchunk x" in line for line in plan_rc)
+
+
+def test_bucket_plan_never_exceeds_budget(monkeypatch):
+    """When even ONE column's gather ([nb, 1, B]) exceeds the budget, the
+    width path is illegal (only splitting nb bounds the temp) and the plan
+    must fall back to row chunks — the capacity_10m regime, where a
+    mid-width bucket with millions of rows meets a small HBM budget."""
+    from hipporag_tpu.ops import pagerank as pr
+
+    nb, w, b, itemsize = 5_000, 16, 16, 4
+    monkeypatch.setattr(pr, "_ELL_GATHER_BYTES", nb * b * itemsize // 2)
+    path, param = pr._bucket_plan(nb, w, b, itemsize)
+    assert path == "rowchunk"
+    # the row chunk itself honors the budget
+    assert param * w * b * itemsize <= pr._ELL_GATHER_BYTES or param == 1
+
+    # with a budget of >= one column, width blocking is preferred
+    monkeypatch.setattr(pr, "_ELL_GATHER_BYTES", nb * b * itemsize * 2)
+    path, wc = pr._bucket_plan(nb, w, b, itemsize)
+    assert path == "width"
+    assert wc * nb * b * itemsize <= pr._ELL_GATHER_BYTES
