@@ -531,9 +531,14 @@ def main():
             )
             np.asarray(outb[0, 0])
             t_big = time.perf_counter() - t0
+            from hipporag_tpu.ops.pagerank import bucket_reduce_plan
+
             extra["big_graph_nodes"] = big_nodes
             extra["big_graph_edges"] = len(bs2)
             extra["big_graph_batch_ms"] = round(t_big * 1e3, 1)
+            extra["big_graph_reduce_plan"] = bucket_reduce_plan(
+                big_ell, min(batch, 128)
+            )
             sections["big_graph"] = "ok"
             log(
                 f"big graph: {big_nodes} nodes / {len(bs2)} directed edges, "
