@@ -706,6 +706,26 @@ def main():
                     f"(p99 {extra['single_query_e2e_p99_ms']:.0f}), device "
                     f"graph-search {extra['single_query_device_ms']:.0f} ms"
                 )
+                # trickle load: small-batch arrivals ride the padded
+                # sub-bucket executables (B=2/4/8), so a serving tier can
+                # coalesce a few concurrent queries without recompiling
+                # or paying the full 128-lane batch
+                trickle = {}
+                for bsz in (2, 4, 8):
+                    qs = (queries * ((bsz // len(queries)) + 1))[:bsz]
+                    rag.retrieve(qs)  # warm this sub-bucket executable
+                    lats = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        rag.retrieve(qs)
+                        lats.append(time.perf_counter() - t0)
+                    lats.sort()
+                    trickle[str(bsz)] = round(lats[len(lats) // 2] * 1e3, 1)
+                extra["trickle_batch_e2e_ms"] = trickle
+                log(
+                    "trickle-load e2e p50 ms per batch: "
+                    + ", ".join(f"B={k}: {v:.0f}" for k, v in trickle.items())
+                )
             except Exception as e:  # noqa: BLE001
                 sections["serving_latency"] = f"skipped ({e})"
                 log(f"single-query latency probe skipped: {e}")
