@@ -755,6 +755,66 @@ def ell_gathered_rows_per_iter(graph: ELLGraph) -> int:
     return rows
 
 
+def ell_hbm_estimate(graph: ELLGraph, batch: int) -> dict:
+    """Device-memory model for a ``batched_ppr_ell`` solve — capacity
+    planning for big graphs (what batch fits this chip?). Byte breakdown:
+
+    - ``operator``: the resident ELL arrays (bucket/hub idx+wgt, maps).
+    - ``states``: live [S, B]-f32 loop buffers. The while-loop body holds
+      the carried state, its successor, the SpMV output, and the resident
+      reset vector simultaneously (4×); one extra covers XLA transients
+      around the concat/permute boundaries (measured-conservative 5×).
+    - ``gather_temp``: the largest per-bucket gathered intermediate under
+      the active budget/plan (``_bucket_plan``).
+    - ``io``: the natural-order reset upload + result ([B, N_pad] each).
+
+    An ESTIMATE, not an allocator readout — compare against
+    ``device.memory_stats()['peak_bytes_in_use']`` where available
+    (scripts/capacity_10m.py prints both).
+    """
+    f32 = 4
+    op_bytes = sum(
+        i.size * i.dtype.itemsize + w.size * w.dtype.itemsize
+        for i, w in zip(graph.bucket_idx, graph.bucket_wgt)
+    )
+    op_bytes += (
+        graph.hub_idx.size * graph.hub_idx.dtype.itemsize
+        + graph.hub_wgt.size * graph.hub_wgt.dtype.itemsize
+        + graph.hub_seg.size * graph.hub_seg.dtype.itemsize
+        + graph.local_inv.size * 4 + graph.slot_to_node.size * 4
+        + graph.dangling.size * 4
+    )
+    n_slots = int(graph.slot_to_node.shape[0])
+    b_tile = min(batch, _PPR_BATCH_TILE)
+    states = 5 * n_slots * b_tile * f32
+
+    temp = 0
+    parts = list(zip(graph.bucket_idx, graph.bucket_wgt))
+    if graph.hub_idx.shape[0]:
+        parts.append((graph.hub_idx, graph.hub_wgt))
+    for idx, _ in parts:
+        nb, w = int(idx.shape[0]), int(idx.shape[1])
+        path, param = _bucket_plan(nb, w, b_tile, f32)
+        if path == "oneshot":
+            temp = max(temp, nb * w * b_tile * f32)
+        elif path == "width":
+            temp = max(temp, nb * param * b_tile * f32)
+        else:
+            temp = max(temp, param * w * b_tile * f32)
+
+    n_pad = int(graph.local_inv.shape[0])
+    io = 2 * batch * n_pad * f32
+    total = op_bytes + states + temp + io
+    return {
+        "operator_bytes": op_bytes,
+        "state_bytes": states,
+        "gather_temp_bytes": temp,
+        "io_bytes": io,
+        "total_bytes": total,
+        "total_gib": round(total / 2**30, 2),
+    }
+
+
 def bucket_reduce_plan(graph: ELLGraph, batch: int, itemsize: int = 4):
     """Which reduce path each bucket takes at this batch size — provenance
     for capacity probes ("oneshot" / "width×k" / "rowchunk×k"). Shares

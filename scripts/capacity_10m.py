@@ -34,7 +34,7 @@ def main():
     from hipporag_tpu.graph.csr import round_up
     from hipporag_tpu.ops.pagerank import (
         _PPR_BATCH_TILE, batched_ppr_ell, bucket_reduce_plan, ell_from_coo,
-        ell_gathered_rows_per_iter, normalize_symmetric_coo,
+        ell_gathered_rows_per_iter, ell_hbm_estimate, normalize_symmetric_coo,
     )
 
     cap = round_up(nodes, 128)
@@ -61,6 +61,8 @@ def main():
           flush=True)
     for line in bucket_reduce_plan(ell, min(b, _PPR_BATCH_TILE)):
         print(f"  reduce plan: {line}", flush=True)
+    est = ell_hbm_estimate(ell, b)
+    print(f"HBM estimate: {est}", flush=True)
 
     t0 = time.time()
     ell = jax.tree.map(jax.device_put, ell)
@@ -91,6 +93,14 @@ def main():
     )
     s = float(np.asarray(jnp.sum(out[0])))
     print(f"row-sum sanity: {s:.6f}", flush=True)
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats:
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(
+                f"HBM actual peak: {peak/2**30:.2f} GiB "
+                f"(estimate {est['total_gib']} GiB)", flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -857,3 +857,41 @@ def test_bucket_plan_never_exceeds_budget(monkeypatch):
     path, wc = pr._bucket_plan(nb, w, b, itemsize)
     assert path == "width"
     assert wc * nb * b * itemsize <= pr._ELL_GATHER_BYTES
+
+
+def test_ell_hbm_estimate_tracks_plan(monkeypatch):
+    """The HBM model's gather-temp term must follow the active reduce plan:
+    a tiny budget caps the temp at (roughly) the budgeted block size, far
+    below the one-shot gather."""
+    from hipporag_tpu.graph.csr import round_up
+    from hipporag_tpu.ops import pagerank as pr
+
+    rng = np.random.default_rng(11)
+    n = 400
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    cap = round_up(n, 128)
+    s2, d2, wn, dang = pr.normalize_symmetric_coo(src, dst, w, n, cap)
+    ell = pr.ell_from_coo(s2, d2, wn, dang, n, cap)
+
+    est = pr.ell_hbm_estimate(ell, 8)
+    assert est["total_bytes"] == (
+        est["operator_bytes"] + est["state_bytes"]
+        + est["gather_temp_bytes"] + est["io_bytes"]
+    )
+    assert est["state_bytes"] > 0 and est["operator_bytes"] > 0
+
+    big_temp = est["gather_temp_bytes"]
+    monkeypatch.setattr(pr, "_ELL_GATHER_BYTES", 8192)
+    small_temp = pr.ell_hbm_estimate(ell, 8)["gather_temp_bytes"]
+    assert small_temp < big_temp
+
+    # batch tiling: past one 128-lane tile the per-tile batch is what
+    # reaches the loop, so states stop growing with B
+    est_128 = pr.ell_hbm_estimate(ell, 128)
+    est_256 = pr.ell_hbm_estimate(ell, 256)
+    assert est_256["state_bytes"] == est_128["state_bytes"]
+    assert est_256["io_bytes"] == 2 * est_128["io_bytes"]
