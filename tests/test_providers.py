@@ -437,3 +437,101 @@ def test_jax_encoder_multi_device_batch_sharding(tmp_path):
     b = single.batch_encode(texts, norm=True)
     assert a.shape == b.shape == (11, 64)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# OpenAI-compatible embedding REST client (httpx, stubbed transport)
+# ----------------------------------------------------------------------
+def _openai_embed_transport(record):
+    import httpx
+
+    def handler(request):
+        body = json.loads(request.content)
+        record.append((str(request.url), dict(request.headers), body))
+        texts = body["input"]
+        # return embeddings deliberately OUT of order: the client must
+        # reassemble by the API's index field
+        data = [
+            {"index": i, "embedding": [float(i + 1)] * 4}
+            for i in range(len(texts))
+        ][::-1]
+        return httpx.Response(200, json={"data": data})
+
+    return httpx.MockTransport(handler)
+
+
+def test_openai_embedder_contract(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.embedding.openai_embed import OpenAIEmbeddingModel
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    cfg = BaseConfig(
+        embedding_model_name="openai/text-embedding-3-small",
+        embedding_return_as_normalized=False,
+        save_dir=str(tmp_path),
+    )
+    emb = OpenAIEmbeddingModel(cfg)
+    record = []
+    emb._client = httpx.Client(
+        transport=_openai_embed_transport(record),
+        headers=emb._client.headers,
+    )
+    out = emb.batch_encode(["alpha", "", "gamma"])
+    url, headers, body = record[0]
+    assert url.endswith("/embeddings")
+    assert headers["authorization"] == "Bearer sk-test"
+    assert body["model"] == "text-embedding-3-small"
+    # empty strings are substituted (the API rejects them)
+    assert body["input"][1] == " "
+    # out-of-order response data reassembled by index
+    assert out.shape == (3, 4)
+    np.testing.assert_allclose(out[0], 1.0)
+    np.testing.assert_allclose(out[2], 3.0)
+    # instructions are dropped (symmetric endpoint, reference parity)
+    assert emb.format_with_instruction("text", "instr") == "text"
+
+
+def test_openai_embedder_requires_key_for_remote(tmp_path, monkeypatch):
+    from hipporag_tpu.embedding.openai_embed import OpenAIEmbeddingModel
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    cfg = BaseConfig(
+        embedding_model_name="openai/text-embedding-3-small",
+        save_dir=str(tmp_path),
+    )
+    with pytest.raises(ValueError, match="OPENAI_API_KEY"):
+        OpenAIEmbeddingModel(cfg)
+    # auth-less local endpoints get the EMPTY-key convention instead
+    cfg2 = BaseConfig(
+        embedding_model_name="openai/bge-m3",
+        embedding_base_url="http://localhost:8001/v1",
+        save_dir=str(tmp_path),
+    )
+    emb = OpenAIEmbeddingModel(cfg2)
+    assert emb._client.headers["authorization"] == "Bearer EMPTY"
+
+
+def test_azure_embedder_url_and_auth(tmp_path, monkeypatch):
+    import httpx
+
+    from hipporag_tpu.embedding.openai_embed import OpenAIEmbeddingModel
+
+    monkeypatch.setenv("AZURE_OPENAI_API_KEY", "az-key")
+    cfg = BaseConfig(
+        embedding_model_name="openai/text-embedding-3-large",
+        azure_embedding_endpoint="https://myres.openai.azure.com",
+        save_dir=str(tmp_path),
+    )
+    emb = OpenAIEmbeddingModel(cfg)
+    record = []
+    emb._client = httpx.Client(
+        transport=_openai_embed_transport(record),
+        headers=emb._client.headers,
+    )
+    emb.batch_encode(["doc"])
+    url, headers, body = record[0]
+    assert "/openai/deployments/text-embedding-3-large/embeddings" in url
+    assert "api-version=" in url
+    assert headers["api-key"] == "az-key"
+    assert "model" not in body  # azure names the deployment in the URL
