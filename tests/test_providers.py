@@ -3,6 +3,7 @@ Bedrock backends (injected fake clients), the JAX-native encoder, and
 offline batch OpenIE."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -535,3 +536,75 @@ def test_azure_embedder_url_and_auth(tmp_path, monkeypatch):
     assert "api-version=" in url
     assert headers["api-key"] == "az-key"
     assert "model" not in body  # azure names the deployment in the URL
+
+
+# ----------------------------------------------------------------------
+# Local HF adapters EXECUTED offline: a tiny randomly-initialized GPT-2
+# saved to disk (byte-level vocab, no merges — no network needed) drives
+# the real load/generate/encode paths that are otherwise only stub-tested
+# in this environment.
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_hf_model_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tinylm"))
+    from transformers import GPT2Config, GPT2LMHeadModel, GPT2Tokenizer
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    chars = list(bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(chars)}
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    tok = GPT2Tokenizer(
+        os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+    )
+    tok.pad_token = "<|endoftext|>"
+    tok.save_pretrained(d)
+    GPT2LMHeadModel(
+        GPT2Config(
+            vocab_size=len(vocab), n_embd=32, n_layer=2, n_head=2,
+            n_positions=64,
+        )
+    ).save_pretrained(d)
+    return d
+
+
+def test_transformers_llm_executes_and_caches(tmp_path, tiny_hf_model_dir):
+    from hipporag_tpu.llm import get_llm
+    from hipporag_tpu.llm.transformers_llm import TransformersLLM
+
+    cfg = BaseConfig(
+        llm_name=f"Transformers/{tiny_hf_model_dir}",
+        save_dir=str(tmp_path),
+        temperature=0.0,
+        max_new_tokens=4,
+    )
+    llm = get_llm(cfg)
+    assert isinstance(llm, TransformersLLM)
+    msgs = [{"role": "user", "content": "hello"}]
+    text, meta, cached = llm.infer(msgs)
+    assert isinstance(text, str) and not cached
+    assert meta["completion_tokens"] <= 4
+    text2, _, cached2 = llm.infer(msgs)
+    assert cached2 and text2 == text
+
+
+def test_transformers_embedder_executes(tmp_path, tiny_hf_model_dir):
+    from hipporag_tpu.embedding import get_embedding_model
+    from hipporag_tpu.embedding.transformers_embed import (
+        TransformersEmbeddingModel,
+    )
+
+    cfg = BaseConfig(
+        embedding_model_name=f"st/{tiny_hf_model_dir}",
+        save_dir=str(tmp_path),
+        embedding_return_as_normalized=True,
+    )
+    emb = get_embedding_model(cfg)
+    assert isinstance(emb, TransformersEmbeddingModel)
+    out = emb.batch_encode(["alpha beta", "gamma"])
+    assert out.shape == (2, 32) and out.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+    assert emb.embedding_dim == 32
