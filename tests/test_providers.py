@@ -608,3 +608,30 @@ def test_transformers_embedder_executes(tmp_path, tiny_hf_model_dir):
     assert out.shape == (2, 32) and out.dtype == np.float32
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
     assert emb.embedding_dim == 32
+
+
+def test_transformers_offline_batch_executes(tmp_path, tiny_hf_model_dir):
+    """The offline batch engine's left-padded batched generate + per-row
+    token accounting run against the tiny local model (the vLLM variant
+    stays import-gated — not installable here)."""
+    from hipporag_tpu.llm.offline import TransformersOffline
+
+    cfg = BaseConfig(
+        llm_name=f"Transformers/{tiny_hf_model_dir}",
+        save_dir=str(tmp_path),
+        temperature=0.0,
+        max_new_tokens=4,
+    )
+    llm = TransformersOffline(cfg)
+    out = llm.batch_infer(
+        [
+            [{"role": "user", "content": "one"}],
+            [{"role": "user", "content": "a much longer second prompt"}],
+        ]
+    )
+    assert len(out) == 2
+    for text, meta, cached in out:
+        assert isinstance(text, str) and not cached
+        assert meta["completion_tokens"] <= 4
+    # left padding: the short row's prompt accounting must not count pads
+    assert out[0][1]["prompt_tokens"] < out[1][1]["prompt_tokens"]
