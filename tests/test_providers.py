@@ -565,7 +565,9 @@ def tiny_hf_model_dir(tmp_path_factory):
     GPT2LMHeadModel(
         GPT2Config(
             vocab_size=len(vocab), n_embd=32, n_layer=2, n_head=2,
-            n_positions=64,
+            # real prompts (OpenIE few-shot demos) run thousands of byte
+            # tokens; the position table must cover them
+            n_positions=16384,
         )
     ).save_pretrained(d)
     return d
@@ -635,3 +637,29 @@ def test_transformers_offline_batch_executes(tmp_path, tiny_hf_model_dir):
         assert meta["completion_tokens"] <= 4
     # left padding: the short row's prompt accounting must not count pads
     assert out[0][1]["prompt_tokens"] < out[1][1]["prompt_tokens"]
+
+
+def test_transformers_offline_openie_survives_garbage(tmp_path, tiny_hf_model_dir):
+    """End-to-end offline OpenIE over the tiny random model: its output is
+    garbage, so this pins the graceful-failure contract — JSON repair is
+    attempted, invalid triples are filtered, and every chunk still gets a
+    (possibly empty) NER/triple record instead of raising."""
+    from hipporag_tpu.openie.openie_offline import TransformersOfflineOpenIE
+
+    cfg = BaseConfig(
+        llm_name=f"Transformers/{tiny_hf_model_dir}",
+        save_dir=str(tmp_path),
+        temperature=0.0,
+        max_new_tokens=8,
+    )
+    ie = TransformersOfflineOpenIE(cfg)
+    chunks = {
+        "c1": {"content": "Erik Hort was born in Montebello."},
+        "c2": {"content": "Montebello is in Rockland County."},
+    }
+    ner, triples = ie.batch_openie(chunks)
+    assert set(ner) == {"c1", "c2"} and set(triples) == {"c1", "c2"}
+    for cid in chunks:
+        assert isinstance(ner[cid].unique_entities, list)
+        assert isinstance(triples[cid].triples, list)
+        assert all(len(t) == 3 for t in triples[cid].triples)
