@@ -38,6 +38,40 @@ _INPUT_TEMPLATE = (
 _OUTPUT_TEMPLATE = "[[ ## fact_after_filter ## ]]\n{fact_after_filter}\n\n[[ ## completed ## ]]"
 
 
+def _closest_candidate(s: str, candidate_strs: List[str]) -> Optional[int]:
+    """Index of the candidate closest to ``s`` — result-identical to
+    ``difflib.get_close_matches(s, candidate_strs, n=1, cutoff=0.0)`` +
+    ``candidate_strs.index(...)`` (reference filter matching,
+    dspy_filter.py), but fast in the common cases: an exact echo (a good
+    filter model copies facts verbatim — ratio 1.0 is only reachable by
+    an equal string, and ``.index`` takes its first occurrence)
+    short-circuits, and the fuzzy scan prunes with difflib's own upper
+    bounds against the best-so-far instead of a cutoff of 0.0, which
+    prunes nothing. Ratio ties resolve to the lexicographically largest
+    candidate STRING (``nlargest`` compares (ratio, string) tuples) and
+    then to that string's first index — the reference quirk, preserved."""
+    if not candidate_strs:
+        return None
+    try:
+        return candidate_strs.index(s)
+    except ValueError:
+        pass
+    sm = difflib.SequenceMatcher()
+    sm.set_seq2(s)
+    best_str, best_ratio = None, -1.0
+    for cand in candidate_strs:
+        sm.set_seq1(cand)
+        if (
+            sm.real_quick_ratio() < best_ratio
+            or sm.quick_ratio() < best_ratio
+        ):
+            continue
+        r = sm.ratio()
+        if r > best_ratio or (r == best_ratio and cand > best_str):
+            best_str, best_ratio = cand, r
+    return None if best_str is None else candidate_strs.index(best_str)
+
+
 def parse_filter_response(response: str) -> List[List[str]]:
     """Extract the fact list from a sectioned filter response."""
     sections: List[Tuple[Optional[str], List[str]]] = [(None, [])]
@@ -138,12 +172,9 @@ class RecognitionMemoryFilter:
         candidate_strs = [json.dumps(list(c)) for c in candidate_items]
         result_indices: List[int] = []
         for fact in generated:
-            matches = difflib.get_close_matches(
-                json.dumps(fact), candidate_strs, n=1, cutoff=0.0
-            )
-            if not matches:
+            idx = _closest_candidate(json.dumps(fact), candidate_strs)
+            if idx is None:
                 continue
-            idx = candidate_strs.index(matches[0])
             if idx not in result_indices:
                 result_indices.append(idx)
 

@@ -509,3 +509,39 @@ def test_compiled_filter_prompt_loads(tmp_path):
     cands = [("alice", "likes", "bob"), ("x", "y", "z")]
     idx, items, meta = compiled.rerank("Does alice like bob?", cands, [0, 1], 2)
     assert set(idx) <= {0, 1}
+
+
+def test_closest_candidate_matches_difflib_exactly():
+    """_closest_candidate must be result-identical to the reference's
+    difflib.get_close_matches(n=1, cutoff=0.0) + .index() matching across
+    exact echoes, fuzzy matches, duplicates, and ratio ties."""
+    import difflib
+    import random
+    import string
+
+    from hipporag_tpu.rerank import _closest_candidate
+
+    def reference(s, cands):
+        m = difflib.get_close_matches(s, cands, n=1, cutoff=0.0)
+        return cands.index(m[0]) if m else None
+
+    rnd = random.Random(7)
+    alphabet = string.ascii_lowercase[:6]
+
+    def rand_str():
+        return "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 8)))
+
+    # directed cases: exact echo, duplicates, tie-prone short strings
+    cases = [
+        ("abc", ["abc", "abd", "abc"]),
+        ("abc", ["xyz", "abd", "acb"]),  # tie-prone permutations
+        ("", ["", "a", ""]),
+        ("aa", ["ab", "ba"]),  # equal ratios -> lexicographic tie rule
+        ("q", []),
+    ]
+    for _ in range(300):
+        cases.append(
+            (rand_str(), [rand_str() for _ in range(rnd.randint(1, 12))])
+        )
+    for s, cands in cases:
+        assert _closest_candidate(s, cands) == reference(s, cands), (s, cands)
