@@ -99,6 +99,7 @@ class BaseEmbeddingModel(ABC):
         else:
             to_compute = list(range(len(prefixed)))
 
+        computed_arr = None
         if to_compute:
             bs = max(1, self.global_config.embedding_batch_size)
             computed = []
@@ -112,16 +113,31 @@ class BaseEmbeddingModel(ABC):
                 computed.append(self._encode_batch([prefixed[i] for i in batch_idx]))
             computed_arr = np.concatenate(
                 [np.asarray(c) for c in computed], axis=0
-            )
-            puts = []
-            for j, i in enumerate(to_compute):
-                results[i] = computed_arr[j].astype(np.float32)
-                if self._cache is not None:
-                    puts.append((_key(prefixed[i]), results[i].tobytes()))
-            if puts:
-                self._cache.put_many(puts)
+            ).astype(np.float32, copy=False)
+            if self._cache is not None:
+                self._cache.put_many(
+                    [
+                        (_key(prefixed[i]), computed_arr[j].tobytes())
+                        for j, i in enumerate(to_compute)
+                    ]
+                )
 
-        out = np.stack(results).astype(np.float32)
+        # assemble block-wise: np.stack over one tiny array PER ROW costs
+        # more than the encode itself at 30k+ rows (measured)
+        if computed_arr is not None and len(to_compute) == len(prefixed):
+            out = computed_arr
+        else:
+            dim = (
+                computed_arr.shape[1]
+                if computed_arr is not None and computed_arr.ndim == 2
+                else next(len(r) for r in results if r is not None)
+            )
+            out = np.empty((len(prefixed), dim), np.float32)
+            for i, r in enumerate(results):
+                if r is not None:
+                    out[i] = r
+            if computed_arr is not None:
+                out[np.asarray(to_compute)] = computed_arr
         if norm:
             out = l2_normalize(out)
         if self.embedding_dim is None and out.size:
