@@ -444,7 +444,15 @@ class HippoRAG:
     # Deletion (ref HippoRAG.py:337-411)
     # ==================================================================
     def delete(self, docs_to_delete: List[str]):
-        # deletion is pure host-side bookkeeping (store maps + graph
+        # Reference delete contract (HippoRAG.py:337-408), preserved here:
+        # only UNREFERENCED entities/facts are removed; fact edges shared
+        # with surviving chunks keep their full accumulated weight
+        # (including the deleted chunk's +1), so the post-delete graph is
+        # intentionally ORDER-dependent — it is not the graph a scratch
+        # rebuild of the survivors would produce. Pinned by
+        # tests/test_e2e.py::test_random_lifecycle_replay_and_reload_invariants.
+        #
+        # Deletion is pure host-side bookkeeping (store maps + graph
         # refcounts) — unlike the reference (HippoRAG.py:347-349) it must
         # NOT force the device-graph build: at 1M-node scale that would
         # turn a bookkeeping op into a multi-second compile, and the device
