@@ -84,8 +84,14 @@ class BaseEmbeddingModel(ABC):
 
         results: List[Optional[np.ndarray]] = [None] * len(prefixed)
         to_compute: List[int] = []
+        keys: List[str] = []
         if self._cache is not None:
-            hits = self._cache.get_many([_key(p) for p in prefixed])
+            # keys are computed ONCE and reused for the put below: hash_key
+            # JSON-serializes the full text, which costs ~40us/row — at
+            # 37k rows per index() recomputing them doubles ~3s of pure
+            # hashing (scripts/index_profile.py)
+            keys = [_key(p) for p in prefixed]
+            hits = self._cache.get_many(keys)
             for i, hit in enumerate(hits):
                 if hit is not None:
                     value = hit[0]
@@ -117,7 +123,7 @@ class BaseEmbeddingModel(ABC):
             if self._cache is not None:
                 self._cache.put_many(
                     [
-                        (_key(prefixed[i]), computed_arr[j].tobytes())
+                        (keys[i], computed_arr[j].tobytes())
                         for j, i in enumerate(to_compute)
                     ]
                 )
