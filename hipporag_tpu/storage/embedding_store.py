@@ -151,23 +151,52 @@ class InMemoryEmbeddingStore(BaseEmbeddingStore):
 class ParquetEmbeddingStore(InMemoryEmbeddingStore):
     """Default durable backend: one Parquet file per namespace.
 
-    Keeps the full store in memory (like the reference) and persists the
-    complete table after every mutation, so reloads restore identical state.
+    Keeps the full store in memory (like the reference). Inserts append
+    LSM-style *delta* files (only the new rows) instead of rewriting the
+    whole table — a +2% incremental index on a 100k-row store writes
+    ~2k rows, not ~102k. Deltas fold into the base file when they exceed
+    ``_COMPACT_FRACTION`` of the store (or on any delete, which always
+    rewrites). Reloads read base + deltas in order; duplicate hash_ids
+    (possible only if a crash lands between base rewrite and delta
+    cleanup) resolve later-file-wins, which is idempotent because rows
+    are content-addressed.
     """
+
+    _COMPACT_FRACTION = 0.25
+    _MAX_DELTA_FILES = 64
 
     def __init__(self, embedding_model, db_dirname: str, batch_size: int, namespace: str):
         super().__init__(embedding_model, batch_size, namespace)
         os.makedirs(db_dirname, exist_ok=True)
         self.filename = os.path.join(db_dirname, f"vdb_{namespace}.parquet")
+        self._delta_rows = 0  # rows living in delta files
         self._load()
 
-    def _load(self):
-        if not os.path.exists(self.filename):
-            return
+    # -- delta bookkeeping ------------------------------------------------
+    def _delta_paths(self) -> List[str]:
+        base = os.path.basename(self.filename)
+        dirname = os.path.dirname(self.filename) or "."
+        prefix = base + ".delta-"
+        names = [
+            n for n in os.listdir(dirname)
+            if n.startswith(prefix) and n.endswith(".parquet")
+        ]
+        return [os.path.join(dirname, n) for n in sorted(names)]
+
+    def _next_delta_path(self) -> str:
+        existing = self._delta_paths()
+        if existing:
+            last = os.path.basename(existing[-1])
+            seq = int(last.rsplit("-", 1)[1].split(".")[0]) + 1
+        else:
+            seq = 0
+        return f"{self.filename}.delta-{seq:06d}.parquet"
+
+    def _read_table_into_rows(self, path: str) -> int:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(self.filename, memory_map=True)
+        tbl = pq.read_table(path, memory_map=True)
         ids = tbl["hash_id"].to_pylist()
         contents = tbl["content"].to_pylist()
         emb_col = tbl["embedding"].combine_chunks()
@@ -183,13 +212,24 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
                 self._rows[h] = {"hash_id": h, "content": text}
                 self._embeddings[h] = embs[i]
                 self.text_to_hash_id[text] = h
-        logger.info("Loaded %d rows from %s", len(self._rows), self.filename)
+        return len(ids)
 
-    def _persist(self):
+    def _load(self):
+        if os.path.exists(self.filename):
+            self._read_table_into_rows(self.filename)
+        self._delta_rows = 0
+        for path in self._delta_paths():
+            self._delta_rows += self._read_table_into_rows(path)
+        if self._rows:
+            logger.info(
+                "Loaded %d rows from %s (+%d delta rows)",
+                len(self._rows), self.filename, self._delta_rows,
+            )
+
+    def _write_table(self, ids: List[str], path: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        ids = list(self._rows.keys())
         contents = [self._rows[h]["content"] for h in ids]
         if ids:
             # fixed-size-list over one contiguous f32 buffer: ~10x faster
@@ -210,7 +250,7 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
                 "embedding": emb_arr,
             }
         )
-        tmp = self.filename + ".tmp"
+        tmp = path + ".tmp"
         # float32 embeddings are incompressible; NONE + memory_map makes
         # the reload path a near-zero-copy read
         pq.write_table(
@@ -220,13 +260,33 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
                 "hash_id": "SNAPPY", "content": "SNAPPY", "embedding": "NONE",
             },
         )
-        os.replace(tmp, self.filename)
+        os.replace(tmp, path)
+
+    def _persist(self):
+        """Full rewrite: fold everything into the base file, drop deltas."""
+        self._write_table(list(self._rows.keys()), self.filename)
+        for path in self._delta_paths():
+            os.remove(path)
+        self._delta_rows = 0
+
+    def _append_delta(self, new_ids: List[str]) -> None:
+        self._write_table(new_ids, self._next_delta_path())
+        self._delta_rows += len(new_ids)
+        if self._delta_rows > max(
+            1024, self._COMPACT_FRACTION * len(self._rows)
+        ) or len(self._delta_paths()) > self._MAX_DELTA_FILES:
+            self._persist()
 
     def insert_strings(self, texts: List[str]) -> None:
         before = len(self._rows)
         super().insert_strings(texts)
         if len(self._rows) != before:
-            self._persist()
+            # _rows is insertion-ordered: the new ids are exactly the tail
+            new_ids = list(self._rows.keys())[before:]
+            if not os.path.exists(self.filename):
+                self._persist()  # first write: straight to the base file
+            else:
+                self._append_delta(new_ids)
 
     def delete(self, hash_ids: List[str]) -> None:
         before = len(self._rows)

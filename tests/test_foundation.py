@@ -1,6 +1,7 @@
 """Foundation-layer tests: utils, eval metrics, stores, prompts, mocks."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -146,6 +147,62 @@ def test_parquet_store_roundtrip(tmp_path):
     assert h not in store2.get_all_ids()
     store3 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="entity")
     assert h not in store3.get_all_ids()
+
+
+def test_parquet_store_delta_appends(tmp_path):
+    """Incremental inserts append delta files instead of rewriting the
+    base table; reloads fold base + deltas; deletes compact everything."""
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=16))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="d")
+    store.insert_strings(["a", "b", "c"])  # first write -> base file
+    base = store.filename
+    assert os.path.exists(base) and not store._delta_paths()
+    base_mtime = os.path.getmtime(base)
+
+    store.insert_strings(["d", "e"])  # incremental -> one delta, base untouched
+    assert len(store._delta_paths()) == 1
+    assert os.path.getmtime(base) == base_mtime
+    store.insert_strings(["f"])
+    assert len(store._delta_paths()) == 2
+
+    ids = store.get_all_ids()
+    mat = store.get_embeddings_matrix(ids)
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="d")
+    assert store2.get_all_ids() == ids  # insertion order preserved per file
+    np.testing.assert_allclose(store2.get_embeddings_matrix(ids), mat, atol=1e-6)
+
+    # delete -> full rewrite, deltas folded away
+    store2.delete([compute_mdhash_id("a", prefix="d-")])
+    assert not store2._delta_paths()
+    store3 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="d")
+    assert len(store3.get_all_ids()) == 5
+
+
+def test_parquet_store_delta_compaction_and_crash_dup(tmp_path):
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=16))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="c")
+    store.insert_strings(["a", "b"])
+    # force an aggressive compaction threshold
+    store._COMPACT_FRACTION = 0.0
+    orig = ParquetEmbeddingStore._COMPACT_FRACTION
+    try:
+        ParquetEmbeddingStore._COMPACT_FRACTION = 0.0
+
+        def insert_many(s, n, start):
+            s.insert_strings([f"w{start+i}" for i in range(n)])
+
+        # threshold is max(1024, frac*len): exceed 1024 delta rows
+        insert_many(store, 1100, 0)
+        assert not store._delta_paths(), "compaction should have folded deltas"
+        assert store._delta_rows == 0
+    finally:
+        ParquetEmbeddingStore._COMPACT_FRACTION = orig
+
+    # crash window: a delta that duplicates base rows (base rewrite
+    # finished, delta cleanup didn't) must not double-count on load
+    store._write_table([store.get_all_ids()[0]], store._next_delta_path())
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="c")
+    assert len(store2.get_all_ids()) == len(store.get_all_ids())
 
 
 def test_parquet_store_loads_legacy_list_layout(tmp_path):
