@@ -14,10 +14,15 @@ resident in HBM.
 from __future__ import annotations
 
 import os
+import re
 from abc import ABC, abstractmethod
 from typing import Any, Dict, List, Optional, Set
 
 import numpy as np
+
+# ".delta-g000001-000003.parquet" (generation-tagged) or the legacy
+# ".delta-000003.parquet" (generation 0)
+_DELTA_NAME_RE = re.compile(r"\.delta-(?:g(\d+)-)?(\d+)\.parquet$")
 
 from ..utils.logging import get_logger
 from ..utils.misc import compute_mdhash_id
@@ -90,6 +95,9 @@ class InMemoryEmbeddingStore(BaseEmbeddingStore):
 
     def __init__(self, embedding_model, batch_size: int, namespace: str):
         self.embedding_model = embedding_model
+        # kept for reference API parity (embedding_store.py:37); encode
+        # batching itself lives in BaseEmbeddingModel.batch_encode
+        # (embedding_batch_size), see _encode below
         self.batch_size = batch_size
         self.namespace = namespace
         self._rows: Dict[str, Dict] = {}
@@ -156,10 +164,13 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
     whole table — a +2% incremental index on a 100k-row store writes
     ~2k rows, not ~102k. Deltas fold into the base file when they exceed
     ``_COMPACT_FRACTION`` of the store (or on any delete, which always
-    rewrites). Reloads read base + deltas in order; duplicate hash_ids
-    (possible only if a crash lands between base rewrite and delta
-    cleanup) resolve later-file-wins, which is idempotent because rows
-    are content-addressed.
+    rewrites). Crash safety is generation-based: every base rewrite bumps
+    a generation marker in the base file's Parquet metadata and delta
+    filenames carry the generation they were appended under, so a crash
+    between the base rewrite and delta cleanup leaves stale deltas that
+    the next load recognizes (gen < base gen), skips, and removes — a
+    row deleted in the rewrite can never be resurrected by a leftover
+    delta. Within a generation, reloads read base + deltas in order.
     """
 
     _COMPACT_FRACTION = 0.25
@@ -170,27 +181,38 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
         os.makedirs(db_dirname, exist_ok=True)
         self.filename = os.path.join(db_dirname, f"vdb_{namespace}.parquet")
         self._delta_rows = 0  # rows living in delta files
+        self._gen = 0  # base-file generation (bumped on every full rewrite)
         self._load()
 
     # -- delta bookkeeping ------------------------------------------------
-    def _delta_paths(self) -> List[str]:
+    def _delta_entries(self) -> List[tuple]:
+        """Sorted [(generation, seq, path)] for every delta file on disk.
+
+        Legacy (pre-generation) delta names ``.delta-NNNNNN.parquet``
+        parse as generation 0; they sort before ``.delta-gGGGGGG-…`` names
+        of the same generation, which matches their write order."""
         base = os.path.basename(self.filename)
         dirname = os.path.dirname(self.filename) or "."
         prefix = base + ".delta-"
-        names = [
-            n for n in os.listdir(dirname)
-            if n.startswith(prefix) and n.endswith(".parquet")
-        ]
-        return [os.path.join(dirname, n) for n in sorted(names)]
+        out = []
+        for n in os.listdir(dirname):
+            if not (n.startswith(prefix) and n.endswith(".parquet")):
+                continue
+            m = _DELTA_NAME_RE.search(n)
+            if not m:
+                continue
+            gen = int(m.group(1)) if m.group(1) else 0
+            out.append((gen, int(m.group(2)), os.path.join(dirname, n)))
+        out.sort()
+        return out
+
+    def _delta_paths(self) -> List[str]:
+        return [p for _, _, p in self._delta_entries()]
 
     def _next_delta_path(self) -> str:
-        existing = self._delta_paths()
-        if existing:
-            last = os.path.basename(existing[-1])
-            seq = int(last.rsplit("-", 1)[1].split(".")[0]) + 1
-        else:
-            seq = 0
-        return f"{self.filename}.delta-{seq:06d}.parquet"
+        live = [s for g, s, _ in self._delta_entries() if g == self._gen]
+        seq = (max(live) + 1) if live else 0
+        return f"{self.filename}.delta-g{self._gen:06d}-{seq:06d}.parquet"
 
     def _read_table_into_rows(self, path: str) -> int:
         import pyarrow as pa
@@ -215,18 +237,33 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
         return len(ids)
 
     def _load(self):
+        self._gen = 0
         if os.path.exists(self.filename):
+            import pyarrow.parquet as pq
+
+            md = pq.read_schema(self.filename).metadata or {}
+            self._gen = int(md.get(b"hipporag_generation", b"0"))
             self._read_table_into_rows(self.filename)
         self._delta_rows = 0
-        for path in self._delta_paths():
+        stale = []
+        for gen, _seq, path in self._delta_entries():
+            if gen != self._gen:
+                # leftover from a crash between a base rewrite and delta
+                # cleanup: its rows are already folded into the base (and
+                # may include rows the rewrite deleted) — never replay it
+                stale.append(path)
+                continue
             self._delta_rows += self._read_table_into_rows(path)
+        for path in stale:
+            logger.warning("Removing stale delta %s (gen != %d)", path, self._gen)
+            os.remove(path)
         if self._rows:
             logger.info(
                 "Loaded %d rows from %s (+%d delta rows)",
                 len(self._rows), self.filename, self._delta_rows,
             )
 
-    def _write_table(self, ids: List[str], path: str) -> None:
+    def _write_table(self, ids: List[str], path: str, generation=None) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -250,6 +287,10 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
                 "embedding": emb_arr,
             }
         )
+        if generation is not None:
+            table = table.replace_schema_metadata(
+                {b"hipporag_generation": str(generation).encode()}
+            )
         tmp = path + ".tmp"
         # float32 embeddings are incompressible; NONE + memory_map makes
         # the reload path a near-zero-copy read
@@ -263,19 +304,33 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
         os.replace(tmp, path)
 
     def _persist(self):
-        """Full rewrite: fold everything into the base file, drop deltas."""
-        self._write_table(list(self._rows.keys()), self.filename)
+        """Full rewrite: fold everything into the base file, drop deltas.
+
+        The generation bump closes the delete-crash window: the new base
+        carries gen+1, so a crash before the delta removals below leaves
+        only stale-generation deltas, which the next ``_load`` skips and
+        cleans instead of replaying (they may hold rows this rewrite
+        deleted)."""
+        self._gen += 1
+        self._write_table(
+            list(self._rows.keys()), self.filename, generation=self._gen
+        )
         for path in self._delta_paths():
             os.remove(path)
         self._delta_rows = 0
 
     def _append_delta(self, new_ids: List[str]) -> None:
-        self._write_table(new_ids, self._next_delta_path())
-        self._delta_rows += len(new_ids)
-        if self._delta_rows > max(
+        total = self._delta_rows + len(new_ids)
+        if total > max(
             1024, self._COMPACT_FRACTION * len(self._rows)
-        ) or len(self._delta_paths()) > self._MAX_DELTA_FILES:
+        ) or len(self._delta_paths()) >= self._MAX_DELTA_FILES:
+            # over the compaction threshold: fold the new rows straight
+            # into the base rewrite — writing a delta first would pay a
+            # table write that _persist immediately discards
             self._persist()
+            return
+        self._write_table(new_ids, self._next_delta_path())
+        self._delta_rows = total
 
     def insert_strings(self, texts: List[str]) -> None:
         before = len(self._rows)

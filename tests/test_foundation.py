@@ -205,6 +205,54 @@ def test_parquet_store_delta_compaction_and_crash_dup(tmp_path):
     assert len(store2.get_all_ids()) == len(store.get_all_ids())
 
 
+def test_parquet_store_delete_crash_does_not_resurrect(tmp_path, monkeypatch):
+    """A crash between the delete's base rewrite and the delta cleanup
+    must NOT resurrect the deleted row on reload: the stale delta belongs
+    to an older generation, so the loader skips and removes it."""
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=16))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="g")
+    store.insert_strings(["a", "b", "c"])  # base file
+    store.insert_strings(["d"])  # lives in a delta
+    (delta,) = store._delta_paths()
+    h_d = compute_mdhash_id("d", prefix="g-")
+    # simulate the crash: the rewrite lands, the delta removals do not
+    monkeypatch.setattr(os, "remove", lambda p: None)
+    store.delete([h_d])
+    monkeypatch.undo()
+    assert os.path.exists(delta), "stale delta should have survived the crash"
+
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="g")
+    assert h_d not in store2.get_all_ids(), "deleted row resurrected by stale delta"
+    assert set(store2.get_all_texts()) == {"a", "b", "c"}
+    assert not os.path.exists(delta), "stale delta should be cleaned on load"
+
+    # the store keeps working at the new generation
+    store2.insert_strings(["e"])
+    store3 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="g")
+    assert set(store3.get_all_texts()) == {"a", "b", "c", "e"}
+
+
+def test_parquet_store_over_threshold_insert_writes_once(tmp_path, monkeypatch):
+    """An insert that crosses the compaction threshold folds straight into
+    the base rewrite — it must not first write a delta file that the
+    compaction immediately discards."""
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=16))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="w")
+    store.insert_strings(["a", "b"])
+    monkeypatch.setattr(ParquetEmbeddingStore, "_COMPACT_FRACTION", 0.0)
+    writes = []
+    orig_write = ParquetEmbeddingStore._write_table
+
+    def counting(self, ids, path, generation=None):
+        writes.append(path)
+        return orig_write(self, ids, path, generation=generation)
+
+    monkeypatch.setattr(ParquetEmbeddingStore, "_write_table", counting)
+    store.insert_strings([f"x{i}" for i in range(1100)])
+    assert writes == [store.filename], writes
+    assert not store._delta_paths() and store._delta_rows == 0
+
+
 def test_parquet_store_loads_legacy_list_layout(tmp_path):
     """Stores written by the old pandas object-list column (variable-length
     list<float> parquet type) must still load after the switch to the
