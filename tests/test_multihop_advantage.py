@@ -71,3 +71,51 @@ def test_graph_retrieval_beats_dense_on_two_hop(tmp_path):
         second_hop_hits_dense += want in d.docs[:2]
     assert second_hop_hits_graph > second_hop_hits_dense
     assert second_hop_hits_graph >= int(0.9 * N_CHAINS)
+
+
+def test_graph_retrieval_beats_dense_on_three_hop(tmp_path):
+    """MuSiQue-style 3-hop composition (reference README.md:13-25 claims
+    associativity on MuSiQue's 2-4 hop chains): the question names only
+    the chain head, so dense retrieval cannot reach the second and third
+    documents, while PPR mass flows A -> B -> C -> D across shared
+    entities with damping-decayed but still-ranking weight."""
+    docs, questions, gold = [], [], []
+    for i in range(N_CHAINS):
+        a, b, c, d = f"Alpha{i}", f"Bridge{i}", f"Middle{i}", f"Omega{i}"
+        chain = [
+            f"{a} is linked to {b}.",
+            f"{b} is linked to {c}.",
+            f"{c} is linked to {d}.",
+        ]
+        docs += chain
+        questions.append(f"What does {a} eventually reach?")
+        gold.append(chain)
+
+    dense = StandardRAG(global_config=_cfg(tmp_path, "dense3"))
+    dense.index(docs)
+    dense_results, dense_overall = dense.retrieve(questions, gold_docs=gold)
+
+    graph = HippoRAG(global_config=_cfg(tmp_path, "graph3"))
+    graph.index(docs)
+    graph_results, graph_overall = graph.retrieve(questions, gold_docs=gold)
+
+    assert graph_overall["Recall@5"] > dense_overall["Recall@5"], (
+        graph_overall, dense_overall,
+    )
+
+    # the first two hops rank 0/1 for every chain; the deep (third-hop)
+    # document carries only ~damping^2 of the seed mass, so it competes
+    # with the hashing embedder's dense noise — it must still always
+    # surface in the top third of the 36-doc corpus, and beat dense
+    # (which has no lexical bridge to it at all) decisively at k=5
+    deep_hits_graph = 0
+    deep_hits_dense = 0
+    for i, (g, d) in enumerate(zip(graph_results, dense_results)):
+        want = gold[i][2]
+        assert want in g.docs[:12], (i, g.docs)
+        deep_hits_graph += want in g.docs[:5]
+        deep_hits_dense += want in d.docs[:5]
+    assert deep_hits_graph > 2 * deep_hits_dense
+    assert deep_hits_graph >= int(0.5 * N_CHAINS), (
+        deep_hits_graph, deep_hits_dense,
+    )
