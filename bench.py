@@ -850,10 +850,42 @@ def main():
             _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
             extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
             extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
-            sections["multihop_quality"] = "ok"
             log(
                 f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
                 f"vs dense {dense_overall['Recall@2']}"
+            )
+
+            # 3-hop (MuSiQue-style) composition: the deep document carries
+            # only ~damping^2 of the seed mass; fraction of chains whose
+            # third-hop doc surfaces in the top 5 of the 36-doc corpus
+            qdocs3, qqs3, qdeep = [], [], []
+            for i in range(n_chains):
+                a, bb, c, dd = (
+                    f"Alpha{i}", f"Bridge{i}", f"Middle{i}", f"Omega{i}"
+                )
+                chain = [
+                    f"{a} is linked to {bb}.",
+                    f"{bb} is linked to {c}.",
+                    f"{c} is linked to {dd}.",
+                ]
+                qdocs3 += chain
+                qqs3.append(f"What does {a} eventually reach?")
+                qdeep.append(chain[2])
+            mh_dirs += [tempfile.mkdtemp(), tempfile.mkdtemp()]
+            dense3 = StandardRAG(global_config=BaseConfig(save_dir=mh_dirs[2], **qcfg))
+            dense3.index(qdocs3)
+            dres3 = dense3.retrieve(qqs3)
+            g3 = HippoRAG(global_config=BaseConfig(save_dir=mh_dirs[3], **qcfg))
+            g3.index(qdocs3)
+            gres3 = g3.retrieve(qqs3)
+            deep_g = sum(w in r.docs[:5] for w, r in zip(qdeep, gres3))
+            deep_d = sum(w in r.docs[:5] for w, r in zip(qdeep, dres3))
+            extra["multihop3_deep_top5_graph"] = round(deep_g / n_chains, 4)
+            extra["multihop3_deep_top5_dense"] = round(deep_d / n_chains, 4)
+            sections["multihop_quality"] = "ok"
+            log(
+                f"3-hop deep-doc top-5: graph {deep_g}/{n_chains} "
+                f"vs dense {deep_d}/{n_chains}"
             )
         except Exception as e:  # noqa: BLE001
             sections["multihop_quality"] = f"skipped ({e})"
