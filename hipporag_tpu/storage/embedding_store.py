@@ -247,15 +247,27 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
         self._delta_rows = 0
         stale = []
         for gen, _seq, path in self._delta_entries():
-            if gen != self._gen:
+            if gen < self._gen:
                 # leftover from a crash between a base rewrite and delta
                 # cleanup: its rows are already folded into the base (and
                 # may include rows the rewrite deleted) — never replay it
                 stale.append(path)
                 continue
+            if gen > self._gen:
+                # a delta tagged AHEAD of the base should be impossible
+                # (the generation only advances after a successful base
+                # write); if it happens, the delta may hold rows newer
+                # than the base — warn and keep it for manual recovery
+                # instead of deleting data we cannot account for
+                logger.warning(
+                    "Delta %s has generation %d > base generation %d; "
+                    "skipping it but NOT removing (possible newer data)",
+                    path, gen, self._gen,
+                )
+                continue
             self._delta_rows += self._read_table_into_rows(path)
         for path in stale:
-            logger.warning("Removing stale delta %s (gen != %d)", path, self._gen)
+            logger.warning("Removing stale delta %s (gen < %d)", path, self._gen)
             os.remove(path)
         if self._rows:
             logger.info(
@@ -310,11 +322,14 @@ class ParquetEmbeddingStore(InMemoryEmbeddingStore):
         carries gen+1, so a crash before the delta removals below leaves
         only stale-generation deltas, which the next ``_load`` skips and
         cleans instead of replaying (they may hold rows this rewrite
-        deleted)."""
-        self._gen += 1
+        deleted). The in-memory generation advances only AFTER the base
+        write succeeds — if the write raises, memory and disk stay in
+        sync (still the old generation), so later deltas keep being
+        tagged with a generation that actually exists on disk."""
         self._write_table(
-            list(self._rows.keys()), self.filename, generation=self._gen
+            list(self._rows.keys()), self.filename, generation=self._gen + 1
         )
+        self._gen += 1
         for path in self._delta_paths():
             os.remove(path)
         self._delta_rows = 0

@@ -1,0 +1,126 @@
+"""Pin bench.py's one-JSON-line stdout contract (VERDICT r3 #1).
+
+Round 3's headline was lost because the stdout line outgrew the driver's
+~2000-char tail capture: the leading ``value``/``vs_baseline`` fields were
+truncated away and the driver recorded ``"parsed": null``. The fix routes
+the full result to a ``BENCH_DETAIL.json`` sidecar and emits a compact,
+priority-whitelisted line hard-capped at ``bench._LINE_BUDGET`` chars.
+
+This test builds a WORST-CASE fully-populated result — every compact key
+present with wide float values, several failed sections with long error
+strings, and an abort reason — and asserts the line stays under budget,
+stays valid JSON, and never drops the headline fields.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    # import bench.py as a module without running main()
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(HERE, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_module"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _worst_case(bench):
+    snapshot = {
+        "metric": "batched_ppr_throughput",
+        "value": 12345.678912,
+        "unit": "queries/sec",
+        "vs_baseline": 9876.54321,
+        "backend": "tpu",
+        "device_kind": "TPU v5 lite (some very long device kind string)",
+        "cpu_fallback": False,
+    }
+    # every compact key populated with a wide value
+    extra = {k: -1234567.8901234567 for k in bench._COMPACT_KEYS}
+    extra["baseline_protocol"] = (
+        "serial scipy-CSR PPR, min-of-9 body calibration"
+    )
+    extra["2wiki_r2_delta_ci95"] = [-0.123456789, 0.987654321]
+    # plus a pile of sidecar-only keys that must NOT leak onto the line
+    for i in range(64):
+        extra[f"sidecar_only_key_{i:03d}"] = "x" * 120
+    sections = {f"section_{i:02d}": "ok" for i in range(24)}
+    for i in range(6):
+        sections[f"failed_{i}"] = (
+            "skipped (RuntimeError: the tunnel degraded mid-run and the "
+            "probe subprocess timed out after 300 seconds of waiting)"
+        )
+    reason = "signal 15 after 3299s — " + "y" * 200
+    return snapshot, extra, sections, reason
+
+
+def test_compact_line_under_budget_fully_populated(bench):
+    snapshot, extra, sections, reason = _worst_case(bench)
+    line = bench.build_compact_line(snapshot, extra, sections, reason=reason)
+    assert len(line) <= bench._LINE_BUDGET, (
+        f"compact line is {len(line)} chars, budget {bench._LINE_BUDGET}"
+    )
+    parsed = json.loads(line)
+    # headline fields always survive
+    for k in ("metric", "value", "unit", "vs_baseline", "backend",
+              "device_kind", "cpu_fallback"):
+        assert parsed[k] == snapshot[k]
+    assert parsed["detail"]["detail_file"] == "BENCH_DETAIL.json"
+    assert parsed["detail"]["aborted"].startswith("signal 15")
+    # sidecar-only keys never leak onto the line
+    assert not any(k.startswith("sidecar_only") for k in parsed["detail"])
+
+
+def test_compact_line_budget_below_driver_capture(bench):
+    # the driver tail-captures ~2000 chars; the budget must leave margin
+    assert bench._LINE_BUDGET <= 1600
+
+
+def test_compact_line_keeps_priority_keys_when_roomy(bench):
+    snapshot, extra, sections, _ = _worst_case(bench)
+    line = bench.build_compact_line(snapshot, extra, sections)
+    parsed = json.loads(line)
+    d = parsed["detail"]
+    # the highest-priority detail keys must be present in a normal run
+    for k in ("nodes", "directed_edges", "batch", "cpu_qps",
+              "device_batch_ms"):
+        assert k in d, f"high-priority key {k} was dropped"
+    assert d["sections_ok"] == 24
+
+
+def test_compact_line_drops_tail_first(bench):
+    snapshot, extra, sections, reason = _worst_case(bench)
+    line = bench.build_compact_line(
+        snapshot, extra, sections, reason=reason, budget=700
+    )
+    assert len(line) <= 700
+    parsed = json.loads(line)
+    for k in ("metric", "value", "vs_baseline", "backend"):
+        assert k in parsed
+    # under a tiny budget, low-priority keys go before high-priority ones
+    d = parsed["detail"]
+    present = [k for k in bench._COMPACT_KEYS if k in d]
+    # whatever survives must be a prefix of the priority list
+    assert present == bench._COMPACT_KEYS[: len(present)]
+
+
+def test_detail_sidecar_holds_everything(bench, tmp_path, monkeypatch):
+    snapshot, extra, sections, reason = _worst_case(bench)
+    monkeypatch.setattr(bench, "HERE", str(tmp_path))
+    bench.write_detail_sidecar(snapshot, extra, sections, reason=reason)
+    with open(tmp_path / "BENCH_DETAIL.json") as f:
+        full = json.load(f)
+    assert full["value"] == snapshot["value"]
+    assert full["detail"]["aborted"] == reason
+    assert full["detail"]["sections"] == sections
+    for k in extra:
+        assert k in full["detail"]

@@ -232,6 +232,44 @@ def test_parquet_store_delete_crash_does_not_resurrect(tmp_path, monkeypatch):
     assert set(store3.get_all_texts()) == {"a", "b", "c", "e"}
 
 
+def test_parquet_store_failed_rewrite_keeps_generations_in_sync(tmp_path, monkeypatch):
+    """If the base rewrite raises, the in-memory generation must NOT
+    advance — otherwise later deltas get tagged with a generation that
+    never reached disk and the next load would discard them (silent data
+    loss after a transient write failure)."""
+    model = MockEmbeddingModel(BaseConfig(embedding_dim=16))
+    store = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="f")
+    store.insert_strings(["a", "b", "c"])
+    gen_before = store._gen
+    orig_write = ParquetEmbeddingStore._write_table
+
+    def failing(self, ids, path, generation=None):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ParquetEmbeddingStore, "_write_table", failing)
+    h_a = compute_mdhash_id("a", prefix="f-")
+    with pytest.raises(OSError):
+        store.delete([h_a])
+    monkeypatch.setattr(ParquetEmbeddingStore, "_write_table", orig_write)
+    assert store._gen == gen_before, "generation advanced past a failed write"
+
+    # deltas appended after the failure carry the on-disk generation and
+    # must survive a reload (pre-fix they were tagged gen+1 and removed)
+    store.insert_strings(["d", "e"])
+    store2 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="f")
+    assert {"d", "e"} <= set(store2.get_all_texts())
+
+    # a delta tagged AHEAD of the base (should-be-impossible state) is
+    # skipped but kept on disk for manual recovery, never deleted
+    future = f"{store2.filename}.delta-g{store2._gen + 1:06d}-000000.parquet"
+    h_d = compute_mdhash_id("d", prefix="f-")
+    store2._write_table([h_d], future)
+    store3 = ParquetEmbeddingStore(model, str(tmp_path), batch_size=4, namespace="f")
+    assert os.path.exists(future), "future-generation delta must not be removed"
+    assert {"d", "e"} <= set(store3.get_all_texts())
+    os.remove(future)
+
+
 def test_parquet_store_over_threshold_insert_writes_once(tmp_path, monkeypatch):
     """An insert that crosses the compaction threshold folds straight into
     the base rewrite — it must not first write a delta file that the
