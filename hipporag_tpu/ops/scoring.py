@@ -125,3 +125,33 @@ def fact_topk(
         queries, keys, jnp.asarray(valid_n, jnp.int32), k, compute_dtype
     )
     return values, indices
+
+
+@jax.jit
+def pack_vals_idx(vals: Array, idx: Array) -> Array:
+    """Pack paired (f32 values [B, k], int32 indices [B, k]) into ONE
+    [B, 2k] f32 buffer for a single device->host transfer.
+
+    Serving latency over a tunneled backend is round-trip-bound: each
+    device->host buffer transfer pays the link latency, so downloading
+    values and indices separately doubles the cost of every stage that
+    needs both on host (candidate fetch before the LLM rerank, final
+    document ranking). The indices ride as raw bit patterns
+    (``bitcast_convert_type``) — no precision limit, exact round trip —
+    and ``unpack_vals_idx`` recovers them host-side with a view.
+    """
+    return jnp.concatenate(
+        [vals, jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32)],
+        axis=1,
+    )
+
+
+def unpack_vals_idx(packed: "np.ndarray", k: int):
+    """Host-side inverse of ``pack_vals_idx``: (vals f32 [B, k], idx int32
+    [B, k]). ``packed`` must be a host numpy array (already transferred)."""
+    import numpy as np
+
+    packed = np.ascontiguousarray(packed)
+    vals = packed[:, :k]
+    idx = packed[:, k:].view(np.int32)
+    return vals, idx

@@ -542,6 +542,101 @@ def put_sharded_ell(mesh, sg: ShardedELLGraph) -> ShardedELLGraph:
     )
 
 
+def sharded_ell_counters(sg: ShardedELLGraph, batch: int, dp: int = 1) -> dict:
+    """Per-device WORK counters for one sharded PPR iteration — the
+    numbers a scaling claim must be backed by (VERDICT r3 #3/#6: wall
+    clock on an oversubscribed virtual CPU mesh says nothing; rows
+    gathered and ICI bytes per device do).
+
+    - ``rows_gathered_per_iter_device``: every ELL entry (including
+      width/row padding) costs one gathered [B/dp]-lane row per iteration
+      on its shard — the descriptor-rate-bound quantity on TPU.
+    - ``halo_ici_bytes_per_iter_device``: the [C, H, B/dp] all_to_all
+      block each device ships per iteration (C·H·(B/dp)·4).
+    - ``allgather_ici_bytes_per_iter_device``: what the naive design
+      would ship ((C-1)·Ns·(B/dp)·4) — the comparison point.
+    """
+    b_lane = max(1, batch // max(dp, 1))
+    c = int(sg.send_ids.shape[0])
+    rows = sum(int(i.shape[1]) * int(i.shape[2]) for i in sg.bucket_idx)
+    rows += int(sg.hub_idx.shape[1]) * int(sg.hub_idx.shape[2])
+    real_entries = sum(
+        int(np.count_nonzero(np.asarray(w))) for w in sg.bucket_wgt
+    ) + int(np.count_nonzero(np.asarray(sg.hub_wgt)))
+    return {
+        "num_shards": c,
+        "shard_nodes": int(sg.shard_nodes),
+        "n_slots": int(sg.n_slots),
+        "halo_rows_per_peer": int(sg.halo_width),
+        "halo_frac_of_shard": round(sg.halo_width / sg.shard_nodes, 4),
+        "rows_gathered_per_iter_device": rows,
+        "real_entries_per_device": real_entries // max(c, 1),
+        "ell_padding_overhead": round(rows * c / max(real_entries, 1), 3),
+        "halo_ici_bytes_per_iter_device": c * sg.halo_width * b_lane * 4,
+        "allgather_ici_bytes_per_iter_device": (c - 1)
+        * int(sg.shard_nodes)
+        * b_lane
+        * 4,
+    }
+
+
+def sharded_ell_hbm_estimate(
+    batch: int,
+    num_shards: int,
+    shard_nodes: int,
+    n_slots: int,
+    halo_width: int,
+    entries_per_device: int,
+    dp: int = 1,
+    gather_budget_bytes: int | None = None,
+) -> dict:
+    """Per-DEVICE memory model for a sharded halo-ELL PPR solve — the
+    pod-capacity planner (BASELINE.md's 10M-node/100M-edge stretch row).
+
+    Takes plain structural integers (not a built graph) so pod-scale
+    configs can be checked without materializing the 100M-entry operator
+    on the host. Byte breakdown, mirroring ops/pagerank.ell_hbm_estimate
+    but per shard:
+
+    - ``operator``: the shard's ELL entries (idx int32 + wgt f32 = 8 B
+      per padded entry) plus the maps (local_inv, slot_to_node, send_ids,
+      dangling).
+    - ``states``: live [Sq, B/dp]-f32 loop buffers, where Sq = n_slots +
+      C·H (own slots plus the received halo blocks). Same 5x accounting
+      as the single-chip model (carried state, successor, SpMV output,
+      reset, transients).
+    - ``halo_buffers``: the [C, H, B/dp] send + receive all_to_all blocks.
+    - ``gather_temp``: bounded by the active gather budget (the bucket
+      reduce width-blocks anything larger — ops/pagerank._bucket_plan).
+    - ``io``: natural-order reset upload + result, [B/dp, Ns] each.
+    """
+    from ..ops.pagerank import _ELL_GATHER_BYTES, _PPR_BATCH_TILE
+
+    if gather_budget_bytes is None:
+        gather_budget_bytes = _ELL_GATHER_BYTES
+    b_lane = max(1, batch // max(dp, 1))
+    b_tile = min(b_lane, _PPR_BATCH_TILE)
+    sq = n_slots + num_shards * halo_width
+    operator = entries_per_device * 8 + (shard_nodes * 2 + n_slots) * 4
+    operator += num_shards * halo_width * 4  # send_ids row
+    states = 5 * sq * b_tile * 4
+    halo_buffers = 2 * num_shards * halo_width * b_tile * 4
+    gather_temp = min(gather_budget_bytes, entries_per_device * b_tile * 4)
+    io = 2 * b_lane * shard_nodes * 4
+    total = operator + states + halo_buffers + gather_temp + io
+    return {
+        "operator_bytes": operator,
+        "states_bytes": states,
+        "halo_buffer_bytes": halo_buffers,
+        "gather_temp_bytes": gather_temp,
+        "io_bytes": io,
+        "total_bytes": total,
+        "total_gib": round(total / 2**30, 3),
+        "batch": batch,
+        "b_tile": b_tile,
+    }
+
+
 def make_sharded_ppr_ell(
     mesh, max_iters: int = 64, damping: float = 0.5, tol: float = 1e-8,
     n_hub: int | None = None,

@@ -1,0 +1,193 @@
+"""Generate the reference-format LLM replay fixture for the rag_qa
+end-to-end pinned-metrics test (VERDICT r3 #7).
+
+Runs the FULL production pipeline (OpenIE -> recognition-memory filter ->
+QA) over the sample dataset with ``CacheOpenAILLM`` — the real provider,
+real prompts, real wire format — against a recording in-process HTTP
+transport, then writes every (messages -> response) pair into a SQLite
+file in the REFERENCE's cache schema
+(``cache(key TEXT PRIMARY KEY, message TEXT, metadata TEXT)`` with the
+sha256 key derivation of reference llm/openai_gpt.py:44-75, reproduced by
+``llm/replay_cache.reference_cache_key``).
+
+The recorded responses are deterministic: structural prompts (NER,
+triple extraction, fact filter) are answered by the MockLLM responders;
+QA prompts are answered from the dataset's gold answers — one of them
+deliberately padded with an extra token so the pinned F1 is a nontrivial
+fraction (an all-1.0 pin would not exercise the metric math).
+
+``tests/test_replay_e2e.py`` then runs the SAME pipeline with
+``llm_replay_cache_path`` pointing at the fixture and a dead endpoint —
+any cache miss becomes a hard connection error — and asserts the exact
+EM/F1. Regenerate with: python scripts/make_replay_fixture.py
+"""
+
+import json
+import os
+import re
+import sqlite3
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+FIXTURE_PATH = os.path.join(HERE, "tests", "fixtures", "replay_sample_cache.sqlite")
+
+# The EXACT config both the recorder and the replay test must share:
+# prompts (and therefore cache keys) depend on qa_top_k / linking_top_k /
+# dataset; the reference key depends on llm_name / seed / temperature.
+CONFIG_KWARGS = dict(
+    llm_name="gpt-4o-mini",
+    # loopback endpoint: auth-less by convention, and any non-replayed
+    # request dies instantly with a connection error instead of going out
+    llm_base_url="http://127.0.0.1:9",
+    embedding_model_name="hashing",
+    embedding_dim=512,
+    dataset="sample",
+    retrieval_top_k=20,
+    linking_top_k=5,
+    qa_top_k=5,
+)
+
+# Pinned metrics the fixture reproduces (printed by a fresh replay-only
+# run at the bottom of main()). Queries: 3; QA answers: 2 exact gold, 1
+# gold + one extra token -> EM 2/3, F1 2/3*1 + 1/3*0.8 = 0.9333...
+EXPECTED_EM = 0.6667
+EXPECTED_F1 = 0.9333
+
+
+def _last_user(messages):
+    for m in reversed(messages):
+        if m["role"] == "user":
+            return m["content"]
+    return ""
+
+
+def make_handler(records, gold_by_question, mock):
+    """httpx.MockTransport handler: answer deterministically, record."""
+    import httpx
+
+    def handler(request):
+        payload = json.loads(request.content)
+        messages = payload["messages"]
+        user = _last_user(messages)
+        qa_match = re.search(r"Question:\s*(.*)\nThought:\s*$", user)
+        if qa_match and qa_match.group(1).strip() in gold_by_question:
+            q = qa_match.group(1).strip()
+            content = (
+                "The supporting passages identify the answer directly. "
+                f"\nAnswer: {gold_by_question[q]}"
+            )
+        else:
+            content, _meta, _ = mock.infer(messages)
+        metadata = {
+            "prompt_tokens": sum(len(m["content"].split()) for m in messages),
+            "completion_tokens": len(content.split()),
+            "finish_reason": "stop",
+        }
+        records.append((messages, content, metadata))
+        return httpx.Response(
+            200,
+            json={
+                "choices": [
+                    {"message": {"content": content}, "finish_reason": "stop"}
+                ],
+                "usage": {
+                    "prompt_tokens": metadata["prompt_tokens"],
+                    "completion_tokens": metadata["completion_tokens"],
+                },
+            },
+        )
+
+    return handler
+
+
+def write_fixture(records, cfg, path):
+    from hipporag_tpu.llm.replay_cache import reference_cache_key
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "CREATE TABLE cache (key TEXT PRIMARY KEY, message TEXT, metadata TEXT)"
+    )
+    n = 0
+    for messages, content, metadata in records:
+        key = reference_cache_key(
+            messages, cfg.llm_name, cfg.seed, cfg.temperature
+        )
+        conn.execute(
+            "INSERT OR REPLACE INTO cache VALUES (?, ?, ?)",
+            (key, content, json.dumps(metadata)),
+        )
+        n += 1
+    conn.commit()
+    conn.close()
+    return n
+
+
+def run_pipeline(cfg_kwargs, save_dir, transport=None):
+    """Index the sample corpus and run rag_qa; returns (em, f1, rag)."""
+    from hipporag_tpu import BaseConfig, HippoRAG
+    from hipporag_tpu.datasets import load_dataset
+
+    docs, queries, gold_docs, gold_answers = load_dataset("sample", "data")
+    cfg = BaseConfig(save_dir=save_dir, **cfg_kwargs)
+    rag = HippoRAG(global_config=cfg)
+    if transport is not None:
+        from hipporag_tpu.llm.openai_llm import OpenAIChatClient
+
+        rag.llm.client.close()
+        rag.llm.client = OpenAIChatClient(
+            base_url=cfg.llm_base_url, transport=transport
+        )
+    rag.index(docs)
+    out = rag.rag_qa(
+        queries=queries, gold_docs=gold_docs, gold_answers=gold_answers
+    )
+    qa_eval = out[4]
+    return qa_eval["ExactMatch"], qa_eval["F1"], rag
+
+
+def main():
+    import tempfile
+
+    import httpx
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from hipporag_tpu import BaseConfig
+    from hipporag_tpu.datasets import load_dataset
+    from hipporag_tpu.llm.mock import MockLLM
+
+    _docs, queries, _gd, gold_answers = load_dataset("sample", "data")
+    gold_by_question = {}
+    for i, (q, golds) in enumerate(zip(queries, gold_answers)):
+        ans = golds[0]
+        if i == len(queries) - 1:
+            ans = f"{ans} approximately"  # pins a fractional F1
+        gold_by_question[q.strip()] = ans
+
+    cfg = BaseConfig(save_dir="unused", **CONFIG_KWARGS)
+    records = []
+    handler = make_handler(records, gold_by_question, MockLLM(cfg))
+
+    em, f1, _ = run_pipeline(
+        CONFIG_KWARGS, tempfile.mkdtemp(), transport=httpx.MockTransport(handler)
+    )
+    n = write_fixture(records, cfg, FIXTURE_PATH)
+    print(f"recorded {n} responses -> {FIXTURE_PATH}")
+    print(f"recording run: EM={em:.4f} F1={f1:.4f}")
+
+    # verify: replay-only run (dead endpoint, no transport injection)
+    replay_kwargs = dict(CONFIG_KWARGS, llm_replay_cache_path=FIXTURE_PATH)
+    em2, f12, _ = run_pipeline(replay_kwargs, tempfile.mkdtemp())
+    print(f"replay-only run: EM={em2:.4f} F1={f12:.4f}")
+    assert (em, f1) == (em2, f12), "replay did not reproduce the recording"
+    print(f"pin these in tests/test_replay_e2e.py: EM={em2} F1={f12}")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ def _worst_case(bench):
         "serial scipy-CSR PPR, min-of-9 body calibration"
     )
     extra["2wiki_r2_delta_ci95"] = [-0.123456789, 0.987654321]
+    extra["single_query_breakdown_ms"] = {
+        "embed": 123.4, "topk": 123.4, "rerank": 123.4, "residual": 123.4,
+    }
     # plus a pile of sidecar-only keys that must NOT leak onto the line
     for i in range(64):
         extra[f"sidecar_only_key_{i:03d}"] = "x" * 120

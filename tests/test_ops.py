@@ -895,3 +895,97 @@ def test_ell_hbm_estimate_tracks_plan(monkeypatch):
     est_256 = pr.ell_hbm_estimate(ell, 256)
     assert est_256["state_bytes"] == est_128["state_bytes"]
     assert est_256["io_bytes"] == 2 * est_128["io_bytes"]
+
+
+def test_pack_unpack_vals_idx_roundtrip():
+    """Single-transfer packing for (values, indices) pairs: the int32
+    indices must survive the f32 bitcast exactly, including extreme
+    values, and -inf sentinels in the values must pass through."""
+    import jax.numpy as jnp
+
+    from hipporag_tpu.ops.scoring import pack_vals_idx, unpack_vals_idx
+
+    rng = np.random.default_rng(0)
+    b, k = 5, 7
+    vals = rng.standard_normal((b, k)).astype(np.float32)
+    vals[0, 0] = -np.inf  # padding sentinel used by rank_documents_topk
+    vals[1, 2] = 0.0
+    idx = rng.integers(0, 2**31 - 1, (b, k)).astype(np.int32)
+    idx[0, 0] = 0
+    idx[2, 3] = 2**31 - 1
+
+    packed = np.asarray(pack_vals_idx(jnp.asarray(vals), jnp.asarray(idx)))
+    assert packed.shape == (b, 2 * k)
+    assert packed.dtype == np.float32
+    out_vals, out_idx = unpack_vals_idx(packed, k)
+    np.testing.assert_array_equal(out_vals, vals)
+    np.testing.assert_array_equal(out_idx, idx)
+    assert out_idx.dtype == np.int32
+
+
+def test_sharded_hbm_estimate_and_counters():
+    """The sharded per-device HBM model must agree with the arrays a real
+    shard_graph_ell build materializes, and the work counters must report
+    the padding-inclusive gather rows the roofline accounting uses."""
+    from hipporag_tpu.ops.pagerank import COOGraph, normalize_symmetric_coo
+    from hipporag_tpu.parallel.sharded import (
+        shard_graph_ell,
+        sharded_ell_counters,
+        sharded_ell_hbm_estimate,
+    )
+
+    rng = np.random.default_rng(3)
+    n, e, shards = 2000, 16000, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    cap = ((n + 127) // 128) * 128
+    s2, d2, wn, dang = normalize_symmetric_coo(src, dst, w, n, cap)
+    coo = COOGraph(
+        src=s2.astype(np.int32), dst=d2.astype(np.int32),
+        w_norm=wn.astype(np.float32), dangling=dang.astype(np.float32),
+        num_nodes=np.asarray(n, np.int32),
+    )
+    sg = shard_graph_ell(coo, num_shards=shards)
+
+    cnt = sharded_ell_counters(sg, batch=16, dp=2)
+    padded_rows = sum(x.shape[1] * x.shape[2] for x in sg.bucket_idx)
+    padded_rows += sg.hub_idx.shape[1] * sg.hub_idx.shape[2]
+    assert cnt["rows_gathered_per_iter_device"] == padded_rows
+    assert cnt["ell_padding_overhead"] >= 1.0
+    assert cnt["halo_rows_per_peer"] == sg.halo_width
+    # B=16, dp=2 -> 8 lanes per device
+    assert cnt["halo_ici_bytes_per_iter_device"] == shards * sg.halo_width * 8 * 4
+    assert (
+        cnt["allgather_ici_bytes_per_iter_device"]
+        == (shards - 1) * sg.shard_nodes * 8 * 4
+    )
+
+    est = sharded_ell_hbm_estimate(
+        batch=16, num_shards=shards, shard_nodes=sg.shard_nodes,
+        n_slots=sg.n_slots, halo_width=sg.halo_width,
+        entries_per_device=padded_rows, dp=2,
+    )
+    actual_op = (
+        sum(x.shape[1] * x.shape[2] * 8 for x in sg.bucket_idx)
+        + sg.hub_idx.shape[1] * sg.hub_idx.shape[2] * 8
+        + (sg.shard_nodes * 2 + sg.n_slots) * 4
+        + shards * sg.halo_width * 4
+    )
+    assert est["operator_bytes"] == actual_op
+    assert est["total_bytes"] == (
+        est["operator_bytes"] + est["states_bytes"] + est["halo_buffer_bytes"]
+        + est["gather_temp_bytes"] + est["io_bytes"]
+    )
+    # batch tiling mirrors the single-chip model: states stop growing
+    # past one 128-lane tile, io keeps growing
+    kw = dict(
+        num_shards=shards, shard_nodes=sg.shard_nodes, n_slots=sg.n_slots,
+        halo_width=sg.halo_width, entries_per_device=padded_rows,
+    )
+    e128 = sharded_ell_hbm_estimate(batch=128, **kw)
+    e256 = sharded_ell_hbm_estimate(batch=256, **kw)
+    assert e256["states_bytes"] == e128["states_bytes"]
+    assert e256["io_bytes"] == 2 * e128["io_bytes"]
