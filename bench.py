@@ -81,6 +81,7 @@ _COMPACT_KEYS = [
     "encoder_mfu", "encoder_mfu_e2e", "encoder_run_spread",
     "encoder_docs_per_s",
     "fused_topk_big_ms", "fused_topk_big_xla_ms",
+    "fused_topk_cap_ms", "fused_topk_cap_xla_ms",
     "e2e_retrieve_qps", "incr_recompiles", "incr_top1_stable",
     "exact_rank_agreement",
     "probe_roundtrip_s", "reps", "cpu_qps_measured",
@@ -1123,14 +1124,19 @@ def main():
             n_params = n_layers * 12 * d_model * d_model  # attn+ffn weights
             flops = 2 * n_params * seq * len(docs_t)
             times = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 outs = [enc.encode_pretokenized(i_, m_) for i_, m_ in tok_batches]
                 for o in outs:
                     np.asarray(o[0, 0])  # materialize (tunnel-safe sync)
                 times.append(time.perf_counter() - t0)
             times.sort()
-            t_fwd = times[1]  # median of 3
+            # MIN of 5: the uncontended device speed — same protocol as
+            # the calibrated CPU baseline. The tunnel stalls individual
+            # passes by 10s of ms (median-of-3 swung 58% run-to-run);
+            # the min is reproducible because the forward itself is
+            # deterministic compute on an otherwise idle chip.
+            t_fwd = times[0]
             spread = (times[-1] - times[0]) / t_fwd
             t0 = time.perf_counter()
             out_e = enc.batch_encode(docs_t)
@@ -1150,7 +1156,7 @@ def main():
             sections["encoder"] = "ok"
             log(
                 f"jax encoder (768x12, seq {seq}): {len(docs_t)/t_fwd:.0f} "
-                f"docs/s pre-tokenized (median of 3, spread {spread:.1%}), "
+                f"docs/s pre-tokenized (min of 5, spread {spread:.1%}), "
                 f"{len(docs_t)/t_e2e:.0f} docs/s e2e, "
                 f"~{flops/t_fwd/1e12:.1f} TFLOP/s achieved"
                 + (
@@ -1255,6 +1261,26 @@ def main():
                     f"scores {bq_b*nf_b*4/2**30:.2f} GiB): pallas "
                     f"{t_plb*1e3:.1f}ms vs xla "
                     + (f"{t_xlab*1e3:.1f}ms" if t_xlab else "OOM/fail")
+                )
+
+                # ---- capacity point: B=512 x 2.56M x 768. The XLA path
+                # materializes [B, N] twice (raw + normalized = 9.8 GiB)
+                # next to the 7.3 GiB key matrix — over v5e HBM — while
+                # the streamed Pallas two-pass keeps only per-tile maxima.
+                # This is WHY the kernel exists: capacity, not speed.
+                bq_c = 512
+                t_plc, t_xlac, _ = time_both(nf_b, dim, bq_c, kk, 1)
+                extra["fused_topk_cap_ms"] = round(t_plc * 1e3, 2)
+                extra["fused_topk_cap_xla_ms"] = (
+                    None if t_xlac is None else round(t_xlac * 1e3, 2)
+                )
+                sections["fused_topk_cap"] = "ok"
+                log(
+                    f"fused score+topk CAPACITY ({nf_b} x {dim}, B={bq_c}, "
+                    f"scores {bq_c*nf_b*4/2**30:.2f} GiB x2 + keys "
+                    f"{nf_b*dim*4/2**30:.2f} GiB): pallas {t_plc*1e3:.1f}ms, "
+                    f"xla " + (f"{t_xlac*1e3:.1f}ms" if t_xlac else
+                               "cannot run (OOM) — the kernel's raison d'etre")
                 )
         except Exception as e:  # noqa: BLE001
             sections["fused_topk"] = f"skipped ({e})"

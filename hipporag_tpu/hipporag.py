@@ -933,6 +933,7 @@ class HippoRAG:
 
         from .models.retrieval import graph_search_batch, rank_documents_topk
         from .ops.scoring import (
+            PACK_IDX_LIMIT,
             batched_scores,
             fact_topk,
             pack_vals_idx,
@@ -992,8 +993,14 @@ class HippoRAG:
                     cfg.compute_dtype,
                     use_pallas=None if cfg.use_pallas_kernels else False,
                 )
-                packed = np.asarray(pack_vals_idx(cand_vals_dev, cand_idx_dev))
-                cand_vals, cand_idx = unpack_vals_idx(packed, k_cand)
+                if self._fact_emb_dev.shape[0] < PACK_IDX_LIMIT:
+                    packed = np.asarray(
+                        pack_vals_idx(cand_vals_dev, cand_idx_dev)
+                    )
+                    cand_vals, cand_idx = unpack_vals_idx(packed, k_cand)
+                else:  # beyond exact-f32 index range: separate transfers
+                    cand_vals = np.asarray(cand_vals_dev)
+                    cand_idx = np.asarray(cand_idx_dev)
             else:
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)
@@ -1039,8 +1046,12 @@ class HippoRAG:
             # and as ONE packed buffer — a single device->host round trip
             order_dev, sorted_dev = rank_documents_topk(doc_scores, num_to_retrieve)
             k_out = int(order_dev.shape[1])
-            packed_out = np.asarray(pack_vals_idx(sorted_dev, order_dev))
-            sorted_scores, order = unpack_vals_idx(packed_out, k_out)
+            if doc_scores.shape[1] < PACK_IDX_LIMIT:
+                packed_out = np.asarray(pack_vals_idx(sorted_dev, order_dev))
+                sorted_scores, order = unpack_vals_idx(packed_out, k_out)
+            else:
+                order = np.asarray(order_dev)
+                sorted_scores = np.asarray(sorted_dev)
             self.ppr_time += time.time() - ppr_start
 
             out = []
@@ -1097,7 +1108,11 @@ class HippoRAG:
                 qp[i] = self.query_to_embedding["passage"][q]
 
             if num_facts > 0:
-                from .ops.scoring import pack_vals_idx, unpack_vals_idx
+                from .ops.scoring import (
+                    PACK_IDX_LIMIT,
+                    pack_vals_idx,
+                    unpack_vals_idx,
+                )
 
                 _, vals, idx = self._sharded_score(
                     jnp.asarray(qf), self._fact_emb_sharded,
@@ -1105,8 +1120,13 @@ class HippoRAG:
                 )
                 # one packed device->host transfer (see the single-chip
                 # prep): a tunneled backend pays the link RTT per buffer
-                packed = np.asarray(pack_vals_idx(vals, idx))
-                cand_vals, cand_idx = unpack_vals_idx(packed, int(idx.shape[1]))
+                if num_facts < PACK_IDX_LIMIT:
+                    packed = np.asarray(pack_vals_idx(vals, idx))
+                    cand_vals, cand_idx = unpack_vals_idx(
+                        packed, int(idx.shape[1])
+                    )
+                else:
+                    cand_vals, cand_idx = np.asarray(vals), np.asarray(idx)
             else:
                 cand_idx = np.zeros((b_pad, 0), dtype=np.int32)
                 cand_vals = np.zeros((b_pad, 0), dtype=np.float32)

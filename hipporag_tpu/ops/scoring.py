@@ -127,6 +127,11 @@ def fact_topk(
     return values, indices
 
 
+# f32 represents every integer below 2^24 exactly; all single-chip fact /
+# passage counts sit far below it. Callers gate on this before packing.
+PACK_IDX_LIMIT = 1 << 24
+
+
 @jax.jit
 def pack_vals_idx(vals: Array, idx: Array) -> Array:
     """Pack paired (f32 values [B, k], int32 indices [B, k]) into ONE
@@ -136,14 +141,18 @@ def pack_vals_idx(vals: Array, idx: Array) -> Array:
     device->host buffer transfer pays the link latency, so downloading
     values and indices separately doubles the cost of every stage that
     needs both on host (candidate fetch before the LLM rerank, final
-    document ranking). The indices ride as raw bit patterns
-    (``bitcast_convert_type``) — no precision limit, exact round trip —
-    and ``unpack_vals_idx`` recovers them host-side with a view.
+    document ranking).
+
+    The indices ride as exact float VALUES (``astype``), not bit
+    patterns: int32->f32 ``bitcast_convert_type`` is NOT safe on TPU —
+    index bit patterns are denormal floats, and XLA may lower the
+    concatenate through vector registers that flush denormals to zero
+    (measured on v5e: a standalone bitcast round-trips bit-exact, but the
+    same bitcast fused into this pack corrupted every index and collapsed
+    retrieval quality). Exact for idx < 2^24 (``PACK_IDX_LIMIT``); callers
+    fall back to separate transfers above that.
     """
-    return jnp.concatenate(
-        [vals, jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32)],
-        axis=1,
-    )
+    return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
 
 
 def unpack_vals_idx(packed: "np.ndarray", k: int):
@@ -153,5 +162,5 @@ def unpack_vals_idx(packed: "np.ndarray", k: int):
 
     packed = np.ascontiguousarray(packed)
     vals = packed[:, :k]
-    idx = packed[:, k:].view(np.int32)
+    idx = packed[:, k:].astype(np.int32)
     return vals, idx

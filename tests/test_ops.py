@@ -898,21 +898,27 @@ def test_ell_hbm_estimate_tracks_plan(monkeypatch):
 
 
 def test_pack_unpack_vals_idx_roundtrip():
-    """Single-transfer packing for (values, indices) pairs: the int32
-    indices must survive the f32 bitcast exactly, including extreme
-    values, and -inf sentinels in the values must pass through."""
+    """Single-transfer packing for (values, indices) pairs: indices ride
+    as exact f32 VALUES (int bit patterns are denormal floats and TPU
+    data movement may flush denormals — measured corruption on v5e), so
+    every index below PACK_IDX_LIMIT must round-trip exactly and -inf
+    sentinels in the values must pass through."""
     import jax.numpy as jnp
 
-    from hipporag_tpu.ops.scoring import pack_vals_idx, unpack_vals_idx
+    from hipporag_tpu.ops.scoring import (
+        PACK_IDX_LIMIT,
+        pack_vals_idx,
+        unpack_vals_idx,
+    )
 
     rng = np.random.default_rng(0)
     b, k = 5, 7
     vals = rng.standard_normal((b, k)).astype(np.float32)
     vals[0, 0] = -np.inf  # padding sentinel used by rank_documents_topk
     vals[1, 2] = 0.0
-    idx = rng.integers(0, 2**31 - 1, (b, k)).astype(np.int32)
+    idx = rng.integers(0, PACK_IDX_LIMIT, (b, k)).astype(np.int32)
     idx[0, 0] = 0
-    idx[2, 3] = 2**31 - 1
+    idx[2, 3] = PACK_IDX_LIMIT - 1
 
     packed = np.asarray(pack_vals_idx(jnp.asarray(vals), jnp.asarray(idx)))
     assert packed.shape == (b, 2 * k)

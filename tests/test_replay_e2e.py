@@ -84,3 +84,30 @@ def test_replay_miss_fails_fast_not_silently(fixture_mod, tmp_path):
     em, f1, rag = fixture_mod.run_pipeline(kwargs, str(tmp_path / "replay2"))
     with pytest.raises(Exception):
         rag.rag_qa(queries=["Entirely novel question the fixture lacks?"])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
+    ),
+    reason="2wiki corpus unavailable",
+)
+def test_rag_qa_pinned_em_f1_replay_only_2wiki150(fixture_mod, tmp_path):
+    """Corpus-scale replay: 150 REAL 2WikiMultihopQA passages, 12
+    synthesized 2-hop queries, several hundred replayed responses
+    (OpenIE NER+RE per chunk, filter, QA) — exact pinned EM/F1 with a
+    dead endpoint."""
+    fixture = os.path.join(
+        HERE, "tests", "fixtures", "replay_2wiki150_cache.sqlite"
+    )
+    kwargs = dict(
+        fixture_mod.TWIKI_CONFIG_KWARGS, llm_replay_cache_path=fixture
+    )
+    em, f1, rag = fixture_mod.run_twiki_pipeline(kwargs, str(tmp_path / "tw"))
+    assert em == pytest.approx(fixture_mod.TWIKI_EXPECTED_EM, abs=1e-4)
+    assert f1 == pytest.approx(fixture_mod.TWIKI_EXPECTED_F1, abs=1e-4)
+    # the fixture really is corpus-scale: hundreds of distinct responses
+    conn = sqlite3.connect(f"file:{fixture}?mode=ro", uri=True)
+    n = conn.execute("SELECT COUNT(*) FROM cache").fetchone()[0]
+    conn.close()
+    assert n >= 250

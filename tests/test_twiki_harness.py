@@ -57,6 +57,14 @@ def test_pipeline_matches_numpy_twin_and_beats_dense(tmp_path):
     # top-20 must match the float64 tol-1e-12 serial solve
     assert res["exact"]["agreement"] >= 0.99, res["exact"]
     assert res["exact"]["max_rank_displacement"] <= 1, res["exact"]
+    # paired significance stats (VERDICT r3 #2): present at every k with
+    # a CI that brackets the point delta and a valid McNemar p
+    for k in (2, 5, 20):
+        st = res["stats"][k]
+        assert st["ci95"][0] <= st["delta"] <= st["ci95"][1], st
+        assert 0.0 <= st["mcnemar_p"] <= 1.0, st
+        assert st["recall_a"] == pytest.approx(res["recall"][k], abs=2e-4)
+        assert st["recall_b"] == pytest.approx(res["dense_recall"][k], abs=2e-4)
     json.dumps(res)  # serializable for the bench JSON
 
 
