@@ -77,7 +77,8 @@ _COMPACT_KEYS = [
     # scale + serving + encoder + kernels
     "big_graph_batch_ms", "b2x_batch_ms",
     "single_query_e2e_ms", "single_query_device_ms",
-    "single_query_breakdown_ms",
+    "single_query_breakdown_ms", "single_query_compute_ms",
+    "single_query_rtt_floor_ms",
     "encoder_mfu", "encoder_mfu_e2e", "encoder_run_spread",
     "encoder_docs_per_s",
     "fused_topk_big_ms", "fused_topk_big_xla_ms",
@@ -873,6 +874,17 @@ def main():
                     1,
                 )
                 extra["single_query_breakdown_ms"] = brk
+                # structural attribution: the candidate top-k MUST reach
+                # the host LLM filter and the final ranking MUST reach the
+                # caller, so a single query pays >= 2 link round trips by
+                # design; on a tunneled backend that floor dominates.
+                # single_query_compute_ms estimates what a non-tunneled
+                # deployment (sub-ms RTT) would see for the same path.
+                rtt_floor = 2 * probe * 1e3
+                extra["single_query_rtt_floor_ms"] = round(rtt_floor, 1)
+                extra["single_query_compute_ms"] = round(
+                    max(extra["single_query_e2e_ms"] - rtt_floor, 0.0), 1
+                )
                 sections["serving_latency"] = "ok"
                 log(
                     f"single-query p50: e2e {extra['single_query_e2e_ms']:.0f} ms "
@@ -1241,47 +1253,77 @@ def main():
             # fact_topk routing threshold), keys 7.86 GB — the regime the
             # routing actually sends to Pallas. nf divisible by tile_n=512
             # so neither path pays a pad copy of the key matrix.
+            def time_both_retry(nf_, dim_, bq_, kk_, reps_):
+                """One retry: the tunnel worker sporadically throws
+                INTERNAL on large allocations (observed killing a whole
+                run's fused section); a second attempt usually lands."""
+                try:
+                    return time_both(nf_, dim_, bq_, kk_, reps_)
+                except Exception as e1:  # noqa: BLE001
+                    log(f"fused point {nf_}x{bq_} failed once ({e1}); retrying")
+                    return time_both(nf_, dim_, bq_, kk_, reps_)
+
             if degraded:
                 sections["fused_topk_big"] = "skipped (degraded link)"
             else:
-                nf_b, bq_b = 2_560_000, 256
-                t_plb, t_xlab, vals_close = time_both(nf_b, dim, bq_b, kk, 1)
-                extra["fused_topk_big_ms"] = round(t_plb * 1e3, 2)
-                extra["fused_topk_big_gbps"] = round(
-                    nf_b * dim * 4 / t_plb / 1e9, 1
-                )
-                if t_xlab is not None:
-                    extra["fused_topk_big_xla_ms"] = round(t_xlab * 1e3, 2)
-                    extra["fused_topk_big_vals_match"] = vals_close
-                else:
-                    extra["fused_topk_big_xla_ms"] = None
-                sections["fused_topk_big"] = "ok"
-                log(
-                    f"fused score+topk BIG ({nf_b} x {dim}, B={bq_b}, "
-                    f"scores {bq_b*nf_b*4/2**30:.2f} GiB): pallas "
-                    f"{t_plb*1e3:.1f}ms vs xla "
-                    + (f"{t_xlab*1e3:.1f}ms" if t_xlab else "OOM/fail")
-                )
+                nf_b = 2_560_000
+                try:
+                    bq_b = 256
+                    t_plb, t_xlab, vals_close = time_both_retry(
+                        nf_b, dim, bq_b, kk, 1
+                    )
+                    extra["fused_topk_big_ms"] = round(t_plb * 1e3, 2)
+                    extra["fused_topk_big_gbps"] = round(
+                        nf_b * dim * 4 / t_plb / 1e9, 1
+                    )
+                    if t_xlab is not None:
+                        extra["fused_topk_big_xla_ms"] = round(t_xlab * 1e3, 2)
+                        extra["fused_topk_big_vals_match"] = vals_close
+                    else:
+                        extra["fused_topk_big_xla_ms"] = None
+                    sections["fused_topk_big"] = "ok"
+                    log(
+                        f"fused score+topk BIG ({nf_b} x {dim}, B={bq_b}, "
+                        f"scores {bq_b*nf_b*4/2**30:.2f} GiB): pallas "
+                        f"{t_plb*1e3:.1f}ms vs xla "
+                        + (f"{t_xlab*1e3:.1f}ms" if t_xlab else "OOM/fail")
+                    )
+                except Exception as e:  # noqa: BLE001
+                    sections["fused_topk_big"] = f"skipped ({e})"
+                    log(f"fused big point skipped: {e}")
 
-                # ---- capacity point: B=512 x 2.56M x 768. The XLA path
-                # materializes [B, N] twice (raw + normalized = 9.8 GiB)
-                # next to the 7.3 GiB key matrix — over v5e HBM — while
-                # the streamed Pallas two-pass keeps only per-tile maxima.
-                # This is WHY the kernel exists: capacity, not speed.
-                bq_c = 512
-                t_plc, t_xlac, _ = time_both(nf_b, dim, bq_c, kk, 1)
-                extra["fused_topk_cap_ms"] = round(t_plc * 1e3, 2)
-                extra["fused_topk_cap_xla_ms"] = (
-                    None if t_xlac is None else round(t_xlac * 1e3, 2)
-                )
-                sections["fused_topk_cap"] = "ok"
-                log(
-                    f"fused score+topk CAPACITY ({nf_b} x {dim}, B={bq_c}, "
-                    f"scores {bq_c*nf_b*4/2**30:.2f} GiB x2 + keys "
-                    f"{nf_b*dim*4/2**30:.2f} GiB): pallas {t_plc*1e3:.1f}ms, "
-                    f"xla " + (f"{t_xlac*1e3:.1f}ms" if t_xlac else
-                               "cannot run (OOM) — the kernel's raison d'etre")
-                )
+                # ---- capacity point: B=256 x 5.12M keys x 512 dims.
+                # Scores are 4.88 GiB and keys 9.77 GiB: XLA still runs
+                # (its normalization fuses, one [B, N] materialization)
+                # but the streamed two-pass WINS here — measured 85 vs
+                # 131 ms — because keeping only per-tile maxima on-chip
+                # beats hauling a ~5 GiB score matrix through HBM twice
+                # (matmul write + top_k read). This is the measured
+                # crossover the fact_topk routing threshold encodes; a
+                # B=512 variant fails in the remote compile helper, so
+                # the wider-N point is the capacity probe instead.
+                try:
+                    nf_c, dim_c, bq_c = 5_120_000, 512, 256
+                    t_plc, t_xlac, cap_match = time_both_retry(
+                        nf_c, dim_c, bq_c, kk, 1
+                    )
+                    extra["fused_topk_cap_ms"] = round(t_plc * 1e3, 2)
+                    extra["fused_topk_cap_xla_ms"] = (
+                        None if t_xlac is None else round(t_xlac * 1e3, 2)
+                    )
+                    if cap_match is not None:
+                        extra["fused_topk_cap_vals_match"] = cap_match
+                    sections["fused_topk_cap"] = "ok"
+                    log(
+                        f"fused score+topk CAPACITY ({nf_c} x {dim_c}, "
+                        f"B={bq_c}, scores {bq_c*nf_c*4/2**30:.2f} GiB, keys "
+                        f"{nf_c*dim_c*4/2**30:.2f} GiB): pallas "
+                        f"{t_plc*1e3:.1f}ms, xla "
+                        + (f"{t_xlac*1e3:.1f}ms" if t_xlac else "OOM/fail")
+                    )
+                except Exception as e:  # noqa: BLE001
+                    sections["fused_topk_cap"] = f"skipped ({e})"
+                    log(f"fused capacity point skipped: {e}")
         except Exception as e:  # noqa: BLE001
             sections["fused_topk"] = f"skipped ({e})"
             log(f"fused scoring bench skipped: {e}")
