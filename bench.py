@@ -79,6 +79,7 @@ _COMPACT_KEYS = [
     "single_query_e2e_ms", "single_query_device_ms",
     "single_query_breakdown_ms", "single_query_compute_ms",
     "single_query_rtt_floor_ms",
+    "serve_concurrent_qps", "serve_vs_serial", "serve_mean_batch",
     "encoder_mfu", "encoder_mfu_e2e", "encoder_run_spread",
     "encoder_docs_per_s",
     "fused_topk_big_ms", "fused_topk_big_xla_ms",
@@ -915,6 +916,60 @@ def main():
             except Exception as e:  # noqa: BLE001
                 sections["serving_latency"] = f"skipped ({e})"
                 log(f"single-query latency probe skipped: {e}")
+
+            # ---- concurrent serving: micro-batched throughput (round 4) ----
+            # N closed-loop clients issue independent single queries through
+            # RetrievalService; its MicroBatcher merges them into padded
+            # sub-bucket device batches. serve_vs_serial compares against the
+            # single-query p50 measured above — the gap is the batching win a
+            # per-query serving loop (the reference's only mode) leaves on
+            # the table.
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from hipporag_tpu.serving import RetrievalService
+
+                n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", 32))
+                reqs_per_client = int(os.environ.get("BENCH_SERVE_REQS", 4))
+                rag.retrieve(queries[:32])  # warm the 32-pad sub-bucket
+                svc = RetrievalService(rag, max_wait_ms=8.0)
+                try:
+                    svc.retrieve(queries[0], top_k=5)  # warm the service path
+
+                    def client(i):
+                        for j in range(reqs_per_client):
+                            q = queries[(i * 7 + j * 13) % len(queries)]
+                            svc.retrieve(q, top_k=5)
+
+                    t0 = time.perf_counter()
+                    with ThreadPoolExecutor(max_workers=n_clients) as pool:
+                        list(pool.map(client, range(n_clients)))
+                    t_serve = time.perf_counter() - t0
+                    st = svc.stats()["retrieve"]
+                finally:
+                    svc.close()
+                total = n_clients * reqs_per_client
+                extra["serve_clients"] = n_clients
+                extra["serve_concurrent_qps"] = round(total / t_serve, 1)
+                extra["serve_mean_batch"] = st["mean_batch_size"]
+                extra["serve_batches"] = st["batches"]
+                if extra.get("single_query_e2e_ms"):
+                    serial_qps = 1000.0 / extra["single_query_e2e_ms"]
+                    extra["serve_vs_serial"] = round(
+                        extra["serve_concurrent_qps"] / serial_qps, 1
+                    )
+                sections["serving_concurrent"] = "ok"
+                log(
+                    f"concurrent serving: {n_clients} clients x "
+                    f"{reqs_per_client} reqs -> "
+                    f"{extra['serve_concurrent_qps']:.0f} q/s coalesced into "
+                    f"{st['batches']} batches (mean {st['mean_batch_size']:.1f}"
+                    f"/batch), {extra.get('serve_vs_serial', '?')}x the serial "
+                    "single-query loop"
+                )
+            except Exception as e:  # noqa: BLE001
+                sections["serving_concurrent"] = f"skipped ({e})"
+                log(f"concurrent-serving section skipped: {e}")
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)

@@ -40,6 +40,18 @@ def parse_args():
     p.add_argument("--corpus_len", type=int, default=None, help="Truncate corpus for smoke runs")
     p.add_argument("--output_json", default=None, help="Write per-query solutions + metrics here")
     p.add_argument(
+        "--serve", action="store_true",
+        help="After indexing, serve HTTP retrieval/QA (POST /retrieve, /qa; "
+             "GET /health, /stats) instead of running the batch evaluation. "
+             "Concurrent requests are micro-batched onto the device.",
+    )
+    p.add_argument("--host", default="127.0.0.1", help="--serve bind host")
+    p.add_argument("--port", type=int, default=8734, help="--serve bind port")
+    p.add_argument(
+        "--serve_max_wait_ms", type=float, default=8.0,
+        help="Micro-batching coalescing window (p50 latency tax under load)",
+    )
+    p.add_argument(
         "--platform", default=None,
         help="Force the JAX platform by registered backend name (e.g. cpu, "
              "tpu, or a site-specific name like axon). Site configs can "
@@ -84,6 +96,16 @@ def main():
     rag_class = HippoRAG if args.rag_type == "hipporag" else StandardRAG
     rag = rag_class(global_config=config)
     rag.index(docs)
+
+    if args.serve:
+        from hipporag_tpu.serving import RetrievalService
+        from hipporag_tpu.serving.http_server import serve_forever
+
+        service = RetrievalService(rag, max_wait_ms=args.serve_max_wait_ms)
+        service.warmup(queries[0] if queries else "warmup query")
+        serve_forever(service, host=args.host, port=args.port)
+        return 0
+
     out = rag.rag_qa(queries=queries, gold_docs=gold_docs, gold_answers=gold_answers)
 
     if gold_answers is not None:

@@ -1,0 +1,237 @@
+"""Serving layer: micro-batcher semantics, service facade parity with the
+direct batch path, and the HTTP front-end contract.
+
+The reference has no serving surface (ref main.py is a one-shot batch
+experiment script); these tests pin the TPU-native addition."""
+
+import json
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from hipporag_tpu import BaseConfig, HippoRAG
+from hipporag_tpu.datasets import load_dataset
+from hipporag_tpu.serving import BatcherClosed, MicroBatcher, RetrievalService
+from hipporag_tpu.serving.http_server import make_server
+
+import os
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+# ======================================================================
+# MicroBatcher unit tests
+# ======================================================================
+
+
+def test_batcher_result_alignment():
+    mb = MicroBatcher(lambda xs: [x * 2 for x in xs], max_wait_ms=0)
+    try:
+        futs = [mb.submit(i) for i in range(20)]
+        assert [f.result(timeout=10) for f in futs] == [2 * i for i in range(20)]
+    finally:
+        mb.close()
+
+
+def test_batcher_coalesces_concurrent_callers():
+    calls = []
+
+    def fn(xs):
+        calls.append(len(xs))
+        time.sleep(0.02)  # hold the "device" so later arrivals pile up
+        return xs
+
+    mb = MicroBatcher(fn, max_batch_size=64, max_wait_ms=50)
+    try:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            out = list(pool.map(lambda i: mb(i, timeout=30), range(32)))
+        assert sorted(out) == list(range(32))
+        st = mb.stats()
+        assert st["requests"] == 32
+        assert st["batches"] < 32, f"no coalescing happened: {st}"
+        assert st["mean_batch_size"] > 1
+    finally:
+        mb.close()
+
+
+def test_batcher_max_batch_respected():
+    sizes = []
+    release = threading.Event()
+
+    def fn(xs):
+        sizes.append(len(xs))
+        release.wait(5)
+        return xs
+
+    mb = MicroBatcher(fn, max_batch_size=4, max_wait_ms=0)
+    try:
+        futs = [mb.submit(i) for i in range(10)]
+        release.set()
+        for f in futs:
+            f.result(timeout=10)
+        assert max(sizes) <= 4
+        assert sum(sizes) == 10
+    finally:
+        mb.close()
+
+
+def test_batcher_exception_fails_batch_but_keeps_serving():
+    def fn(xs):
+        if any(x < 0 for x in xs):
+            raise ValueError("negative")
+        return xs
+
+    mb = MicroBatcher(fn, max_wait_ms=0)
+    try:
+        bad = mb.submit(-1)
+        with pytest.raises(ValueError):
+            bad.result(timeout=10)
+        assert mb.submit(7).result(timeout=10) == 7
+        assert mb.stats()["failed_batches"] == 1
+    finally:
+        mb.close()
+
+
+def test_batcher_wrong_length_result_fails_batch():
+    mb = MicroBatcher(lambda xs: xs[:-1] if len(xs) > 0 else xs, max_wait_ms=0)
+    try:
+        with pytest.raises(RuntimeError, match="results"):
+            mb.submit(1).result(timeout=10)
+    finally:
+        mb.close()
+
+
+def test_batcher_close_drains_then_rejects():
+    done = []
+
+    def fn(xs):
+        time.sleep(0.01)
+        done.extend(xs)
+        return xs
+
+    mb = MicroBatcher(fn, max_wait_ms=100)
+    futs = [mb.submit(i) for i in range(5)]
+    mb.close()  # must drain queued work, not drop it
+    assert sorted(f.result(timeout=1) for f in futs) == list(range(5))
+    assert sorted(done) == list(range(5))
+    with pytest.raises(BatcherClosed):
+        mb.submit(99)
+
+
+# ======================================================================
+# RetrievalService over a real (mock-provider) HippoRAG index
+# ======================================================================
+
+
+@pytest.fixture(scope="module")
+def served_rag(tmp_path_factory):
+    docs, queries, gold_docs, _ = load_dataset("sample", DATA_DIR)
+    cfg = BaseConfig(
+        llm_name="mock",
+        embedding_model_name="mock",
+        save_dir=str(tmp_path_factory.mktemp("serve")),
+        embedding_dim=96,
+        ppr_batch_size=8,
+        retrieval_top_k=9,
+    )
+    rag = HippoRAG(global_config=cfg)
+    rag.index(docs)
+    return rag, queries
+
+
+def test_service_matches_direct_retrieve(served_rag):
+    rag, queries = served_rag
+    direct = rag.retrieve(list(queries))
+    with RetrievalService(rag, max_wait_ms=20) as svc:
+        with ThreadPoolExecutor(max_workers=len(queries)) as pool:
+            served = list(pool.map(svc.retrieve, queries))
+    for d, s in zip(direct, served):
+        assert s.question == d.question
+        assert s.docs == d.docs
+        np.testing.assert_allclose(s.doc_scores, d.doc_scores, rtol=1e-5)
+
+
+def test_service_per_request_top_k(served_rag):
+    rag, queries = served_rag
+    with RetrievalService(rag, max_wait_ms=50) as svc:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_small = pool.submit(svc.retrieve, queries[0], 2)
+            f_big = pool.submit(svc.retrieve, queries[1], 7)
+            small, big = f_small.result(timeout=60), f_big.result(timeout=60)
+    assert len(small.docs) == 2 and len(small.doc_scores) == 2
+    assert len(big.docs) == 7
+    st = rag  # noqa: F841 — keep fixture alive for later tests
+
+
+def test_service_qa_and_stats(served_rag):
+    rag, queries = served_rag
+    with RetrievalService(rag, max_wait_ms=10) as svc:
+        sol = svc.qa(queries[0], top_k=3)
+        assert sol.answer  # mock LLM always answers
+        assert len(sol.docs) == 3
+        st = svc.stats()
+        assert st["qa"]["requests"] == 1
+        assert st["mean_latency_ms"]["qa"] is not None
+        assert svc.health()["status"] == "ok"
+
+
+# ======================================================================
+# HTTP front-end
+# ======================================================================
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read().decode())
+
+
+def test_http_server_end_to_end(served_rag):
+    rag, queries = served_rag
+    with RetrievalService(rag, max_wait_ms=5) as svc:
+        server = make_server(svc, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            with urllib.request.urlopen(base + "/health", timeout=30) as resp:
+                health = json.loads(resp.read().decode())
+            assert health["status"] == "ok"
+            assert health["graph"]["num_passage_nodes"] == 9
+
+            code, body = _post(base + "/retrieve", {"query": queries[0], "top_k": 3})
+            assert code == 200
+            assert len(body["docs"]) == 3
+            assert body["doc_scores"] == sorted(body["doc_scores"], reverse=True)
+
+            code, body = _post(base + "/qa", {"query": queries[0], "top_k": 2})
+            assert code == 200 and body["answer"]
+
+            code, body = _post(base + "/retrieve", {"query": ""})
+            assert code == 400 and "query" in body["error"]
+            code, body = _post(base + "/retrieve", {"query": "q", "top_k": 0})
+            assert code == 400
+            code, body = _post(base + "/nope", {"query": "q"})
+            assert code == 404
+
+            with urllib.request.urlopen(base + "/stats", timeout=30) as resp:
+                stats = json.loads(resp.read().decode())
+            # the 400s never reach the lanes — exactly one request each
+            assert stats["retrieve"]["requests"] == 1
+            assert stats["qa"]["requests"] == 1
+        finally:
+            server.shutdown()
+            server.server_close()
