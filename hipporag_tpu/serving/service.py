@@ -75,6 +75,11 @@ class RetrievalService:
         self._default_top_k = int(getattr(cfg, "retrieval_top_k", 200))
         if getattr(rag, "ready_to_retrieve", True) is False:
             rag.prepare_retrieval_objects()
+        # Both lane workers call into the same (not thread-safe) engine;
+        # this lock serializes them. A QA batch holds it across its LLM
+        # round trips, so heavy QA traffic delays retrieve batches — the
+        # price of one shared replica. Run separate replicas to decouple.
+        self._engine_lock = threading.Lock()
         self._retrieve_lane = MicroBatcher(
             self._retrieve_batch,
             max_batch_size=max_batch_size,
@@ -98,7 +103,8 @@ class RetrievalService:
     def _retrieve_batch(self, items: List[tuple]) -> List[QuerySolution]:
         queries = [q for q, _ in items]
         max_k = max(k for _, k in items)
-        sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
+        with self._engine_lock:
+            sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
         return [
             sol if k == max_k else _slice_solution(sol, k)
             for sol, (_, k) in zip(sols, items)
@@ -107,8 +113,9 @@ class RetrievalService:
     def _qa_batch(self, items: List[tuple]) -> List[QuerySolution]:
         queries = [q for q, _ in items]
         max_k = max(k for _, k in items)
-        sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
-        sols, _responses, _metadata = self._rag.qa(sols)
+        with self._engine_lock:
+            sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
+            sols, _responses, _metadata = self._rag.qa(sols)
         return [
             sol if k == max_k else _slice_solution(sol, k)
             for sol, (_, k) in zip(sols, items)

@@ -167,6 +167,30 @@ def test_service_per_request_top_k(served_rag):
     st = rag  # noqa: F841 — keep fixture alive for later tests
 
 
+def test_service_mixed_lanes_concurrent(served_rag):
+    # retrieve and qa lanes have separate workers but share one engine;
+    # hammer both at once and check results stay correct (engine lock)
+    rag, queries = served_rag
+    direct = rag.retrieve(list(queries))
+    expect = {d.question: d.docs for d in direct}
+    with RetrievalService(rag, max_wait_ms=5) as svc:
+
+        def worker(i):
+            q = queries[i % len(queries)]
+            if i % 3 == 0:
+                sol = svc.qa(q, top_k=3)
+                assert sol.answer and len(sol.docs) == 3
+            else:
+                sol = svc.retrieve(q)
+                assert sol.docs == expect[q]
+
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            list(pool.map(worker, range(36)))
+        st = svc.stats()
+        assert st["retrieve"]["requests"] == 24
+        assert st["qa"]["requests"] == 12
+
+
 def test_service_qa_and_stats(served_rag):
     rag, queries = served_rag
     with RetrievalService(rag, max_wait_ms=10) as svc:
