@@ -6,7 +6,7 @@ TPU-native added value — the reference has no serving surface (its
 measured batching economics on the tunneled v5e.
 """
 
-from .batcher import BatcherClosed, MicroBatcher
+from .batcher import BatcherClosed, BatcherSaturated, MicroBatcher
 from .service import RetrievalService
 
-__all__ = ["BatcherClosed", "MicroBatcher", "RetrievalService"]
+__all__ = ["BatcherClosed", "BatcherSaturated", "MicroBatcher", "RetrievalService"]

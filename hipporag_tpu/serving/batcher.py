@@ -30,11 +30,16 @@ import time
 from concurrent.futures import Future
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
-__all__ = ["BatcherClosed", "MicroBatcher"]
+__all__ = ["BatcherClosed", "BatcherSaturated", "MicroBatcher"]
 
 
 class BatcherClosed(RuntimeError):
     """Raised by submit() after close() — the worker is draining/gone."""
+
+
+class BatcherSaturated(RuntimeError):
+    """Raised by submit() when the queue is at max_pending — shed load
+    instead of letting latency grow without bound (HTTP maps this to 503)."""
 
 
 class MicroBatcher:
@@ -59,15 +64,19 @@ class MicroBatcher:
         *,
         max_batch_size: int = 128,
         max_wait_ms: float = 8.0,
+        max_pending: Optional[int] = None,
         name: str = "microbatcher",
     ):
         if max_batch_size < 1:
             raise ValueError("max_batch_size must be >= 1")
         if max_wait_ms < 0:
             raise ValueError("max_wait_ms must be >= 0")
+        if max_pending is not None and max_pending < 1:
+            raise ValueError("max_pending must be >= 1 (or None)")
         self._fn = batch_fn
         self._max_batch = int(max_batch_size)
         self._max_wait_s = float(max_wait_ms) / 1000.0
+        self._max_pending = max_pending
         self._cv = threading.Condition()
         self._pending: List[tuple] = []  # (item, Future, t_submit)
         self._closed = False
@@ -75,6 +84,7 @@ class MicroBatcher:
         self._n_requests = 0
         self._n_batches = 0
         self._n_failed_batches = 0
+        self._n_shed = 0
         self._batch_size_counts: Dict[int, int] = {}
         self._total_queue_wait_s = 0.0
         self._max_queue_wait_s = 0.0
@@ -87,6 +97,15 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise BatcherClosed("MicroBatcher is closed")
+            if (
+                self._max_pending is not None
+                and len(self._pending) >= self._max_pending
+            ):
+                self._n_shed += 1
+                raise BatcherSaturated(
+                    f"{len(self._pending)} requests already queued "
+                    f"(max_pending={self._max_pending})"
+                )
             self._pending.append((item, fut, time.perf_counter()))
             self._n_requests += 1
             self._cv.notify_all()
@@ -112,6 +131,7 @@ class MicroBatcher:
                 "requests": n_req,
                 "batches": n_b,
                 "failed_batches": self._n_failed_batches,
+                "shed": self._n_shed,
                 "mean_batch_size": round(n_req / n_b, 3) if n_b else 0.0,
                 "batch_size_counts": dict(sorted(self._batch_size_counts.items())),
                 "mean_queue_wait_ms": (

@@ -24,6 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 
 from ..utils.logging import get_logger
 from ..utils.misc import QuerySolution
+from .batcher import BatcherSaturated
 from .service import RetrievalService
 
 logger = get_logger(__name__)
@@ -114,6 +115,9 @@ class _Handler(BaseHTTPRequestHandler):
                 sol = self.service.retrieve(
                     query, top_k, timeout=self.request_timeout_s
                 )
+        except BatcherSaturated as exc:
+            self._send(503, {"error": f"overloaded: {exc}"})
+            return
         except TimeoutError:
             self._send(504, {"error": "request timed out"})
             return

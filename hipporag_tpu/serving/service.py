@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional
 
@@ -59,6 +60,10 @@ class RetrievalService:
         Coalescing window — the p50 latency tax a lone request pays to
         let concurrent arrivals merge. Keep it well under one link RTT
         (~30 ms on the tunneled v5e); 8 ms default.
+    max_pending:
+        Per-lane queue bound; submissions beyond it raise
+        :class:`BatcherSaturated` (HTTP 503) instead of growing latency
+        without bound. ``None`` disables shedding.
     """
 
     def __init__(
@@ -67,6 +72,7 @@ class RetrievalService:
         *,
         max_batch_size: Optional[int] = None,
         max_wait_ms: float = 8.0,
+        max_pending: Optional[int] = 1024,
     ):
         self._rag = rag
         cfg = rag.global_config
@@ -84,42 +90,51 @@ class RetrievalService:
             self._retrieve_batch,
             max_batch_size=max_batch_size,
             max_wait_ms=max_wait_ms,
+            max_pending=max_pending,
             name="serve-retrieve",
         )
         self._qa_lane = MicroBatcher(
             self._qa_batch,
             max_batch_size=max_batch_size,
             max_wait_ms=max_wait_ms,
+            max_pending=max_pending,
             name="serve-qa",
         )
         self._lock = threading.Lock()
-        self._latency_sums = {"retrieve": 0.0, "qa": 0.0}
-        self._latency_counts = {"retrieve": 0, "qa": 0}
+        # bounded per-lane latency windows -> p50/p99 without unbounded growth
+        self._latencies: Dict[str, deque] = {
+            "retrieve": deque(maxlen=2048),
+            "qa": deque(maxlen=2048),
+        }
+        self._dedup_saved = 0
         self._started = time.time()
         self._closed = False
 
     # ------------------------------------------------------- batch fns
     # Run on the lane worker thread — the only thread touching self._rag.
     def _retrieve_batch(self, items: List[tuple]) -> List[QuerySolution]:
-        queries = [q for q, _ in items]
+        # Hot-query dedup: N clients asking the same (trending) question
+        # cost ONE device row, then fan back out. Every caller gets its
+        # own sliced copy so nobody shares a mutable solution.
         max_k = max(k for _, k in items)
+        uniq = list(dict.fromkeys(q for q, _ in items))
+        with self._lock:
+            self._dedup_saved += len(items) - len(uniq)
         with self._engine_lock:
-            sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
-        return [
-            sol if k == max_k else _slice_solution(sol, k)
-            for sol, (_, k) in zip(sols, items)
-        ]
+            sols = self._rag.retrieve(uniq, num_to_retrieve=max_k)
+        by_q = dict(zip(uniq, sols))
+        return [_slice_solution(by_q[q], k) for q, k in items]
 
     def _qa_batch(self, items: List[tuple]) -> List[QuerySolution]:
-        queries = [q for q, _ in items]
         max_k = max(k for _, k in items)
+        uniq = list(dict.fromkeys(q for q, _ in items))
+        with self._lock:
+            self._dedup_saved += len(items) - len(uniq)
         with self._engine_lock:
-            sols = self._rag.retrieve(queries, num_to_retrieve=max_k)
+            sols = self._rag.retrieve(uniq, num_to_retrieve=max_k)
             sols, _responses, _metadata = self._rag.qa(sols)
-        return [
-            sol if k == max_k else _slice_solution(sol, k)
-            for sol, (_, k) in zip(sols, items)
-        ]
+        by_q = dict(zip(uniq, sols))
+        return [_slice_solution(by_q[q], k) for q, k in items]
 
     # -------------------------------------------------------- requests
     def retrieve_async(self, query: str, top_k: Optional[int] = None) -> Future:
@@ -151,8 +166,7 @@ class RetrievalService:
     # ----------------------------------------------------------- admin
     def _record(self, lane: str, elapsed_s: float) -> None:
         with self._lock:
-            self._latency_sums[lane] += elapsed_s
-            self._latency_counts[lane] += 1
+            self._latencies[lane].append(elapsed_s)
 
     def health(self) -> Dict[str, Any]:
         info: Dict[str, Any] = {"status": "ok", "uptime_s": round(time.time() - self._started, 1)}
@@ -166,16 +180,23 @@ class RetrievalService:
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
-            lat = {
-                lane: (
-                    round(1e3 * self._latency_sums[lane] / n, 2)
-                    if (n := self._latency_counts[lane])
+            lat = {}
+            for lane in ("retrieve", "qa"):
+                xs = sorted(self._latencies[lane])
+                lat[lane] = (
+                    {
+                        "mean_ms": round(1e3 * sum(xs) / len(xs), 2),
+                        "p50_ms": round(1e3 * xs[len(xs) // 2], 2),
+                        "p99_ms": round(1e3 * xs[min(len(xs) - 1, int(len(xs) * 0.99))], 2),
+                        "window": len(xs),
+                    }
+                    if xs
                     else None
                 )
-                for lane in ("retrieve", "qa")
-            }
+            dedup = self._dedup_saved
         return {
-            "mean_latency_ms": lat,
+            "latency_ms": lat,
+            "dedup_saved": dedup,
             "retrieve": self._retrieve_lane.stats(),
             "qa": self._qa_lane.stats(),
         }

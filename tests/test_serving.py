@@ -15,7 +15,12 @@ import pytest
 
 from hipporag_tpu import BaseConfig, HippoRAG
 from hipporag_tpu.datasets import load_dataset
-from hipporag_tpu.serving import BatcherClosed, MicroBatcher, RetrievalService
+from hipporag_tpu.serving import (
+    BatcherClosed,
+    BatcherSaturated,
+    MicroBatcher,
+    RetrievalService,
+)
 from hipporag_tpu.serving.http_server import make_server
 
 import os
@@ -122,6 +127,28 @@ def test_batcher_close_drains_then_rejects():
         mb.submit(99)
 
 
+def test_batcher_sheds_load_at_max_pending():
+    release = threading.Event()
+
+    def fn(xs):
+        release.wait(5)
+        return xs
+
+    mb = MicroBatcher(fn, max_batch_size=2, max_wait_ms=0, max_pending=3)
+    try:
+        first = mb.submit(0)  # worker takes this (possibly with a neighbor)
+        time.sleep(0.05)  # let the worker drain it into a batch
+        kept = [mb.submit(i) for i in range(1, 4)]  # fills the queue
+        with pytest.raises(BatcherSaturated):
+            mb.submit(99)
+        assert mb.stats()["shed"] == 1
+        release.set()
+        assert first.result(timeout=10) == 0
+        assert [f.result(timeout=10) for f in kept] == [1, 2, 3]
+    finally:
+        mb.close()
+
+
 # ======================================================================
 # RetrievalService over a real (mock-provider) HippoRAG index
 # ======================================================================
@@ -167,6 +194,20 @@ def test_service_per_request_top_k(served_rag):
     st = rag  # noqa: F841 — keep fixture alive for later tests
 
 
+def test_service_hot_query_dedup(served_rag):
+    # N concurrent clients asking the SAME question cost one device row
+    rag, queries = served_rag
+    direct = rag.retrieve([queries[0]])[0]
+    with RetrievalService(rag, max_wait_ms=100) as svc:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            sols = list(pool.map(lambda _: svc.retrieve(queries[0]), range(8)))
+        st = svc.stats()
+    assert all(s.docs == direct.docs for s in sols)
+    # distinct objects: one caller mutating its copy can't corrupt others
+    assert len({id(s) for s in sols}) == 8
+    assert st["dedup_saved"] >= 1, st
+
+
 def test_service_mixed_lanes_concurrent(served_rag):
     # retrieve and qa lanes have separate workers but share one engine;
     # hammer both at once and check results stay correct (engine lock)
@@ -199,7 +240,8 @@ def test_service_qa_and_stats(served_rag):
         assert len(sol.docs) == 3
         st = svc.stats()
         assert st["qa"]["requests"] == 1
-        assert st["mean_latency_ms"]["qa"] is not None
+        assert st["latency_ms"]["qa"]["p50_ms"] > 0
+        assert st["latency_ms"]["qa"]["window"] == 1
         assert svc.health()["status"] == "ok"
 
 
