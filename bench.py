@@ -854,9 +854,18 @@ def main():
                     stage["embed"].append(rag.embed_time - before[1])
                     stage["topk"].append(rag.topk_time - before[2])
                     stage["rerank"].append(rag.rerank_time - before[3])
+                n_l = len(e2e_lat)
+                # per-query residual BEFORE sorting anything: medians of
+                # independently-sorted stage lists don't belong to any one
+                # query, and one tunnel stall on a device-heavy probe can
+                # push their sum past the e2e median (negative "residual")
+                resid = [
+                    e2e_lat[i] - dev_lat[i] - stage["embed"][i]
+                    - stage["topk"][i] - stage["rerank"][i]
+                    for i in range(n_l)
+                ]
                 e2e_lat.sort()
                 dev_lat.sort()
-                n_l = len(e2e_lat)
                 extra["single_query_e2e_ms"] = round(e2e_lat[n_l // 2] * 1e3, 1)
                 extra["single_query_e2e_p99_ms"] = round(e2e_lat[-1] * 1e3, 1)
                 extra["single_query_device_ms"] = round(dev_lat[n_l // 2] * 1e3, 1)
@@ -868,12 +877,7 @@ def main():
                     k: round(sorted(v)[len(v) // 2] * 1e3, 1)
                     for k, v in stage.items()
                 }
-                brk["residual"] = round(
-                    extra["single_query_e2e_ms"]
-                    - extra["single_query_device_ms"]
-                    - sum(brk.values()),
-                    1,
-                )
+                brk["residual"] = round(sorted(resid)[n_l // 2] * 1e3, 1)
                 extra["single_query_breakdown_ms"] = brk
                 # structural attribution: the candidate top-k MUST reach
                 # the host LLM filter and the final ranking MUST reach the
@@ -935,6 +939,7 @@ def main():
                 svc = RetrievalService(rag, max_wait_ms=8.0)
                 try:
                     svc.retrieve(queries[0], top_k=5)  # warm the service path
+                    st0 = svc.stats()["retrieve"]  # baseline: exclude warmup
 
                     def client(i):
                         for j in range(reqs_per_client):
@@ -949,10 +954,14 @@ def main():
                 finally:
                     svc.close()
                 total = n_clients * reqs_per_client
+                n_batches = st["batches"] - st0["batches"]
                 extra["serve_clients"] = n_clients
                 extra["serve_concurrent_qps"] = round(total / t_serve, 1)
-                extra["serve_mean_batch"] = st["mean_batch_size"]
-                extra["serve_batches"] = st["batches"]
+                extra["serve_mean_batch"] = (
+                    round((st["requests"] - st0["requests"]) / n_batches, 2)
+                    if n_batches else None
+                )
+                extra["serve_batches"] = n_batches
                 if extra.get("single_query_e2e_ms"):
                     serial_qps = 1000.0 / extra["single_query_e2e_ms"]
                     extra["serve_vs_serial"] = round(
@@ -963,7 +972,7 @@ def main():
                     f"concurrent serving: {n_clients} clients x "
                     f"{reqs_per_client} reqs -> "
                     f"{extra['serve_concurrent_qps']:.0f} q/s coalesced into "
-                    f"{st['batches']} batches (mean {st['mean_batch_size']:.1f}"
+                    f"{n_batches} batches (mean {extra['serve_mean_batch']}"
                     f"/batch), {extra.get('serve_vs_serial', '?')}x the serial "
                     "single-query loop"
                 )
@@ -1274,11 +1283,13 @@ def main():
                         o2 = score_and_topk(qv, kv, vnf, kk)
                     np.asarray(o2[2])
                     t_xla = (time.perf_counter() - t0) / n_reps
-                    # exact-equality check on the top-k VALUES (index
-                    # order can differ only on exact float ties)
+                    # closeness check on the NORMALIZED top-k values —
+                    # fused returns (norm_vals, raw_vals, idx) while XLA
+                    # returns (scores, norm_vals, idx), so o[0] pairs
+                    # with o2[1] (index order can differ only on ties)
                     vals_close = bool(
                         np.allclose(
-                            np.asarray(o[1]), np.asarray(o2[1][:, :kk]),
+                            np.asarray(o[0]), np.asarray(o2[1][:, :kk]),
                             rtol=1e-5, atol=1e-5,
                         )
                     )

@@ -1,0 +1,62 @@
+"""Online serving demo: concurrent clients through the micro-batching
+RetrievalService, then the same service over HTTP.
+
+The reference has no serving surface (its main.py runs one-shot batch
+experiments); this layer is TPU-native added value — concurrent callers
+coalesce into one padded device batch instead of each paying the
+single-query round-trip floor. Fully offline (mock LLM + embedder).
+
+Run:  JAX_PLATFORMS=cpu python examples/serving_demo.py
+"""
+
+import json
+import tempfile
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+from _shared import all_queries, corpus
+
+from hipporag_tpu import BaseConfig, HippoRAG
+from hipporag_tpu.serving import RetrievalService
+from hipporag_tpu.serving.http_server import make_server
+
+config = BaseConfig(
+    save_dir=tempfile.mkdtemp(prefix="serving_demo_"),
+    llm_name="mock",
+    embedding_model_name="mock",
+    retrieval_top_k=5,
+)
+rag = HippoRAG(global_config=config)
+rag.index(corpus)
+
+# ---- 1. library: 8 concurrent clients, coalesced into device batches ----
+with RetrievalService(rag, max_wait_ms=20) as svc:
+    queries = (all_queries * 3)[:8]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        solutions = list(pool.map(lambda q: svc.qa(q, top_k=3), queries))
+    for s in solutions[: len(all_queries)]:
+        print(f"Q: {s.question}\nA: {s.answer}")
+    stats = svc.stats()
+    print(
+        f"\n{stats['qa']['requests']} requests -> {stats['qa']['batches']} "
+        f"device batches (hot-query dedup saved {stats['dedup_saved']} rows); "
+        f"p50 {stats['latency_ms']['qa']['p50_ms']} ms"
+    )
+
+# ---- 2. the same service over HTTP ----
+with RetrievalService(rag, max_wait_ms=8) as svc:
+    server = make_server(svc, port=0)  # port=0 -> pick a free port
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/retrieve",
+        data=json.dumps({"query": all_queries[0], "top_k": 2}).encode(),
+        method="POST",
+    )
+    body = json.loads(urllib.request.urlopen(req, timeout=60).read())
+    print(f"\nHTTP /retrieve on :{port} ->")
+    for doc, score in zip(body["docs"], body["doc_scores"]):
+        print(f"  {score:.4f}  {doc[:60]}")
+    server.shutdown()
+    server.server_close()

@@ -914,13 +914,29 @@ class HippoRAG:
         cfg = self.global_config
         results: List[QuerySolution] = []
         if cfg.pipeline_rerank and len(slices) > 1:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
             depth = max(1, cfg.pipeline_depth)
+            # Sliding window of at most `depth` outstanding preps: each
+            # finished prep holds a live [b_pad, P_pad] device score
+            # buffer until finish() consumes it, so submitting every
+            # slice up front would let finished-but-unconsumed buckets
+            # pin O(n_slices) HBM when rerank outpaces the device solve.
             with ThreadPoolExecutor(max_workers=depth) as pool:
-                futures = [pool.submit(prep, s) for s in slices]
-                for fut in futures:
-                    results.extend(finish(*fut.result()))
+                it = iter(slices)
+                window: deque = deque()
+                for s in it:
+                    window.append(pool.submit(prep, s))
+                    if len(window) >= depth:
+                        break
+                while window:
+                    fut = window.popleft()
+                    prepped = fut.result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        window.append(pool.submit(prep, nxt))
+                    results.extend(finish(*prepped))
         else:
             for s in slices:
                 results.extend(finish(*prep(s)))
@@ -1119,8 +1135,11 @@ class HippoRAG:
                     jnp.asarray(num_facts, jnp.int32),
                 )
                 # one packed device->host transfer (see the single-chip
-                # prep): a tunneled backend pays the link RTT per buffer
-                if num_facts < PACK_IDX_LIMIT:
+                # prep): a tunneled backend pays the link RTT per buffer.
+                # Gate on the PADDED capacity, not num_facts: top-k ties
+                # can surface padding-row indices, and those too must
+                # round-trip exactly through the f32 encoding.
+                if self._fact_emb_sharded.shape[0] < PACK_IDX_LIMIT:
                     packed = np.asarray(pack_vals_idx(vals, idx))
                     cand_vals, cand_idx = unpack_vals_idx(
                         packed, int(idx.shape[1])

@@ -118,8 +118,6 @@ class MicroBatcher:
     def close(self, timeout: Optional[float] = 30.0) -> None:
         """Stop accepting requests; drain already-queued ones, then join."""
         with self._cv:
-            if self._closed:
-                pass
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout=timeout)
@@ -177,6 +175,16 @@ class MicroBatcher:
             batch = self._take_batch()
             if batch is None:
                 return
+            # Transition futures to RUNNING before dispatch: after this,
+            # Future.cancel() can no longer succeed, so set_result below
+            # cannot race a cancellation into InvalidStateError (which
+            # would kill this worker and hang every later request).
+            # Already-cancelled requests drop out and cost no device work.
+            batch = [
+                b for b in batch if b[1].set_running_or_notify_cancel()
+            ]
+            if not batch:
+                continue
             items = [b[0] for b in batch]
             try:
                 results = self._fn(items)
@@ -189,9 +197,7 @@ class MicroBatcher:
                 with self._cv:
                     self._n_failed_batches += 1
                 for _, fut, _ in batch:
-                    if not fut.cancelled():
-                        fut.set_exception(exc)
+                    fut.set_exception(exc)
                 continue
             for (_, fut, _), res in zip(batch, results):
-                if not fut.cancelled():
-                    fut.set_result(res)
+                fut.set_result(res)
