@@ -537,7 +537,13 @@ class HippoRAG:
         tells the operator to re-index (force_index_from_scratch) if they
         matter, instead of quality silently collapsing."""
         all_openie_info, _ = self.load_existing_openie([], ignore_force=True)
-        if all_openie_info and not self.graph.ent_node_to_chunk_ids:
+        # empty refcounts are only a MISSING-state symptom when there are
+        # triples to rebuild from: an entity-free corpus (no extractions)
+        # legitimately has none, and warning there would fire on every call
+        has_triples = any(
+            filter_invalid_triples(d["extracted_triples"]) for d in all_openie_info
+        )
+        if all_openie_info and has_triples and not self.graph.ent_node_to_chunk_ids:
             logger.warning(
                 "Graph state is missing its refcounts (absent or legacy "
                 "kg_builder.pickle); rebuilding fact+passage edges from "

@@ -11,6 +11,8 @@ Endpoints (JSON in/out):
 - ``GET  /stats``   — batcher/latency counters
 - ``POST /retrieve`` ``{"query": str, "top_k": int?}`` → ranked docs
 - ``POST /qa``       same body → docs + generated answer
+- ``POST /index``   ``{"docs": [str, ...]}`` → add docs to the live index
+- ``POST /delete``  same body → remove docs from the live index
 
 The reference exposes no server (its ``main.py`` is a one-shot batch
 experiment); this is TPU-native serving surface.
@@ -32,6 +34,7 @@ logger = get_logger(__name__)
 __all__ = ["solution_to_json", "make_server", "serve_forever"]
 
 MAX_BODY_BYTES = 1 << 20  # 1 MiB — a retrieval query is a sentence, not a corpus
+MAX_INDEX_BODY_BYTES = 64 << 20  # /index and /delete carry document batches
 
 
 def solution_to_json(sol: QuerySolution) -> Dict[str, Any]:
@@ -66,14 +69,16 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _read_json(self) -> Tuple[Optional[Dict[str, Any]], Optional[str]]:
+    def _read_json(
+        self, max_bytes: int = MAX_BODY_BYTES
+    ) -> Tuple[Optional[Dict[str, Any]], Optional[str]]:
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
             return None, "invalid Content-Length"
         if length <= 0:
             return None, "empty body"
-        if length > MAX_BODY_BYTES:
+        if length > max_bytes:
             return None, "body too large"
         try:
             data = json.loads(self.rfile.read(length).decode("utf-8"))
@@ -93,6 +98,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802 — stdlib naming
+        if self.path in ("/index", "/delete"):
+            self._handle_update()
+            return
         if self.path not in ("/retrieve", "/qa"):
             self._send(404, {"error": f"unknown path {self.path}"})
             return
@@ -126,6 +134,32 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
             return
         self._send(200, solution_to_json(sol))
+
+    def _handle_update(self) -> None:
+        data, err = self._read_json(max_bytes=MAX_INDEX_BODY_BYTES)
+        if err:
+            self._send(400, {"error": err})
+            return
+        docs = data.get("docs")
+        if (
+            not isinstance(docs, list)
+            or not docs
+            or not all(isinstance(d, str) and d.strip() for d in docs)
+        ):
+            self._send(
+                400, {"error": "'docs' must be a non-empty list of strings"}
+            )
+            return
+        try:
+            if self.path == "/index":
+                self.service.index(docs)
+            else:
+                self.service.delete(docs)
+        except Exception as exc:  # noqa: BLE001 — surface, don't crash the handler
+            logger.exception("serving %s failed", self.path)
+            self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._send(200, {"ok": True, "docs": len(docs)})
 
 
 def make_server(

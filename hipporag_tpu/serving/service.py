@@ -163,6 +163,23 @@ class RetrievalService:
         """Compile/prime the single-request path before taking traffic."""
         self.retrieve(query, top_k=1)
 
+    # --------------------------------------------- online index updates
+    # Mutations take the engine lock directly: in-flight batches finish
+    # first, queued requests resume against the updated index (the
+    # engine re-prepares retrieval state lazily on its next retrieve).
+    # Capacity-padded executables make steady-state growth recompile-free
+    # (see graph/csr.py round_up), so updates don't stall serving with
+    # fresh XLA compiles.
+    def index(self, docs: List[str]) -> None:
+        """Add documents to the live index between serving batches."""
+        with self._engine_lock:
+            self._rag.index(docs)
+
+    def delete(self, docs: List[str]) -> None:
+        """Remove documents from the live index between serving batches."""
+        with self._engine_lock:
+            self._rag.delete(docs)
+
     # ----------------------------------------------------------- admin
     def _record(self, lane: str, elapsed_s: float) -> None:
         with self._lock:

@@ -245,6 +245,37 @@ def test_service_qa_and_stats(served_rag):
         assert svc.health()["status"] == "ok"
 
 
+def test_service_online_index_update_and_delete(tmp_path):
+    cfg = BaseConfig(
+        llm_name="mock", embedding_model_name="mock", save_dir=str(tmp_path),
+        embedding_dim=96, ppr_batch_size=4, retrieval_top_k=5,
+    )
+    rag = HippoRAG(global_config=cfg)
+    rag.index(["Alpha Doc is about quasars.", "Beta Doc is about pulsars.",
+               "Gamma Doc is about magnetars."])
+    new_doc = "Delta Doc is about blazars."
+    with RetrievalService(rag, max_wait_ms=5) as svc:
+        before = svc.retrieve("Which doc mentions blazars?", top_k=4).docs
+        assert not any("blazars" in d for d in before)
+
+        # update while traffic is in flight from other threads
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            traffic = [
+                pool.submit(svc.retrieve, "What is a pulsar?", 3)
+                for _ in range(4)
+            ]
+            pool.submit(svc.index, [new_doc]).result(timeout=120)
+            for f in traffic:
+                assert f.result(timeout=120).docs
+
+        after = svc.retrieve("Which doc mentions blazars?", top_k=4).docs
+        assert any("blazars" in d for d in after)
+
+        svc.delete([new_doc])
+        again = svc.retrieve("Which doc mentions blazars?", top_k=4).docs
+        assert not any("blazars" in d for d in again)
+
+
 # ======================================================================
 # HTTP front-end
 # ======================================================================
@@ -298,6 +329,21 @@ def test_http_server_end_to_end(served_rag):
             # the 400s never reach the lanes — exactly one request each
             assert stats["retrieve"]["requests"] == 1
             assert stats["qa"]["requests"] == 1
+
+            code, body = _post(base + "/index", {"docs": ["not", ""]})
+            assert code == 400 and "docs" in body["error"]
+            code, body = _post(
+                base + "/index", {"docs": ["Epsilon Doc is about novae."]}
+            )
+            assert code == 200 and body == {"ok": True, "docs": 1}
+            code, body = _post(base + "/retrieve", {"query": "novae?", "top_k": 10})
+            assert any("novae" in d for d in body["docs"])
+            code, body = _post(
+                base + "/delete", {"docs": ["Epsilon Doc is about novae."]}
+            )
+            assert code == 200
+            code, body = _post(base + "/retrieve", {"query": "novae?", "top_k": 10})
+            assert not any("novae" in d for d in body["docs"])
         finally:
             server.shutdown()
             server.server_close()
