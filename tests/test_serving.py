@@ -245,6 +245,29 @@ def test_service_qa_and_stats(served_rag):
         assert svc.health()["status"] == "ok"
 
 
+def test_service_over_sharded_backend(tmp_path, served_rag):
+    # serving composes with the multi-chip orchestrator: a mesh-backed
+    # engine behind the same RetrievalService must rank like the
+    # single-device one under concurrent coalesced traffic
+    single_rag, queries = served_rag
+    docs, _, _, _ = load_dataset("sample", DATA_DIR)
+    cfg = BaseConfig(
+        llm_name="mock", embedding_model_name="mock",
+        save_dir=str(tmp_path / "mesh"), embedding_dim=96,
+        ppr_batch_size=8, retrieval_top_k=9,
+    )
+    cfg.mesh_shape = (2, 4)
+    rag = HippoRAG(global_config=cfg)
+    rag.index(docs)
+    want = {q: s.docs for q, s in zip(queries, single_rag.retrieve(list(queries)))}
+    with RetrievalService(rag, max_wait_ms=20) as svc:
+        with ThreadPoolExecutor(max_workers=len(queries)) as pool:
+            served = list(pool.map(svc.retrieve, queries))
+    assert rag._mesh is not None, "sharded backend not active"
+    for q, s in zip(queries, served):
+        assert s.docs == want[q]
+
+
 def test_service_online_index_update_and_delete(tmp_path):
     cfg = BaseConfig(
         llm_name="mock", embedding_model_name="mock", save_dir=str(tmp_path),
