@@ -268,6 +268,29 @@ def test_service_over_sharded_backend(tmp_path, served_rag):
         assert s.docs == want[q]
 
 
+def test_service_over_standard_rag(tmp_path):
+    # the service facade is retriever-agnostic: the dense-only
+    # StandardRAG serves through the same lanes (incl. /health without
+    # get_graph_info)
+    from hipporag_tpu import StandardRAG
+
+    docs, queries, _, _ = load_dataset("sample", DATA_DIR)
+    cfg = BaseConfig(
+        llm_name="mock", embedding_model_name="mock",
+        save_dir=str(tmp_path / "std"), embedding_dim=96, retrieval_top_k=5,
+    )
+    rag = StandardRAG(global_config=cfg)
+    rag.index(docs)
+    direct = rag.retrieve(list(queries))
+    with RetrievalService(rag, max_wait_ms=20) as svc:
+        with ThreadPoolExecutor(max_workers=len(queries)) as pool:
+            served = list(pool.map(svc.retrieve, queries))
+        assert svc.qa(queries[0], top_k=3).answer
+        assert svc.health()["status"] == "ok"
+    for d, s in zip(direct, served):
+        assert s.docs == d.docs
+
+
 def test_service_online_index_update_and_delete(tmp_path):
     cfg = BaseConfig(
         llm_name="mock", embedding_model_name="mock", save_dir=str(tmp_path),
