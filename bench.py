@@ -950,9 +950,14 @@ def main():
                     with ThreadPoolExecutor(max_workers=n_clients) as pool:
                         list(pool.map(client, range(n_clients)))
                     t_serve = time.perf_counter() - t0
-                    st = svc.stats()["retrieve"]
+                    full_stats = svc.stats()
+                    st = full_stats["retrieve"]
                 finally:
                     svc.close()
+                lane_lat = full_stats["latency_ms"].get("retrieve")
+                if lane_lat:  # sidecar-only: per-request p50/p99 under load
+                    extra["serve_req_p50_ms"] = lane_lat["p50_ms"]
+                    extra["serve_req_p99_ms"] = lane_lat["p99_ms"]
                 total = n_clients * reqs_per_client
                 n_batches = st["batches"] - st0["batches"]
                 extra["serve_clients"] = n_clients
