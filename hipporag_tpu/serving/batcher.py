@@ -159,7 +159,12 @@ class MicroBatcher:
                 self._cv.wait(remaining)
             batch = self._pending[: self._max_batch]
             del self._pending[: self._max_batch]
-            now = time.perf_counter()
+            return batch
+
+    def _record_batch(self, batch: List[tuple]) -> None:
+        """Count a batch that actually dispatched (post-cancellation)."""
+        now = time.perf_counter()
+        with self._cv:
             self._n_batches += 1
             size = len(batch)
             self._batch_size_counts[size] = self._batch_size_counts.get(size, 0) + 1
@@ -168,7 +173,6 @@ class MicroBatcher:
                 self._total_queue_wait_s += wait
                 if wait > self._max_queue_wait_s:
                     self._max_queue_wait_s = wait
-            return batch
 
     def _run(self) -> None:
         while True:
@@ -184,7 +188,8 @@ class MicroBatcher:
                 b for b in batch if b[1].set_running_or_notify_cancel()
             ]
             if not batch:
-                continue
+                continue  # fully cancelled — no device work, no batch stats
+            self._record_batch(batch)
             items = [b[0] for b in batch]
             try:
                 results = self._fn(items)

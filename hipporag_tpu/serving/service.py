@@ -31,16 +31,28 @@ __all__ = ["RetrievalService"]
 
 
 def _slice_solution(sol: QuerySolution, top_k: int) -> QuerySolution:
-    """Trim a batched solution down to one caller's requested top_k."""
+    """Trim a batched solution down to one caller's requested top_k.
+
+    Everything mutable is COPIED — with hot-query dedup several callers
+    share one engine solution, and an ndarray slice is a view: a caller
+    reweighting its doc_scores in place must not corrupt another
+    caller's response (or the engine's own buffers)."""
     return QuerySolution(
         question=sol.question,
-        docs=sol.docs[:top_k],
-        doc_scores=(sol.doc_scores[:top_k] if sol.doc_scores is not None else None),
-        answer=sol.answer,
-        thoughts=sol.thoughts,
-        doc_metadata=(
-            sol.doc_metadata[:top_k] if sol.doc_metadata is not None else None
+        docs=list(sol.docs[:top_k]),
+        doc_scores=(
+            sol.doc_scores[:top_k].copy() if sol.doc_scores is not None else None
         ),
+        answer=sol.answer,
+        gold_answers=(list(sol.gold_answers) if sol.gold_answers else None),
+        gold_docs=(list(sol.gold_docs) if sol.gold_docs else None),
+        thoughts=(list(sol.thoughts) if sol.thoughts else None),
+        doc_metadata=(
+            [dict(m) for m in sol.doc_metadata[:top_k]]
+            if sol.doc_metadata is not None
+            else None
+        ),
+        graph_seeds=(list(sol.graph_seeds) if sol.graph_seeds else None),
     )
 
 

@@ -136,8 +136,13 @@ def test_batcher_sheds_load_at_max_pending():
 
     mb = MicroBatcher(fn, max_batch_size=2, max_wait_ms=0, max_pending=3)
     try:
-        first = mb.submit(0)  # worker takes this (possibly with a neighbor)
-        time.sleep(0.05)  # let the worker drain it into a batch
+        first = mb.submit(0)
+        # wait (not sleep-and-hope) until the worker drained item 0 into
+        # its in-flight batch, so the queue is empty before we fill it
+        deadline = time.time() + 5
+        while mb.stats()["pending"] and time.time() < deadline:
+            time.sleep(0.005)
+        assert mb.stats()["pending"] == 0
         kept = [mb.submit(i) for i in range(1, 4)]  # fills the queue
         with pytest.raises(BatcherSaturated):
             mb.submit(99)
@@ -203,8 +208,14 @@ def test_service_hot_query_dedup(served_rag):
             sols = list(pool.map(lambda _: svc.retrieve(queries[0]), range(8)))
         st = svc.stats()
     assert all(s.docs == direct.docs for s in sols)
-    # distinct objects: one caller mutating its copy can't corrupt others
+    # isolation: one caller mutating its response must not corrupt another
+    # caller's (ndarray slices are views unless copied) or the engine's
     assert len({id(s) for s in sols}) == 8
+    before = sols[1].doc_scores[0]
+    sols[0].doc_scores[0] = -123.0
+    sols[0].docs[0] = "clobbered"
+    assert sols[1].doc_scores[0] == before
+    assert sols[1].docs[0] == direct.docs[0]
     assert st["dedup_saved"] >= 1, st
 
 
