@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional
 
@@ -76,6 +76,12 @@ class RetrievalService:
         Per-lane queue bound; submissions beyond it raise
         :class:`BatcherSaturated` (HTTP 503) instead of growing latency
         without bound. ``None`` disables shedding.
+    response_cache_size:
+        LRU cache of retrieve-lane responses keyed by (query, top_k):
+        a trending query served across SEPARATE batches costs zero
+        device work after the first (in-batch duplicates are already
+        deduped). Invalidated whole on :meth:`index`/:meth:`delete`.
+        ``0`` disables (default — enable per deployment policy).
     """
 
     def __init__(
@@ -85,6 +91,7 @@ class RetrievalService:
         max_batch_size: Optional[int] = None,
         max_wait_ms: float = 8.0,
         max_pending: Optional[int] = 1024,
+        response_cache_size: int = 0,
     ):
         self._rag = rag
         cfg = rag.global_config
@@ -119,6 +126,13 @@ class RetrievalService:
             "qa": deque(maxlen=2048),
         }
         self._dedup_saved = 0
+        # LRU response cache: OrderedDict under self._lock (move-to-end
+        # on hit); entries are engine solutions — sliced to fresh copies
+        # on every hit, so cached buffers are never handed out directly
+        self._cache_size = int(response_cache_size)
+        self._response_cache: "OrderedDict[str, QuerySolution]" = OrderedDict()
+        self._cache_hits = 0
+        self._cache_gen = 0  # bumped on invalidate; guards late population
         self._started = time.time()
         self._closed = False
 
@@ -134,8 +148,31 @@ class RetrievalService:
             self._dedup_saved += len(items) - len(uniq)
         with self._engine_lock:
             sols = self._rag.retrieve(uniq, num_to_retrieve=max_k)
+            with self._lock:
+                gen = self._cache_gen  # index()/delete() wait on the
+                # engine lock, so results computed here belong to `gen`
         by_q = dict(zip(uniq, sols))
+        if self._cache_size:
+            with self._lock:
+                if self._cache_gen == gen:  # don't resurrect pre-update results
+                    for q, sol in by_q.items():
+                        self._response_cache[q] = sol
+                        self._response_cache.move_to_end(q)
+                    while len(self._response_cache) > self._cache_size:
+                        self._response_cache.popitem(last=False)
         return [_slice_solution(by_q[q], k) for q, k in items]
+
+    def _cache_lookup(self, query: str, top_k: int) -> Optional[QuerySolution]:
+        """Serve a hot query from the LRU if a deep-enough entry exists."""
+        if not self._cache_size:
+            return None
+        with self._lock:
+            sol = self._response_cache.get(query)
+            if sol is None or len(sol.docs) < top_k:
+                return None
+            self._response_cache.move_to_end(query)
+            self._cache_hits += 1
+        return _slice_solution(sol, top_k)
 
     def _qa_batch(self, items: List[tuple]) -> List[QuerySolution]:
         max_k = max(k for _, k in items)
@@ -150,7 +187,13 @@ class RetrievalService:
 
     # -------------------------------------------------------- requests
     def retrieve_async(self, query: str, top_k: Optional[int] = None) -> Future:
-        return self._retrieve_lane.submit((query, int(top_k or self._default_top_k)))
+        k = int(top_k or self._default_top_k)
+        cached = self._cache_lookup(query, k)
+        if cached is not None:
+            fut: Future = Future()
+            fut.set_result(cached)
+            return fut
+        return self._retrieve_lane.submit((query, k))
 
     def qa_async(self, query: str, top_k: Optional[int] = None) -> Future:
         return self._qa_lane.submit((query, int(top_k or self._default_top_k)))
@@ -186,11 +229,18 @@ class RetrievalService:
         """Add documents to the live index between serving batches."""
         with self._engine_lock:
             self._rag.index(docs)
+        self._invalidate_cache()
 
     def delete(self, docs: List[str]) -> None:
         """Remove documents from the live index between serving batches."""
         with self._engine_lock:
             self._rag.delete(docs)
+        self._invalidate_cache()
+
+    def _invalidate_cache(self) -> None:
+        with self._lock:
+            self._response_cache.clear()
+            self._cache_gen += 1
 
     # ----------------------------------------------------------- admin
     def _record(self, lane: str, elapsed_s: float) -> None:
@@ -223,9 +273,15 @@ class RetrievalService:
                     else None
                 )
             dedup = self._dedup_saved
+            cache = {
+                "hits": self._cache_hits,
+                "entries": len(self._response_cache),
+                "size": self._cache_size,
+            }
         return {
             "latency_ms": lat,
             "dedup_saved": dedup,
+            "response_cache": cache,
             "retrieve": self._retrieve_lane.stats(),
             "qa": self._qa_lane.stats(),
         }

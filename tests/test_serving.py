@@ -279,6 +279,46 @@ def test_service_over_sharded_backend(tmp_path, served_rag):
         assert s.docs == want[q]
 
 
+def test_service_response_cache(tmp_path):
+    cfg = BaseConfig(
+        llm_name="mock", embedding_model_name="mock",
+        save_dir=str(tmp_path / "cache"), embedding_dim=96,
+        ppr_batch_size=4, retrieval_top_k=5,
+    )
+    rag = HippoRAG(global_config=cfg)
+    rag.index(["Alpha Doc is about quasars.", "Beta Doc is about pulsars.",
+               "Gamma Doc is about magnetars."])
+    with RetrievalService(rag, max_wait_ms=0, response_cache_size=8) as svc:
+        q = "What is a pulsar?"
+        s1 = svc.retrieve(q, top_k=2)
+        st = svc.stats()
+        assert st["response_cache"] == {"hits": 0, "entries": 1, "size": 8}
+        batches_before = st["retrieve"]["batches"]
+
+        s2 = svc.retrieve(q, top_k=2)  # hot: served from LRU, no device work
+        st = svc.stats()
+        assert st["response_cache"]["hits"] == 1
+        assert st["retrieve"]["batches"] == batches_before
+        assert s2.docs == s1.docs
+        s2.doc_scores[0] = -9  # cached buffers are copied per hit
+        assert svc.retrieve(q, top_k=2).doc_scores[0] != -9  # hit #2
+
+        # a deeper request can't be served by a shallower entry
+        s3 = svc.retrieve(q, top_k=3)
+        st = svc.stats()
+        assert st["response_cache"]["hits"] == 2  # the deep request missed
+        assert len(s3.docs) == 3
+
+        # index updates invalidate the whole cache
+        svc.index(["Delta Doc is about blazars."])
+        st = svc.stats()
+        assert st["response_cache"]["entries"] == 0
+        svc.retrieve(q, top_k=3)
+        st2 = svc.stats()
+        assert st2["response_cache"]["hits"] == 2  # post-update miss went to device
+        assert st2["response_cache"]["entries"] == 1
+
+
 def test_service_over_standard_rag(tmp_path):
     # the service facade is retriever-agnostic: the dense-only
     # StandardRAG serves through the same lanes (incl. /health without
