@@ -183,14 +183,30 @@ def make_server(
 def serve_forever(
     service: RetrievalService, host: str = "127.0.0.1", port: int = 8734
 ) -> None:
-    """Blocking entry point used by ``main.py --serve``."""
+    """Blocking entry point used by ``main.py --serve``.
+
+    SIGTERM (the orchestrator's stop signal) and Ctrl-C both drain
+    gracefully: stop accepting connections, finish queued batches
+    (MicroBatcher.close drains), then return."""
+    import signal
+    import threading
+
     server = make_server(service, host, port)
     addr = server.server_address
     logger.info("serving on http://%s:%d (POST /retrieve, /qa)", addr[0], addr[1])
+
+    def _term(signum, frame):  # pragma: no cover — signal path
+        logger.info("signal %d: draining and shutting down", signum)
+        # shutdown() blocks until serve_forever returns — call it off
+        # the signal frame so the main thread can unwind
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    prev = signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover — interactive shutdown
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev)
         server.server_close()
         service.close()
