@@ -142,12 +142,18 @@ class RetrievalService:
         # Hot-query dedup: N clients asking the same (trending) question
         # cost ONE device row, then fan back out. Every caller gets its
         # own sliced copy so nobody shares a mutable solution.
-        max_k = max(k for _, k in items)
+        # Solve at max(requested, engine default): num_to_retrieve is a
+        # STATIC shape in the jitted document top-k, so per-request k
+        # values would each compile a fresh executable (measured ~0.8 s
+        # on the tunnel, paid mid-traffic). Clamping to the default keeps
+        # every k <= default on ONE warm executable; the extra rows cost
+        # nothing on device and are sliced off per caller below.
+        solve_k = max(max(k for _, k in items), self._default_top_k)
         uniq = list(dict.fromkeys(q for q, _ in items))
         with self._lock:
             self._dedup_saved += len(items) - len(uniq)
         with self._engine_lock:
-            sols = self._rag.retrieve(uniq, num_to_retrieve=max_k)
+            sols = self._rag.retrieve(uniq, num_to_retrieve=solve_k)
             with self._lock:
                 gen = self._cache_gen  # index()/delete() wait on the
                 # engine lock, so results computed here belong to `gen`
@@ -175,12 +181,12 @@ class RetrievalService:
         return _slice_solution(sol, top_k)
 
     def _qa_batch(self, items: List[tuple]) -> List[QuerySolution]:
-        max_k = max(k for _, k in items)
+        solve_k = max(max(k for _, k in items), self._default_top_k)
         uniq = list(dict.fromkeys(q for q, _ in items))
         with self._lock:
             self._dedup_saved += len(items) - len(uniq)
         with self._engine_lock:
-            sols = self._rag.retrieve(uniq, num_to_retrieve=max_k)
+            sols = self._rag.retrieve(uniq, num_to_retrieve=solve_k)
             sols, _responses, _metadata = self._rag.qa(sols)
         by_q = dict(zip(uniq, sols))
         return [_slice_solution(by_q[q], k) for q, k in items]
@@ -209,6 +215,9 @@ class RetrievalService:
     def qa(
         self, query: str, top_k: Optional[int] = None, timeout: Optional[float] = None
     ) -> QuerySolution:
+        """Retrieve + answer. ``top_k`` bounds the RETURNED docs; the
+        answer is always generated from the engine's ``qa_top_k`` context
+        (same semantics as ``HippoRAG.rag_qa``)."""
         t0 = time.perf_counter()
         sol = self.qa_async(query, top_k).result(timeout=timeout)
         self._record("qa", time.perf_counter() - t0)
@@ -246,6 +255,14 @@ class RetrievalService:
     def _record(self, lane: str, elapsed_s: float) -> None:
         with self._lock:
             self._latencies[lane].append(elapsed_s)
+
+    def reset_stats(self) -> None:
+        """Clear the latency windows (e.g. after warmup, before a
+        measurement window). Lane batch/request counters are monotonic —
+        snapshot and subtract those instead."""
+        with self._lock:
+            for dq in self._latencies.values():
+                dq.clear()
 
     def health(self) -> Dict[str, Any]:
         info: Dict[str, Any] = {"status": "ok", "uptime_s": round(time.time() - self._started, 1)}

@@ -254,6 +254,11 @@ def test_service_qa_and_stats(served_rag):
         assert st["latency_ms"]["qa"]["p50_ms"] > 0
         assert st["latency_ms"]["qa"]["window"] == 1
         assert svc.health()["status"] == "ok"
+        # reset clears the latency windows but not the monotonic counters
+        svc.reset_stats()
+        st = svc.stats()
+        assert st["latency_ms"]["qa"] is None
+        assert st["qa"]["requests"] == 1
 
 
 def test_service_over_sharded_backend(tmp_path, served_rag):
@@ -280,10 +285,13 @@ def test_service_over_sharded_backend(tmp_path, served_rag):
 
 
 def test_service_response_cache(tmp_path):
+    # retrieval_top_k=2 == the requested k: the service clamps device
+    # solves to max(k, default), so a smaller default would silently
+    # deepen cache entries and defeat the deep-miss scenario below
     cfg = BaseConfig(
         llm_name="mock", embedding_model_name="mock",
         save_dir=str(tmp_path / "cache"), embedding_dim=96,
-        ppr_batch_size=4, retrieval_top_k=5,
+        ppr_batch_size=4, retrieval_top_k=2,
     )
     rag = HippoRAG(global_config=cfg)
     rag.index(["Alpha Doc is about quasars.", "Beta Doc is about pulsars.",
