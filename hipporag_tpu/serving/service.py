@@ -77,11 +77,12 @@ class RetrievalService:
         :class:`BatcherSaturated` (HTTP 503) instead of growing latency
         without bound. ``None`` disables shedding.
     response_cache_size:
-        LRU cache of retrieve-lane responses keyed by (query, top_k):
-        a trending query served across SEPARATE batches costs zero
-        device work after the first (in-batch duplicates are already
-        deduped). Invalidated whole on :meth:`index`/:meth:`delete`.
-        ``0`` disables (default — enable per deployment policy).
+        LRU cache of retrieve-lane responses keyed by query (a hit must
+        hold at least the requested top_k docs): a trending query served
+        across SEPARATE batches costs zero device work after the first
+        (in-batch duplicates are already deduped). Invalidated whole on
+        :meth:`index`/:meth:`delete`. ``0`` disables (default — enable
+        per deployment policy).
     """
 
     def __init__(
