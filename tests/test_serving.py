@@ -381,6 +381,62 @@ def test_service_online_index_update_and_delete(tmp_path):
         assert not any("blazars" in d for d in again)
 
 
+def test_service_soak_mixed_workload(tmp_path):
+    """Bounded soak: sustained concurrent retrieve+qa+update+cache traffic
+    must stay live (no deadlock between the engine lock, lane workers,
+    and mutations) and every request must complete or shed cleanly."""
+    cfg = BaseConfig(
+        llm_name="mock", embedding_model_name="mock",
+        save_dir=str(tmp_path / "soak"), embedding_dim=96,
+        ppr_batch_size=8, retrieval_top_k=4,
+    )
+    rag = HippoRAG(global_config=cfg)
+    rag.index([f"SoakDoc{i} relates to SoakEntity{i % 7}." for i in range(12)])
+    errors = []
+    done = threading.Event()
+
+    with RetrievalService(
+        rag, max_wait_ms=2, max_pending=64, response_cache_size=16
+    ) as svc:
+        svc.retrieve("warm", top_k=2)
+
+        def client(i):
+            n = 0
+            while not done.is_set():
+                try:
+                    if i == 0 and n % 7 == 3:
+                        svc.index([f"HotDoc{i}_{n} relates to SoakEntity1."])
+                    elif i % 3 == 0:
+                        assert svc.qa(f"Who relates to SoakEntity{n % 7}?",
+                                      top_k=2, timeout=60).answer
+                    else:
+                        # alternate hot (cacheable) and cold queries
+                        q = ("What relates to SoakEntity1?" if n % 2
+                             else f"cold query {i} {n}?")
+                        assert svc.retrieve(q, top_k=3, timeout=60).docs
+                except BatcherSaturated:
+                    pass  # shedding is a valid outcome under burst load
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(f"client {i}: {exc!r}")
+                    return
+                n += 1
+            return n
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [pool.submit(client, i) for i in range(6)]
+            time.sleep(8)
+            done.set()
+            counts = [f.result(timeout=120) for f in futs]
+
+        st = svc.stats()
+    assert not errors, errors
+    assert all(c is not None and c > 0 for c in counts), counts
+    assert st["retrieve"]["failed_batches"] == 0
+    assert st["qa"]["failed_batches"] == 0
+    assert st["response_cache"]["hits"] > 0  # hot query actually cached
+    assert st["retrieve"]["pending"] == 0 and st["qa"]["pending"] == 0
+
+
 # ======================================================================
 # HTTP front-end
 # ======================================================================
