@@ -380,23 +380,27 @@ def main():
         cpu_iters.append(it)
     cpu_qps_measured = n_cpu / (time.perf_counter() - t0)
 
-    # calibrate the iteration-body cost: min of 9 single-iteration trials
+    # calibrate the iteration-body cost: min of 25 single-iteration
+    # trials, decorrelated by 10ms sleeps so a transient CPU burst from a
+    # co-tenant process can't contaminate every trial (measured: min-of-9
+    # back-to-back still swung the baseline ~12% between full runs)
     p_cal = reset_cpu[0] / reset_cpu[0].sum()
     r_cal = p_cal.copy()
     body_trials = []
-    for _ in range(9):
+    for _ in range(25):
         t0 = time.perf_counter()
         y = T @ p_cal
         dm = float(dangling @ p_cal)
         p_next = (1 - damping) * r_cal + damping * (y + dm * r_cal)
         _ = float(np.max(np.abs(p_next - p_cal)))
         body_trials.append(time.perf_counter() - t0)
+        time.sleep(0.01)
     t_body = min(body_trials)
     cpu_time = t_body * sum(cpu_iters)
     cpu_qps = n_cpu / cpu_time
     log(
         f"CPU baseline: {sum(cpu_iters)} iteration bodies x {t_body*1e3:.2f}ms "
-        f"(min of 9 trials; spread {min(body_trials)*1e3:.2f}-"
+        f"(min of 25 trials; spread {min(body_trials)*1e3:.2f}-"
         f"{max(body_trials)*1e3:.2f}ms) -> {cpu_qps:.2f} q/s calibrated, "
         f"{cpu_qps_measured:.2f} q/s single-pass measured"
     )
@@ -418,7 +422,7 @@ def main():
         # the baseline is this repo's serial scipy-CSR solver run in the
         # reference's one-solve-per-query style (igraph/prpack is not
         # installable here); numerics cross-checked via max_err_vs_cpu
-        baseline_protocol="serial scipy-CSR PPR, min-of-9 body calibration",
+        baseline_protocol="serial scipy-CSR PPR, min-of-25 body calibration",
     )
 
     # ---------------- backend decision (probe + one retry) ----------------

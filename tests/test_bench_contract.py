@@ -47,7 +47,7 @@ def _worst_case(bench):
     # every compact key populated with a wide value
     extra = {k: -1234567.8901234567 for k in bench._COMPACT_KEYS}
     extra["baseline_protocol"] = (
-        "serial scipy-CSR PPR, min-of-9 body calibration"
+        "serial scipy-CSR PPR, min-of-25 body calibration"
     )
     extra["2wiki_r2_delta_ci95"] = [-0.123456789, 0.987654321]
     extra["single_query_breakdown_ms"] = {
