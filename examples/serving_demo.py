@@ -31,17 +31,20 @@ rag = HippoRAG(global_config=config)
 rag.index(corpus)
 
 # ---- 1. library: 8 concurrent clients, coalesced into device batches ----
-with RetrievalService(rag, max_wait_ms=20) as svc:
+with RetrievalService(rag, max_wait_ms=20, response_cache_size=32) as svc:
     queries = (all_queries * 3)[:8]
     with ThreadPoolExecutor(max_workers=8) as pool:
         solutions = list(pool.map(lambda q: svc.qa(q, top_k=3), queries))
     for s in solutions[: len(all_queries)]:
         print(f"Q: {s.question}\nA: {s.answer}")
+    svc.retrieve(all_queries[0])  # cold: fills the LRU response cache
+    svc.retrieve(all_queries[0])  # hot: zero device work
     stats = svc.stats()
     print(
         f"\n{stats['qa']['requests']} requests -> {stats['qa']['batches']} "
         f"device batches (hot-query dedup saved {stats['dedup_saved']} rows); "
-        f"p50 {stats['latency_ms']['qa']['p50_ms']} ms"
+        f"qa p50 {stats['latency_ms']['qa']['p50_ms']} ms; response cache "
+        f"{stats['response_cache']['hits']} hit(s)"
     )
 
 # ---- 2. the same service over HTTP ----
