@@ -939,44 +939,57 @@ def main():
 
                 n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", 32))
                 reqs_per_client = int(os.environ.get("BENCH_SERVE_REQS", 4))
+                # scaling sweep around the headline level: shows where
+                # coalescing saturates (every level's pad is pre-compiled:
+                # 8 by the trickle probes, 32 here, 128 by the main batch)
+                levels = sorted({8, n_clients, 128})
                 rag.retrieve(queries[:32])  # warm the 32-pad sub-bucket
                 svc = RetrievalService(rag, max_wait_ms=8.0)
+                sweep = {}
                 try:
                     # warm the full service path (measured: the first
                     # dispatch through a fresh service costs ~1s on the
                     # tunnel and swamped p99), then reset the latency
-                    # window so percentiles cover ONLY the loaded steady
-                    # state; counters baseline via st0 as before
+                    # window per level so percentiles cover ONLY that
+                    # loaded steady state; counters baseline via st0
                     svc.retrieve(queries[0], top_k=5)
-                    svc.reset_stats()
-                    st0 = svc.stats()["retrieve"]
 
                     def client(i):
                         for j in range(reqs_per_client):
                             q = queries[(i * 7 + j * 13) % len(queries)]
                             svc.retrieve(q, top_k=5)
 
-                    t0 = time.perf_counter()
-                    with ThreadPoolExecutor(max_workers=n_clients) as pool:
-                        list(pool.map(client, range(n_clients)))
-                    t_serve = time.perf_counter() - t0
-                    full_stats = svc.stats()
-                    st = full_stats["retrieve"]
+                    for c in levels:
+                        svc.reset_stats()
+                        st0 = svc.stats()["retrieve"]
+                        t0 = time.perf_counter()
+                        with ThreadPoolExecutor(max_workers=c) as pool:
+                            list(pool.map(client, range(c)))
+                        t_serve = time.perf_counter() - t0
+                        full_stats = svc.stats()
+                        st = full_stats["retrieve"]
+                        nb = st["batches"] - st0["batches"]
+                        lane_lat = full_stats["latency_ms"].get("retrieve") or {}
+                        sweep[c] = {
+                            "qps": round(c * reqs_per_client / t_serve, 1),
+                            "mean_batch": (
+                                round((st["requests"] - st0["requests"]) / nb, 2)
+                                if nb else None
+                            ),
+                            "batches": nb,
+                            "p50_ms": lane_lat.get("p50_ms"),
+                            "p99_ms": lane_lat.get("p99_ms"),
+                        }
                 finally:
                     svc.close()
-                lane_lat = full_stats["latency_ms"].get("retrieve")
-                if lane_lat:  # sidecar-only: per-request p50/p99 under load
-                    extra["serve_req_p50_ms"] = lane_lat["p50_ms"]
-                    extra["serve_req_p99_ms"] = lane_lat["p99_ms"]
-                total = n_clients * reqs_per_client
-                n_batches = st["batches"] - st0["batches"]
+                head = sweep[n_clients]
+                extra["serve_sweep"] = sweep  # sidecar: full scaling curve
                 extra["serve_clients"] = n_clients
-                extra["serve_concurrent_qps"] = round(total / t_serve, 1)
-                extra["serve_mean_batch"] = (
-                    round((st["requests"] - st0["requests"]) / n_batches, 2)
-                    if n_batches else None
-                )
-                extra["serve_batches"] = n_batches
+                extra["serve_concurrent_qps"] = head["qps"]
+                extra["serve_mean_batch"] = head["mean_batch"]
+                extra["serve_batches"] = head["batches"]
+                extra["serve_req_p50_ms"] = head["p50_ms"]
+                extra["serve_req_p99_ms"] = head["p99_ms"]
                 if extra.get("single_query_e2e_ms"):
                     serial_qps = 1000.0 / extra["single_query_e2e_ms"]
                     extra["serve_vs_serial"] = round(
@@ -984,12 +997,14 @@ def main():
                     )
                 sections["serving_concurrent"] = "ok"
                 log(
-                    f"concurrent serving: {n_clients} clients x "
-                    f"{reqs_per_client} reqs -> "
-                    f"{extra['serve_concurrent_qps']:.0f} q/s coalesced into "
-                    f"{n_batches} batches (mean {extra['serve_mean_batch']}"
-                    f"/batch), {extra.get('serve_vs_serial', '?')}x the serial "
-                    "single-query loop"
+                    f"concurrent serving sweep ({reqs_per_client} reqs/client): "
+                    + "; ".join(
+                        f"{c} clients -> {v['qps']:.0f} q/s "
+                        f"(mean batch {v['mean_batch']}, p99 {v['p99_ms']}ms)"
+                        for c, v in sweep.items()
+                    )
+                    + f"; {extra.get('serve_vs_serial', '?')}x the serial "
+                    "single-query loop at the headline level"
                 )
             except Exception as e:  # noqa: BLE001
                 sections["serving_concurrent"] = f"skipped ({e})"
