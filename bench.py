@@ -941,8 +941,15 @@ def main():
                 reqs_per_client = int(os.environ.get("BENCH_SERVE_REQS", 4))
                 # scaling sweep around the headline level: shows where
                 # coalescing saturates (every level's pad is pre-compiled:
-                # 8 by the trickle probes, 32 here, 128 by the main batch)
-                levels = sorted({8, n_clients, 128})
+                # 8 by the trickle probes, 32 here, 128 by the main batch).
+                # BENCH_SERVE_SWEEP="a,b,..." overrides (smoke runs set a
+                # single small level; BENCH_SERVE_CLIENTS stays the
+                # headline and is always included)
+                sweep_env = os.environ.get("BENCH_SERVE_SWEEP", "8,128")
+                levels = sorted(
+                    {int(x) for x in sweep_env.split(",") if x.strip()}
+                    | {n_clients}
+                )
                 rag.retrieve(queries[:32])  # warm the 32-pad sub-bucket
                 svc = RetrievalService(rag, max_wait_ms=8.0)
                 sweep = {}
@@ -959,7 +966,7 @@ def main():
                             q = queries[(i * 7 + j * 13) % len(queries)]
                             svc.retrieve(q, top_k=5)
 
-                    for c in levels:
+                    def run_level(c):
                         svc.reset_stats()
                         st0 = svc.stats()["retrieve"]
                         t0 = time.perf_counter()
@@ -970,7 +977,7 @@ def main():
                         st = full_stats["retrieve"]
                         nb = st["batches"] - st0["batches"]
                         lane_lat = full_stats["latency_ms"].get("retrieve") or {}
-                        sweep[c] = {
+                        return {
                             "qps": round(c * reqs_per_client / t_serve, 1),
                             "mean_batch": (
                                 round((st["requests"] - st0["requests"]) / nb, 2)
@@ -980,9 +987,28 @@ def main():
                             "p50_ms": lane_lat.get("p50_ms"),
                             "p99_ms": lane_lat.get("p99_ms"),
                         }
+
+                    for c in levels:
+                        # per-level guard + one retry (CLAUDE.md rule:
+                        # a transient tunnel INTERNAL must not discard
+                        # the levels already measured)
+                        try:
+                            sweep[c] = run_level(c)
+                        except Exception as le:  # noqa: BLE001
+                            log(f"serve level {c} failed once ({le}); retrying")
+                            try:
+                                sweep[c] = run_level(c)
+                            except Exception as le2:  # noqa: BLE001
+                                sweep[c] = {"error": str(le2)[:80]}
                 finally:
                     svc.close()
-                head = sweep[n_clients]
+                head = sweep.get(n_clients) or {}
+                if "qps" not in head:  # headline level failed: fall back
+                    head = next(
+                        (v for v in sweep.values() if "qps" in v), None
+                    )
+                    if head is None:
+                        raise RuntimeError(f"every sweep level failed: {sweep}")
                 extra["serve_sweep"] = sweep  # sidecar: full scaling curve
                 extra["serve_clients"] = n_clients
                 extra["serve_concurrent_qps"] = head["qps"]
@@ -999,8 +1025,12 @@ def main():
                 log(
                     f"concurrent serving sweep ({reqs_per_client} reqs/client): "
                     + "; ".join(
-                        f"{c} clients -> {v['qps']:.0f} q/s "
-                        f"(mean batch {v['mean_batch']}, p99 {v['p99_ms']}ms)"
+                        (
+                            f"{c} clients -> {v['qps']:.0f} q/s "
+                            f"(mean batch {v['mean_batch']}, p99 {v['p99_ms']}ms)"
+                            if "qps" in v
+                            else f"{c} clients -> FAILED ({v.get('error')})"
+                        )
                         for c, v in sweep.items()
                     )
                     + f"; {extra.get('serve_vs_serial', '?')}x the serial "

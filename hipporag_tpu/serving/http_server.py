@@ -176,7 +176,11 @@ def make_server(
         {"service": service, "request_timeout_s": request_timeout_s},
     )
     server = ThreadingHTTPServer((host, port), handler)
-    server.daemon_threads = True
+    # non-daemon handler threads: server_close() then JOINS in-flight
+    # handlers, so a graceful shutdown finishes writing every response
+    # instead of the interpreter killing handlers mid-write. Stuck
+    # handlers are bounded by request_timeout_s on the service futures.
+    server.daemon_threads = False
     return server
 
 
@@ -201,12 +205,17 @@ def serve_forever(
         # the signal frame so the main thread can unwind
         threading.Thread(target=server.shutdown, daemon=True).start()
 
-    prev = signal.signal(signal.SIGTERM, _term)
+    prev = None
     try:
+        try:
+            prev = signal.signal(signal.SIGTERM, _term)
+        except ValueError:  # not the main thread — serve without the hook
+            pass
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover — interactive shutdown
         pass
     finally:
-        signal.signal(signal.SIGTERM, prev)
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
         server.server_close()
         service.close()

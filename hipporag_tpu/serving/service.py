@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional
 
 from ..utils.logging import get_logger
 from ..utils.misc import QuerySolution
-from .batcher import MicroBatcher
+from .batcher import BatcherClosed, MicroBatcher
 
 logger = get_logger(__name__)
 
@@ -94,6 +94,11 @@ class RetrievalService:
         max_pending: Optional[int] = 1024,
         response_cache_size: int = 0,
     ):
+        if response_cache_size < 0:
+            raise ValueError(
+                "response_cache_size must be >= 0 (0 disables; there is "
+                "no 'unlimited' setting — entries hold full doc rankings)"
+            )
         self._rag = rag
         cfg = rag.global_config
         if max_batch_size is None:
@@ -194,6 +199,8 @@ class RetrievalService:
 
     # -------------------------------------------------------- requests
     def retrieve_async(self, query: str, top_k: Optional[int] = None) -> Future:
+        if self._closed:  # uniform closed behavior — no stale cache serves
+            raise BatcherClosed("RetrievalService is closed")
         k = int(top_k or self._default_top_k)
         cached = self._cache_lookup(query, k)
         if cached is not None:

@@ -381,6 +381,18 @@ def test_service_online_index_update_and_delete(tmp_path):
         assert not any("blazars" in d for d in again)
 
 
+def test_service_rejects_bad_cache_size_and_closed_requests(served_rag):
+    rag, queries = served_rag
+    with pytest.raises(ValueError, match="response_cache_size"):
+        RetrievalService(rag, response_cache_size=-1)
+    svc = RetrievalService(rag, max_wait_ms=0, response_cache_size=4)
+    svc.retrieve(queries[0], top_k=2)
+    svc.close()
+    # a closed service is uniformly closed — no stale cache serves
+    with pytest.raises(BatcherClosed):
+        svc.retrieve(queries[0], top_k=2)
+
+
 def test_service_soak_mixed_workload(tmp_path):
     """Bounded soak: sustained concurrent retrieve+qa+update+cache traffic
     must stay live (no deadlock between the engine lock, lane workers,
