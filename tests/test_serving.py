@@ -468,6 +468,33 @@ def _post(url, payload):
         return err.code, json.loads(err.read().decode())
 
 
+def test_http_maps_saturation_to_503():
+    # overload maps to 503 (load shedding), not 500 — pin via a stub
+    # service so the test doesn't depend on queue-timing races
+    class Saturated:
+        def retrieve(self, *a, **kw):
+            raise BatcherSaturated("64 requests already queued")
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = make_server(Saturated(), port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _post(
+            f"http://127.0.0.1:{port}/retrieve", {"query": "q", "top_k": 1}
+        )
+        assert code == 503 and "overloaded" in body["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_http_server_end_to_end(served_rag):
     rag, queries = served_rag
     with RetrievalService(rag, max_wait_ms=5) as svc:
