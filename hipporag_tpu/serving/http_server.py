@@ -175,7 +175,14 @@ def make_server(
         (_Handler,),
         {"service": service, "request_timeout_s": request_timeout_s},
     )
-    server = ThreadingHTTPServer((host, port), handler)
+    # request_queue_size is the LISTEN BACKLOG and stdlib defaults it to
+    # 5 — measured: a 16-client closed-loop burst already gets connection
+    # resets. It's read during server_bind, so it must be a class
+    # attribute before construction.
+    server_cls = type(
+        "BoundServer", (ThreadingHTTPServer,), {"request_queue_size": 128}
+    )
+    server = server_cls((host, port), handler)
     # non-daemon handler threads: server_close() then JOINS in-flight
     # handlers, so a graceful shutdown finishes writing every response
     # instead of the interpreter killing handlers mid-write. Stuck
