@@ -28,6 +28,20 @@ import os
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
 
+def _make_frontend(kind, svc):
+    """Build a server of the requested front-end kind (stdlib or native C++
+    epoll); both must honor the same wire contract. Skips if the native
+    library can't be built in this environment."""
+    if kind == "stdlib":
+        return make_server(svc, port=0)
+    from hipporag_tpu.serving.native_http import make_native_server
+
+    try:
+        return make_native_server(svc, port=0, num_workers=8)
+    except RuntimeError as exc:  # no C++ toolchain in this image
+        pytest.skip(f"native front-end unavailable: {exc}")
+
+
 # ======================================================================
 # MicroBatcher unit tests
 # ======================================================================
@@ -468,7 +482,8 @@ def _post(url, payload):
         return err.code, json.loads(err.read().decode())
 
 
-def test_http_maps_saturation_to_503():
+@pytest.mark.parametrize("frontend", ["stdlib", "native"])
+def test_http_maps_saturation_to_503(frontend):
     # overload maps to 503 (load shedding), not 500 — pin via a stub
     # service so the test doesn't depend on queue-timing races
     class Saturated:
@@ -481,7 +496,7 @@ def test_http_maps_saturation_to_503():
         def stats(self):
             return {}
 
-    server = make_server(Saturated(), port=0)
+    server = _make_frontend(frontend, Saturated())
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -495,10 +510,11 @@ def test_http_maps_saturation_to_503():
         server.server_close()
 
 
-def test_http_server_end_to_end(served_rag):
+@pytest.mark.parametrize("frontend", ["stdlib", "native"])
+def test_http_server_end_to_end(served_rag, frontend):
     rag, queries = served_rag
     with RetrievalService(rag, max_wait_ms=5) as svc:
-        server = make_server(svc, port=0)
+        server = _make_frontend(frontend, svc)
         port = server.server_address[1]
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
@@ -547,3 +563,102 @@ def test_http_server_end_to_end(served_rag):
         finally:
             server.shutdown()
             server.server_close()
+
+
+def test_native_http_protocol_errors_and_counters():
+    """Malformed wire input is answered directly by the C++ event loop
+    (400/413/501) with Connection: close — it never reaches dispatch."""
+    import socket
+
+    class Stub:
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("native", Stub())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def raw(payload):
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(payload)
+        chunks = b""
+        while True:
+            b = s.recv(4096)
+            if not b:
+                break
+            chunks += b
+        s.close()
+        return chunks
+
+    try:
+        r = raw(b"GARBAGE\r\n\r\n")
+        assert r.startswith(b"HTTP/1.1 400"), r[:60]
+        assert b"Connection: close" in r
+
+        big = str(100 << 20).encode()  # 100 MiB > the 64 MiB cap
+        r = raw(b"POST /index HTTP/1.1\r\nContent-Length: " + big + b"\r\n\r\n")
+        assert r.startswith(b"HTTP/1.1 413"), r[:60]
+
+        r = raw(
+            b"POST /retrieve HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+        )
+        assert r.startswith(b"HTTP/1.1 501"), r[:60]
+
+        r = raw(b"POST /retrieve HTTP/1.1\r\nContent-Length: nope\r\n\r\n")
+        assert r.startswith(b"HTTP/1.1 400"), r[:60]
+
+        # a well-formed request still works after the garbage
+        r = raw(b"GET /health HTTP/1.1\r\nConnection: close\r\n\r\n")
+        assert r.startswith(b"HTTP/1.1 200"), r[:60]
+        assert b'"status": "ok"' in r
+
+        c = server.counters()
+        assert c["protocol_errors"] == 4, c
+        assert c["parsed"] >= 1 and c["responded"] >= c["parsed"], c
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_native_http_keep_alive_sequential_requests():
+    """One connection, several requests: the native loop parses the next
+    request only after the previous response is written (no pipelining
+    reorder hazard) and keeps the connection open."""
+    import http.client
+
+    class Echo:
+        def retrieve(self, query, top_k=None, timeout=None):
+            from hipporag_tpu.utils.misc import QuerySolution
+
+            return QuerySolution(question=query, docs=[f"doc-for-{query}"],
+                                 doc_scores=np.array([1.0]))
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("native", Echo())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        for i in range(5):
+            conn.request(
+                "POST", "/retrieve", json.dumps({"query": f"q{i}"}),
+                {"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 200 and body["docs"] == [f"doc-for-q{i}"]
+        conn.close()
+        assert server.counters()["accepted"] == 1  # one reused connection
+    finally:
+        server.shutdown()
+        server.server_close()
