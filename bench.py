@@ -80,6 +80,7 @@ _COMPACT_KEYS = [
     "single_query_breakdown_ms", "single_query_compute_ms",
     "single_query_rtt_floor_ms",
     "serve_concurrent_qps", "serve_vs_serial", "serve_mean_batch",
+    "serve_http_qps", "serve_http_p50_ms",
     "encoder_mfu", "encoder_mfu_e2e", "encoder_run_spread",
     "encoder_docs_per_s",
     "fused_topk_big_ms", "fused_topk_big_xla_ms",
@@ -1039,6 +1040,107 @@ def main():
             except Exception as e:  # noqa: BLE001
                 sections["serving_concurrent"] = f"skipped ({e})"
                 log(f"concurrent-serving section skipped: {e}")
+
+            # ---- full-stack HTTP serving via the native front-end ----
+            # Same closed-loop drive as serving_concurrent but through the
+            # whole production stack: HTTP wire -> C++ epoll event loop ->
+            # ctypes workers -> micro-batcher -> device. The delta vs
+            # serve_concurrent_qps is the transport cost; the native
+            # front-end exists because the stdlib one measurably cost ~40%
+            # at 128 clients on this 1-core host. BENCH_SERVE_HTTP=0 skips.
+            if os.environ.get("BENCH_SERVE_HTTP", "1") == "0":
+                sections["serving_http"] = "skipped (BENCH_SERVE_HTTP=0)"
+            else:
+                try:
+                    import json as _json
+                    import urllib.request
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    from hipporag_tpu.serving import RetrievalService
+
+                    try:
+                        from hipporag_tpu.serving.native_http import (
+                            make_native_server,
+                        )
+
+                        frontend = "native"
+                        svc = RetrievalService(rag, max_wait_ms=8.0)
+                        server = make_native_server(svc, port=0)
+                    except (RuntimeError, OSError) as fe:
+                        # no C++ toolchain: measure the stdlib transport
+                        # instead and say so in the result
+                        from hipporag_tpu.serving.http_server import make_server
+
+                        frontend = f"stdlib (native unavailable: {fe})"
+                        svc = RetrievalService(rag, max_wait_ms=8.0)
+                        server = make_server(svc, port=0)
+                    import threading
+
+                    port = server.server_address[1]
+                    srv_thread = threading.Thread(
+                        target=server.serve_forever, daemon=True
+                    )
+                    srv_thread.start()
+                    n_http = int(os.environ.get("BENCH_SERVE_HTTP_CLIENTS", 64))
+                    reqs = int(os.environ.get("BENCH_SERVE_REQS", 4))
+                    base = f"http://127.0.0.1:{port}"
+                    lat: list = []
+                    lat_lock = threading.Lock()
+
+                    def http_client(i):
+                        mine = []
+                        for j in range(reqs):
+                            q = queries[(i * 7 + j * 13) % len(queries)]
+                            req = urllib.request.Request(
+                                base + "/retrieve",
+                                data=_json.dumps(
+                                    {"query": q, "top_k": 5}
+                                ).encode(),
+                                method="POST",
+                            )
+                            t0 = time.perf_counter()
+                            with urllib.request.urlopen(req, timeout=300) as r:
+                                _json.loads(r.read())
+                            mine.append(time.perf_counter() - t0)
+                        with lat_lock:
+                            lat.extend(mine)
+
+                    try:
+                        http_client(0)  # warm the transport + service path
+                        lat.clear()
+                        t0 = time.perf_counter()
+                        with ThreadPoolExecutor(max_workers=n_http) as pool:
+                            list(pool.map(http_client, range(n_http)))
+                        t_http = time.perf_counter() - t0
+                    finally:
+                        server.shutdown()
+                        server.server_close()
+                        svc.close()
+                    lat.sort()
+                    extra["serve_http_qps"] = round(n_http * reqs / t_http, 1)
+                    extra["serve_http_p50_ms"] = round(
+                        1e3 * lat[len(lat) // 2], 1
+                    )
+                    extra["serve_http"] = {
+                        "frontend": frontend,
+                        "clients": n_http,
+                        "reqs_per_client": reqs,
+                        "qps": extra["serve_http_qps"],
+                        "p50_ms": extra["serve_http_p50_ms"],
+                        "p99_ms": round(
+                            1e3 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1
+                        ),
+                    }
+                    sections["serving_http"] = "ok"
+                    log(
+                        f"full-stack HTTP ({frontend.split(' ')[0]}, {n_http} "
+                        f"clients): {extra['serve_http_qps']:.0f} q/s, p50 "
+                        f"{extra['serve_http_p50_ms']}ms, p99 "
+                        f"{extra['serve_http']['p99_ms']}ms"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    sections["serving_http"] = f"skipped ({e})"
+                    log(f"http-serving section skipped: {e}")
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
