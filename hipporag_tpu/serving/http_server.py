@@ -52,16 +52,25 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 — stdlib naming
         # Body-size guard BEFORE buffering (dispatch re-checks length):
         # a /retrieve must not make the handler read a 64 MiB body.
+        # 413 matches the native front-end's header-parse-time rejection.
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
             self._send(400, {"error": "invalid Content-Length"})
             return
         if length > body_limit(self.path):
-            self._send(400, {"error": "body too large"})
+            self._send(413, {"error": "body too large"})
             return
         body = self.rfile.read(length) if length > 0 else b""
         self._dispatch(body)
+
+    # Other methods go through the same body-draining path and dispatch,
+    # for the same JSON 405 the native front-end returns (instead of
+    # stdlib's HTML 501 page). dispatch keys on self.command.
+    do_PUT = do_POST  # noqa: N815 — stdlib naming
+    do_DELETE = do_POST  # noqa: N815
+    do_PATCH = do_POST  # noqa: N815
+    do_HEAD = do_POST  # noqa: N815
 
 
 def make_server(

@@ -63,13 +63,15 @@ def load() -> Optional[ctypes.CDLL]:
 
     lib.hf_start.restype = ctypes.c_void_p
     lib.hf_start.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.c_char_p,
-        ctypes.c_int,
+        ctypes.c_char_p,  # host
+        ctypes.c_int,  # port
+        ctypes.c_int,  # backlog
+        ctypes.c_long,  # max_body (large paths)
+        ctypes.c_long,  # max_small_body (every other path)
+        ctypes.c_char_p,  # comma-separated large-body paths
+        ctypes.POINTER(ctypes.c_int),  # out: bound port
+        ctypes.c_char_p,  # out: error buffer
+        ctypes.c_int,  # error buffer len
     ]
     lib.hf_next.restype = ctypes.c_int
     lib.hf_next.argtypes = [

@@ -64,6 +64,7 @@ struct Request {
   std::string method;
   std::string path;
   std::string body;
+  bool responded = false;
 };
 
 struct Conn {
@@ -135,8 +136,20 @@ class Frontend {
   ~Frontend() { destroy(); }
 
   // Returns 0 on success, -1 on error (last_error_ set).
-  int start(const char* host, int port, int backlog, long max_body) {
+  int start(const char* host, int port, int backlog, long max_body,
+            long max_small_body, const char* large_paths) {
     max_body_ = max_body > 0 ? (size_t)max_body : (size_t)(64u << 20);
+    max_small_body_ = max_small_body > 0 ? (size_t)max_small_body : max_body_;
+    if (large_paths) {
+      std::string lp(large_paths);
+      size_t pos = 0;
+      while (pos <= lp.size()) {
+        size_t comma = lp.find(',', pos);
+        if (comma == std::string::npos) comma = lp.size();
+        if (comma > pos) large_paths_.push_back(lp.substr(pos, comma - pos));
+        pos = comma + 1;
+      }
+    }
     listen_fd_ = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK | SOCK_CLOEXEC, 0);
     if (listen_fd_ < 0) return fail("socket");
     int one = 1;
@@ -190,23 +203,30 @@ class Frontend {
   }
 
   int respond(uint64_t id, int status, const char* body, long body_len) {
-    std::unique_ptr<Request> req;
+    uint64_t conn_serial;
     {
       std::lock_guard<std::mutex> lk(queue_mu_);
       auto it = inflight_.find(id);
-      if (it == inflight_.end()) return -1;
-      req = std::move(it->second);
-      inflight_.erase(it);
+      if (it == inflight_.end() || it->second->responded) return -1;
+      it->second->responded = true;
+      conn_serial = it->second->conn_serial;
     }
     // keep-alive is a per-connection decision owned by the loop, so the
     // wire bytes are built there; workers only ship status + JSON body.
     PendingResponse pr;
-    pr.conn_serial = req->conn_serial;
+    pr.conn_serial = conn_serial;
     pr.status = status;
     pr.body.assign(body ? body : "", body_len > 0 ? (size_t)body_len : 0);
     {
       std::lock_guard<std::mutex> lk(resp_mu_);
       responses_.push_back(std::move(pr));
+    }
+    // Erase only AFTER the response is queued: the stop-drain check scans
+    // inflight_ then responses_, so the request must stay visible in one
+    // of them at every instant or a stop() in the gap drops the response.
+    {
+      std::lock_guard<std::mutex> lk(queue_mu_);
+      inflight_.erase(id);
     }
     wake();
     return 0;
@@ -230,6 +250,9 @@ class Frontend {
     if (listen_fd_ >= 0) { close(listen_fd_); listen_fd_ = -1; }
     if (event_fd_ >= 0) { close(event_fd_); event_fd_ = -1; }
     if (epoll_fd_ >= 0) { close(epoll_fd_); epoll_fd_ = -1; }
+    for (auto& kv : conns_) {
+      if (kv.second.fd >= 0) close(kv.second.fd);  // loop joined: safe here
+    }
     conns_.clear();
   }
 
@@ -440,7 +463,7 @@ class Frontend {
             chunked = true;
           } else if (key == "expect" && iequals(val, "100-continue")) {
             c.out += "HTTP/1.1 100 Continue\r\n\r\n";
-            pump_write(c);
+            if (!pump_write(c)) return false;  // peer died mid-handshake
           }
         }
         pos = eol + 2;
@@ -448,7 +471,17 @@ class Frontend {
       if (chunked) {
         return protocol_error(c, 501, "{\"error\": \"chunked encoding not supported\"}");
       }
-      if ((size_t)content_length > max_body_) {
+      size_t path_cap = max_body_;
+      if (!large_paths_.empty()) {
+        bool large = false;
+        for (const auto& lp : large_paths_) {
+          if (path == lp) { large = true; break; }
+        }
+        if (!large) path_cap = max_small_body_;
+      }
+      if ((size_t)content_length > path_cap) {
+        // enforced BEFORE buffering: a /retrieve must not make the loop
+        // hold a 64 MiB body that dispatch would reject anyway
         return protocol_error(c, 413, "{\"error\": \"body too large\"}");
       }
       size_t total = hdr_end + 4 + (size_t)content_length;
@@ -523,7 +556,9 @@ class Frontend {
 
   bool on_writable(Conn& c) { return pump_write(c); }
 
-  size_t max_body_ = 64u << 20;
+  size_t max_body_ = 64u << 20;        // cap for large_paths_ (e.g. /index)
+  size_t max_small_body_ = 64u << 20;  // cap for every other path
+  std::vector<std::string> large_paths_;
   int listen_fd_ = -1;
   int event_fd_ = -1;
   int epoll_fd_ = -1;
@@ -558,9 +593,11 @@ class Frontend {
 extern "C" {
 
 void* hf_start(const char* host, int port, int backlog, long max_body,
+               long max_small_body, const char* large_paths,
                int* out_port, char* err, int err_len) {
   auto* fe = new Frontend();
-  if (fe->start(host, port, backlog, max_body) != 0) {
+  if (fe->start(host, port, backlog, max_body, max_small_body,
+                large_paths) != 0) {
     if (err && err_len > 0) {
       snprintf(err, (size_t)err_len, "%s", fe->last_error());
     }

@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 
 from ..utils.logging import get_logger
 from .native import load as _load_lib
-from .routes import MAX_INDEX_BODY_BYTES, dispatch
+from .routes import MAX_BODY_BYTES, MAX_INDEX_BODY_BYTES, dispatch
 
 logger = get_logger(__name__)
 
@@ -75,8 +75,12 @@ class NativeHTTPServer:
         self._request_timeout_s = request_timeout_s
         out_port = ctypes.c_int(0)
         err = ctypes.create_string_buffer(256)
+        # Per-path body caps are enforced in C++ at header-parse time so a
+        # /retrieve can never make the event loop buffer an /index-sized
+        # body it would reject anyway (mirrors the stdlib pre-read guard).
         handle = lib.hf_start(
             host.encode(), int(port), int(backlog), int(max_body_bytes),
+            int(MAX_BODY_BYTES), b"/index,/delete",
             ctypes.byref(out_port), err, len(err),
         )
         if not handle:
@@ -116,9 +120,15 @@ class NativeHTTPServer:
             t.join()
 
     def shutdown(self) -> None:
-        """Stop accepting; workers drain parsed requests then exit."""
-        if self._handle:
-            self._lib.hf_stop(self._handle)
+        """Stop accepting; workers drain parsed requests then exit.
+
+        Every hf_* call on the handle happens under ``self._lock``, and
+        :meth:`server_close` nulls the handle under the same lock before
+        freeing it — so a SIGTERM-thread ``shutdown()`` racing the main
+        thread's ``server_close()`` can never touch freed memory."""
+        with self._lock:
+            if self._handle:
+                self._lib.hf_stop(self._handle)
         self._done.set()
 
     def server_close(self) -> None:
@@ -126,19 +136,28 @@ class NativeHTTPServer:
             if self._closed:
                 return
             self._closed = True
-        self.shutdown()
+            if self._handle:
+                self._lib.hf_stop(self._handle)
+        self._done.set()
+        # join OUTSIDE the lock (workers never take it) so a stuck worker
+        # can't deadlock a concurrent shutdown() call
         for t in self._workers:
             if t is not threading.current_thread():
                 t.join()
-        self._lib.hf_destroy(self._handle)
-        self._handle = None
+        with self._lock:
+            handle, self._handle = self._handle, None
+        if handle:
+            self._lib.hf_destroy(handle)
 
     def counters(self) -> dict:
         """Event-loop counters (accepted conns, parsed requests, responses
         written, protocol errors answered in C++)."""
         vals = [ctypes.c_uint64(0) for _ in range(4)]
-        if self._handle:
-            self._lib.hf_counters(self._handle, *[ctypes.byref(v) for v in vals])
+        with self._lock:
+            if self._handle:
+                self._lib.hf_counters(
+                    self._handle, *[ctypes.byref(v) for v in vals]
+                )
         keys = ("accepted", "parsed", "responded", "protocol_errors")
         return dict(zip(keys, (v.value for v in vals)))
 

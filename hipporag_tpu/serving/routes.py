@@ -79,11 +79,14 @@ def dispatch(
     can always write a well-formed JSON response.
     """
     if method == "GET":
-        if path == "/health":
-            return 200, service.health()
-        if path == "/stats":
-            return 200, service.stats()
-        return 404, {"error": f"unknown path {path}"}
+        if path not in _GET_PATHS:
+            return 404, {"error": f"unknown path {path}"}
+        try:
+            payload = service.health() if path == "/health" else service.stats()
+        except Exception as exc:  # noqa: BLE001 — degraded service, not a crash
+            logger.exception("serving %s failed", path)
+            return 500, {"error": f"{type(exc).__name__}: {exc}"}
+        return 200, payload
     if method != "POST":
         return 405, {"error": f"unsupported method {method}"}
     if path not in _POST_PATHS:
@@ -91,7 +94,9 @@ def dispatch(
     if not body:
         return 400, {"error": "empty body"}
     if len(body) > body_limit(path):
-        return 400, {"error": "body too large"}
+        # 413 to match the native front-end, which rejects at header-parse
+        # time before the body is ever buffered
+        return 413, {"error": "body too large"}
     try:
         data = json.loads(body.decode("utf-8"))
     except (ValueError, UnicodeDecodeError) as exc:

@@ -662,3 +662,68 @@ def test_native_http_keep_alive_sequential_requests():
     finally:
         server.shutdown()
         server.server_close()
+
+
+@pytest.mark.parametrize("frontend", ["stdlib", "native"])
+def test_http_contract_identical_across_frontends(frontend):
+    """Divergences found in review, now pinned: oversize body -> 413 on
+    both transports; unsupported method -> JSON 405 (not stdlib's HTML
+    501); a raising health()/stats() -> JSON 500 (never a dropped
+    connection)."""
+
+    class Flaky:
+        fail = False
+
+        def health(self):
+            if self.fail:
+                raise RuntimeError("engine down")
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    svc = Flaky()
+    server = _make_frontend(frontend, svc)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def req(method, path, body=b""):
+        r = urllib.request.Request(base + path, data=body or None, method=method)
+        try:
+            with urllib.request.urlopen(r, timeout=30) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            return err.code, json.loads(err.read())
+
+    try:
+        # oversize /retrieve body: the per-path 1 MiB cap, not the 64 MiB
+        # /index cap, applies — and the status is 413 on both transports.
+        # Send headers ONLY (raw socket): both front-ends must reject from
+        # the declared Content-Length before any body is buffered (urllib
+        # would race its body send against the early 413 + close).
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(
+            b"POST /retrieve HTTP/1.1\r\nContent-Length: "
+            + str((1 << 20) + 64).encode()
+            + b"\r\n\r\n"
+        )
+        first = s.recv(4096)
+        s.close()
+        assert b"413" in first.split(b"\r\n")[0], first[:80]
+
+        code, body = req("PUT", "/health")
+        assert code == 405 and "PUT" in body["error"], (code, body)
+
+        svc.fail = True
+        code, body = req("GET", "/health")
+        assert code == 500 and "engine down" in body["error"], (code, body)
+        svc.fail = False
+        code, body = req("GET", "/health")
+        assert code == 200 and body["status"] == "ok", (code, body)
+    finally:
+        server.shutdown()
+        server.server_close()
