@@ -48,8 +48,18 @@ with RetrievalService(rag, max_wait_ms=20, response_cache_size=32) as svc:
     )
 
 # ---- 2. the same service over HTTP ----
+# Prefer the native C++ epoll front-end (socket I/O + HTTP parsing outside
+# the GIL — measured 1.6-1.8x full-stack q/s on a 1-core host); the stdlib
+# threaded server is the zero-toolchain fallback. Same wire contract.
 with RetrievalService(rag, max_wait_ms=8) as svc:
-    server = make_server(svc, port=0)  # port=0 -> pick a free port
+    try:
+        from hipporag_tpu.serving.native_http import make_native_server
+
+        server = make_native_server(svc, port=0)  # port=0 -> free port
+        print("\nHTTP front-end: native (C++ epoll)")
+    except (RuntimeError, OSError):
+        server = make_server(svc, port=0)
+        print("\nHTTP front-end: stdlib (native unavailable)")
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     req = urllib.request.Request(

@@ -244,6 +244,155 @@ def build_twiki_fixture():
     print(f"pin these: TWIKI EM={em2} F1={f12}")
 
 
+# ---------------------------------------------------------------------
+# Third fixture: multi-step IRCoT. answer_with_ircot runs reason steps
+# (generic `ircot` template — dataset=None is the documented multi-step
+# fallback) between retrieval rounds; the recording forces one query to
+# finish at step 1 ("So the answer is:" immediately) and the others to
+# emit an intermediate thought first, so the replay exercises BOTH the
+# early-exit and the follow-up-retrieval branches of the loop, then the
+# rag_qa epilogue on the merged rankings. (Ref: HippoRAG.py:509-558.)
+# ---------------------------------------------------------------------
+IRCOT_FIXTURE_PATH = os.path.join(
+    HERE, "tests", "fixtures", "replay_ircot_cache.sqlite"
+)
+IRCOT_CONFIG_KWARGS = dict(CONFIG_KWARGS, dataset=None)
+IRCOT_MAX_STEPS = 3
+# 2/3 exact (the padded-answer query again pins a fractional F1)
+IRCOT_EXPECTED_EM = 0.6667
+IRCOT_EXPECTED_F1 = 0.9333
+
+
+def make_ircot_handler(records, gold_by_question, immediate, mock):
+    """Like make_handler, but reason-step prompts (IRCoT system message)
+    get staged thoughts: queries in `immediate` answer at step 1, the rest
+    emit an intermediate thought (which becomes the follow-up retrieval
+    query) and answer at step 2."""
+    import httpx
+
+    reason_calls = {}
+
+    def handler(request):
+        payload = json.loads(request.content)
+        messages = payload["messages"]
+        system = messages[0]["content"] if messages[0]["role"] == "system" else ""
+        user = _last_user(messages)
+        content = None
+        if "one step at a time" in system:  # the ircot template's system
+            m = re.search(r"Question:\s*(.*)\nThought:", user)
+            q = m.group(1).strip() if m else ""
+            gold = gold_by_question.get(q)
+            if gold is not None:
+                step = reason_calls.get(q, 0)
+                reason_calls[q] = step + 1
+                if step == 0 and q not in immediate:
+                    content = (
+                        "The passages cover part of the chain; I still "
+                        f"need the document that connects the rest of: {q}"
+                    )
+                else:
+                    content = (
+                        "Combining the retrieved passages resolves the "
+                        f"question. So the answer is: {gold}."
+                    )
+        if content is None:
+            qa_match = re.search(r"Question:\s*(.*)\nThought:\s*$", user)
+            if qa_match and qa_match.group(1).strip() in gold_by_question:
+                q = qa_match.group(1).strip()
+                content = (
+                    "The supporting passages identify the answer directly. "
+                    f"\nAnswer: {gold_by_question[q]}"
+                )
+            else:
+                content, _meta, _ = mock.infer(messages)
+        metadata = {
+            "prompt_tokens": sum(len(m["content"].split()) for m in messages),
+            "completion_tokens": len(content.split()),
+            "finish_reason": "stop",
+        }
+        records.append((messages, content, metadata))
+        return httpx.Response(
+            200,
+            json={
+                "choices": [
+                    {"message": {"content": content}, "finish_reason": "stop"}
+                ],
+                "usage": {
+                    "prompt_tokens": metadata["prompt_tokens"],
+                    "completion_tokens": metadata["completion_tokens"],
+                },
+            },
+        )
+
+    return handler
+
+
+def run_ircot_pipeline(cfg_kwargs, save_dir, transport=None):
+    """Index the sample corpus and run answer_with_ircot; returns
+    (em, f1, solutions, rag)."""
+    from hipporag_tpu import BaseConfig, HippoRAG
+    from hipporag_tpu.datasets import load_dataset
+
+    docs, queries, gold_docs, gold_answers = load_dataset("sample", "data")
+    cfg = BaseConfig(save_dir=save_dir, **cfg_kwargs)
+    rag = HippoRAG(global_config=cfg)
+    if transport is not None:
+        from hipporag_tpu.llm.openai_llm import OpenAIChatClient
+
+        rag.llm.client.close()
+        rag.llm.client = OpenAIChatClient(
+            base_url=cfg.llm_base_url, transport=transport
+        )
+    rag.index(docs)
+    solutions, _responses, _meta, _retrieval_eval, qa_eval = rag.answer_with_ircot(
+        queries,
+        gold_docs=gold_docs,
+        gold_answers=gold_answers,
+        max_qa_steps=IRCOT_MAX_STEPS,
+    )
+    return qa_eval["ExactMatch"], qa_eval["F1"], solutions, rag
+
+
+def build_ircot_fixture():
+    import tempfile
+
+    import httpx
+
+    from hipporag_tpu import BaseConfig
+    from hipporag_tpu.datasets import load_dataset
+    from hipporag_tpu.llm.mock import MockLLM
+
+    _docs, queries, _gd, gold_answers = load_dataset("sample", "data")
+    gold_by_question = {}
+    for i, (q, golds) in enumerate(zip(queries, gold_answers)):
+        ans = golds[0]
+        if i == len(queries) - 1:
+            ans = f"{ans} approximately"  # pins a fractional F1
+        gold_by_question[q.strip()] = ans
+    immediate = {queries[0].strip()}  # step-1 early exit for one query
+
+    cfg = BaseConfig(save_dir="unused", **IRCOT_CONFIG_KWARGS)
+    records = []
+    handler = make_ircot_handler(records, gold_by_question, immediate, MockLLM(cfg))
+    em, f1, sols, _ = run_ircot_pipeline(
+        IRCOT_CONFIG_KWARGS, tempfile.mkdtemp(),
+        transport=httpx.MockTransport(handler),
+    )
+    thought_counts = [len(s.thoughts or []) for s in sols]
+    n = write_fixture(records, cfg, IRCOT_FIXTURE_PATH)
+    print(f"recorded {n} responses -> {IRCOT_FIXTURE_PATH}")
+    print(f"ircot recording run: EM={em:.4f} F1={f1:.4f} thoughts={thought_counts}")
+
+    replay_kwargs = dict(
+        IRCOT_CONFIG_KWARGS, llm_replay_cache_path=IRCOT_FIXTURE_PATH
+    )
+    em2, f12, sols2, _ = run_ircot_pipeline(replay_kwargs, tempfile.mkdtemp())
+    counts2 = [len(s.thoughts or []) for s in sols2]
+    print(f"ircot replay-only run: EM={em2:.4f} F1={f12:.4f} thoughts={counts2}")
+    assert (em, f1, thought_counts) == (em2, f12, counts2), "ircot replay drifted"
+    print(f"pin these: IRCOT EM={em2} F1={f12} thoughts={counts2}")
+
+
 def main():
     import tempfile
 
@@ -281,6 +430,8 @@ def main():
     print(f"replay-only run: EM={em2:.4f} F1={f12:.4f}")
     assert (em, f1) == (em2, f12), "replay did not reproduce the recording"
     print(f"pin these in tests/test_replay_e2e.py: EM={em2} F1={f12}")
+
+    build_ircot_fixture()
 
     if os.path.exists(TWIKI_CORPUS):
         build_twiki_fixture()

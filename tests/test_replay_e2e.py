@@ -111,3 +111,25 @@ def test_rag_qa_pinned_em_f1_replay_only_2wiki150(fixture_mod, tmp_path):
     n = conn.execute("SELECT COUNT(*) FROM cache").fetchone()[0]
     conn.close()
     assert n >= 250
+
+
+def test_ircot_pinned_em_f1_replay_only(fixture_mod, tmp_path):
+    """Multi-step IRCoT (reason step -> follow-up retrieval -> reason step
+    -> rag_qa epilogue) with every LLM response replayed from the
+    committed reference-format fixture against a dead endpoint: exact
+    pinned EM/F1, and the recorded branch structure reproduces — one
+    query early-exits at step 1, the others emit an intermediate thought
+    and answer at step 2 (ref HippoRAG.py:509-558)."""
+    fixture = os.path.join(HERE, "tests", "fixtures", "replay_ircot_cache.sqlite")
+    kwargs = dict(fixture_mod.IRCOT_CONFIG_KWARGS, llm_replay_cache_path=fixture)
+    em, f1, sols, rag = fixture_mod.run_ircot_pipeline(kwargs, str(tmp_path / "ir"))
+    assert em == pytest.approx(fixture_mod.IRCOT_EXPECTED_EM, abs=1e-4)
+    assert f1 == pytest.approx(fixture_mod.IRCOT_EXPECTED_F1, abs=1e-4)
+    counts = sorted(len(s.thoughts or []) for s in sols)
+    assert counts == [1, 2, 2], counts  # early exit + two follow-up rounds
+    # every final thought carries the termination marker
+    for s in sols:
+        assert "So the answer is:" in s.thoughts[-1]
+    from hipporag_tpu.llm.openai_llm import CacheOpenAILLM
+
+    assert isinstance(rag.llm, CacheOpenAILLM)
