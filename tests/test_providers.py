@@ -72,6 +72,46 @@ def test_jax_encoder_bucket_padding_consistency(tmp_path):
     np.testing.assert_allclose(solo[0], mixed[0], atol=1e-5)
 
 
+def test_jax_encoder_wire_compression_matches_full_mask(tmp_path):
+    # encode_pretokenized ships int16 ids + row lengths (4x fewer H2D
+    # bytes over the tunnel); the rebuilt on-device mask must reproduce
+    # the full-mask forward exactly, and a non-monotone caller-supplied
+    # mask must fall back to the uncompressed path with identical math.
+    import jax.numpy as jnp
+
+    from hipporag_tpu.embedding.jax_encoder import (
+        JaxEncoderEmbeddingModel, encode_forward,
+    )
+
+    cfg = BaseConfig(
+        embedding_model_name="jax/random-64x2", save_dir=str(tmp_path),
+        embedding_model_dtype="float32",
+    )
+    model = JaxEncoderEmbeddingModel(cfg)
+    ids, mask = model.pretokenize(["hello world one two", "a much longer sentence " * 3])
+    assert set(np.unique(mask)) <= {0, 1}
+    # wire path (monotone mask -> lengths + int16 ids)
+    out_wire = np.asarray(model.encode_pretokenized(ids, mask))
+    # ground truth through the uncompressed forward
+    out_full = np.asarray(
+        encode_forward(model.params, jnp.asarray(ids), jnp.asarray(mask),
+                       model.num_heads, model.compute_dtype)
+    )
+    np.testing.assert_allclose(out_wire, out_full, atol=1e-6)
+
+    # non-monotone mask: punch a hole mid-row; must still match the
+    # full-mask forward (fallback path), not the lengths reconstruction
+    mask2 = mask.copy()
+    mask2[0, 1] = 0
+    out_hole = np.asarray(model.encode_pretokenized(ids, mask2))
+    out_hole_full = np.asarray(
+        encode_forward(model.params, jnp.asarray(ids), jnp.asarray(mask2),
+                       model.num_heads, model.compute_dtype)
+    )
+    np.testing.assert_allclose(out_hole, out_hole_full, atol=1e-6)
+    assert np.abs(out_hole[0] - out_wire[0]).max() > 1e-6  # the hole mattered
+
+
 # ----------------------------------------------------------------------
 # OpenAI-compatible HTTP client (mock transport)
 # ----------------------------------------------------------------------
