@@ -29,6 +29,12 @@ class BaseConfig:
         default_factory=lambda: {"type": "json_object"}
     )
     max_retry_attempts: int = 5
+    # Bedrock auth knobs (reference config_utils.py:58-68): "api_key" reads
+    # AWS_BEARER_TOKEN_BEDROCK; "aws_credentials" SigV4-signs with the named
+    # profile and requires bedrock_region
+    bedrock_mantle_auth: str = "api_key"  # "api_key" | "aws_credentials"
+    bedrock_aws_profile: Optional[str] = None
+    bedrock_region: Optional[str] = None
     # read-only reference-format SQLite cache (llm/replay_cache.py): lets
     # recorded reference-run LLM responses (OpenIE / filter / QA) replay
     # through this framework for pinned parity evals

@@ -89,6 +89,10 @@ class HippoRAG:
         embedding_base_url: Optional[str] = None,
         azure_endpoint: Optional[str] = None,
         azure_embedding_endpoint: Optional[str] = None,
+        extraction_llm=None,
+        qa_llm=None,
+        embedding_model=None,
+        text_preprocessor=None,
         **kwargs,
     ):
         if global_config is None:
@@ -123,10 +127,16 @@ class HippoRAG:
         enable_compilation_cache(
             self.global_config.jax_compilation_cache_dir, self.global_config.save_dir
         )
-        self.llm = get_llm(self.global_config)
-        self.extraction_llm = self.llm  # alias kept for reference API parity
-        self.qa_llm = self.llm
-        self.embedding_model = get_embedding_model(self.global_config)
+        # component injection (ref HippoRAG.py:132-134, 150-152, 190):
+        # callers may hand in pre-built LLMs / embedder / preprocessor;
+        # anything not injected comes from the config-driven factories
+        self.llm = extraction_llm or qa_llm or get_llm(self.global_config)
+        self.llm_model = self.llm  # reference attribute name (HippoRAG.py:132)
+        self.extraction_llm = extraction_llm or self.llm
+        self.qa_llm = qa_llm or self.llm
+        self.embedding_model = embedding_model or get_embedding_model(
+            self.global_config
+        )
         emb_cache = os.path.join(self.working_dir, "embedding_cache.sqlite")
         if hasattr(self.embedding_model, "attach_cache"):
             self.embedding_model.attach_cache(emb_cache)
@@ -142,12 +152,15 @@ class HippoRAG:
 
             self.openie = TransformersOfflineOpenIE(self.global_config)
         else:
-            self.openie = LLMOpenIE(self.llm)
+            self.openie = LLMOpenIE(self.extraction_llm)
         self.prompt_template_manager = PromptTemplateManager()
         self.rerank_filter = RecognitionMemoryFilter(
             self.llm, self.global_config.rerank_dspy_file_path
         )
-        self.preprocessor = get_preprocessor(self.global_config)
+        self.preprocessor = text_preprocessor or get_preprocessor(
+            self.global_config
+        )
+        self.text_preprocessor = self.preprocessor  # reference attribute name
 
         batch = self.global_config.embedding_batch_size
         self.chunk_embedding_store = get_embedding_store(

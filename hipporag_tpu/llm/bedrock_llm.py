@@ -45,10 +45,15 @@ class BedrockLLM(BaseLLM):
                     "BedrockLLM requires boto3 (`pip install boto3`); "
                     "or use an OpenAI-compatible endpoint via llm_base_url"
                 ) from e
-            self.client = boto3.client(
-                "bedrock-runtime",
-                region_name=os.environ.get("AWS_REGION", "us-east-1"),
+            # config-first region/profile (reference config_utils.py:62-68),
+            # env fallback for parity with boto3 conventions
+            region = (
+                getattr(cfg, "bedrock_region", None)
+                or os.environ.get("AWS_REGION", "us-east-1")
             )
+            profile = getattr(cfg, "bedrock_aws_profile", None)
+            session = boto3.Session(profile_name=profile) if profile else boto3
+            self.client = session.client("bedrock-runtime", region_name=region)
 
     def infer(
         self, messages: List[TextChatMessage], **kwargs

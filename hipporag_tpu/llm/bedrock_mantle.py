@@ -21,7 +21,8 @@ from .base import BaseLLM, TextChatMessage
 logger = get_logger(__name__)
 
 
-def _sigv4_headers(method: str, url: str, body: bytes, region: str) -> Dict[str, str]:
+def _sigv4_headers(method: str, url: str, body: bytes, region: str,
+                   profile: str = None) -> Dict[str, str]:
     """SigV4-sign a request using botocore (only needed without an API key)."""
     try:
         import botocore.auth
@@ -32,7 +33,7 @@ def _sigv4_headers(method: str, url: str, body: bytes, region: str) -> Dict[str,
             "SigV4 auth for Bedrock Mantle requires botocore; "
             "set AWS_BEARER_TOKEN_BEDROCK to use API-key auth instead"
         ) from e
-    session = botocore.session.get_session()
+    session = botocore.session.Session(profile=profile)
     creds = session.get_credentials()
     if creds is None:
         raise RuntimeError("No AWS credentials found for SigV4 signing")
@@ -54,12 +55,38 @@ class BedrockMantleLLM(BaseLLM):
             table="llm",
         )
         self.max_retries = cfg.max_retry_attempts
-        self.region = os.environ.get("AWS_REGION", "us-east-1")
+        # auth mode parity with the reference (bedrock_mantle.py:53-64):
+        # "api_key" requires the bearer env var; "aws_credentials" requires
+        # an explicit bedrock_region and SigV4-signs with the named profile
+        self.auth_mode = getattr(cfg, "bedrock_mantle_auth", "api_key")
+        self.aws_profile = getattr(cfg, "bedrock_aws_profile", None)
+        self.region = (
+            getattr(cfg, "bedrock_region", None)
+            or os.environ.get("AWS_REGION", "us-east-1")
+        )
+        self.api_key = os.environ.get("AWS_BEARER_TOKEN_BEDROCK")
+        if self.auth_mode == "api_key":
+            if not self.api_key and transport is None:
+                raise ValueError(
+                    "AWS_BEARER_TOKEN_BEDROCK is required when "
+                    "bedrock_mantle_auth is 'api_key'"
+                )
+        elif self.auth_mode == "aws_credentials":
+            if not getattr(cfg, "bedrock_region", None):
+                raise ValueError(
+                    "bedrock_region is required when bedrock_mantle_auth "
+                    "is 'aws_credentials'"
+                )
+            self.api_key = None  # force SigV4 signing
+        else:
+            raise ValueError(
+                f"Unsupported Bedrock Mantle auth mode: {self.auth_mode!r} "
+                "(expected 'api_key' or 'aws_credentials')"
+            )
         self.base_url = (
             cfg.llm_base_url
             or f"https://bedrock-mantle.{self.region}.amazonaws.com/v1"
         ).rstrip("/")
-        self.api_key = os.environ.get("AWS_BEARER_TOKEN_BEDROCK")
         self._client = httpx.Client(timeout=120.0, transport=transport)
 
     def _post(self, url: str, payload: dict) -> dict:
@@ -70,7 +97,9 @@ class BedrockMantleLLM(BaseLLM):
                 "Content-Type": "application/json",
             }
         else:
-            headers = _sigv4_headers("POST", url, body, self.region)
+            headers = _sigv4_headers(
+                "POST", url, body, self.region, profile=self.aws_profile
+            )
             headers["Content-Type"] = "application/json"
         resp = self._client.post(url, content=body, headers=headers)
         resp.raise_for_status()

@@ -71,6 +71,43 @@ def test_hipporag_full_lifecycle(tmp_path, toy_data):
     assert len(rag2.chunk_embedding_store.get_all_ids()) == 9
 
 
+def test_hipporag_component_injection(tmp_path, toy_data):
+    # reference ctor parity (HippoRAG.py:132-134,150-152,190): callers may
+    # inject pre-built LLMs / embedder / preprocessor instead of the
+    # config-driven factories
+    from hipporag_tpu.embedding import get_embedding_model
+    from hipporag_tpu.llm.mock import MockLLM
+    from hipporag_tpu.preprocessing import TextPreprocessor
+
+    docs, queries, _, _ = toy_data
+    cfg = _config(tmp_path / "inj")
+    my_llm = MockLLM(cfg)
+    my_emb = get_embedding_model(cfg)
+    my_pre = TextPreprocessor()
+    rag = HippoRAG(
+        global_config=cfg,
+        extraction_llm=my_llm,
+        embedding_model=my_emb,
+        text_preprocessor=my_pre,
+    )
+    assert rag.llm is my_llm and rag.extraction_llm is my_llm
+    assert rag.qa_llm is my_llm  # falls back to the extraction LLM
+    assert rag.llm_model is my_llm  # reference attribute name
+    assert rag.embedding_model is my_emb
+    assert rag.preprocessor is my_pre and rag.text_preprocessor is my_pre
+    rag.index(docs[:3])
+    results = rag.retrieve([queries[0]])
+    assert results[0].docs
+    # distinct QA LLM is kept separate from the extraction one
+    qa_llm = MockLLM(cfg)
+    rag2 = HippoRAG(
+        global_config=_config(tmp_path / "inj2"),
+        extraction_llm=my_llm, qa_llm=qa_llm,
+    )
+    assert rag2.extraction_llm is my_llm and rag2.qa_llm is qa_llm
+    assert rag2.llm is my_llm
+
+
 def test_hipporag_incremental_and_delete(tmp_path, toy_data):
     docs, queries, _, _ = toy_data
     rag = HippoRAG(global_config=_config(tmp_path / "inc"))

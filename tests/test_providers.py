@@ -385,6 +385,38 @@ def test_bedrock_mantle_responses_api(tmp_path, monkeypatch):
     assert hit2
 
 
+def test_bedrock_mantle_auth_mode_validation(tmp_path, monkeypatch):
+    # reference parity (bedrock_mantle.py:53-64): aws_credentials mode
+    # requires bedrock_region; unknown modes are rejected outright
+    from hipporag_tpu.llm.bedrock_mantle import BedrockMantleLLM
+
+    monkeypatch.setenv("AWS_BEARER_TOKEN_BEDROCK", "tok")
+    with pytest.raises(ValueError, match="bedrock_region is required"):
+        BedrockMantleLLM(BaseConfig(
+            llm_name="bedrock-mantle/m", save_dir=str(tmp_path),
+            bedrock_mantle_auth="aws_credentials",
+        ))
+    with pytest.raises(ValueError, match="Unsupported Bedrock Mantle auth"):
+        BedrockMantleLLM(BaseConfig(
+            llm_name="bedrock-mantle/m", save_dir=str(tmp_path),
+            bedrock_mantle_auth="oauth",
+        ))
+    # api_key mode without the bearer env (and no injected transport) raises
+    monkeypatch.delenv("AWS_BEARER_TOKEN_BEDROCK")
+    with pytest.raises(ValueError, match="AWS_BEARER_TOKEN_BEDROCK"):
+        BedrockMantleLLM(BaseConfig(
+            llm_name="bedrock-mantle/m", save_dir=str(tmp_path / "b"),
+        ))
+    # region comes from config when set
+    monkeypatch.setenv("AWS_BEARER_TOKEN_BEDROCK", "tok")
+    llm = BedrockMantleLLM(BaseConfig(
+        llm_name="bedrock-mantle/m", save_dir=str(tmp_path / "c"),
+        bedrock_region="eu-west-1",
+    ))
+    assert llm.region == "eu-west-1"
+    assert "eu-west-1" in llm.base_url
+
+
 def test_azure_chat_url_and_header(tmp_path, monkeypatch):
     import httpx
 
