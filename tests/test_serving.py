@@ -546,6 +546,20 @@ def test_http_server_end_to_end(served_rag, frontend):
             assert stats["retrieve"]["requests"] == 1
             assert stats["qa"]["requests"] == 1
 
+            # Prometheus exposition: text/plain content type on BOTH
+            # transports, counters agree with /stats
+            with urllib.request.urlopen(base + "/metrics", timeout=30) as resp:
+                ctype = resp.headers.get("Content-Type", "")
+                metrics = resp.read().decode()
+            assert ctype.startswith("text/plain"), ctype
+            assert "version=0.0.4" in ctype, ctype
+            assert 'hipporag_requests_total{lane="retrieve"} 1' in metrics
+            assert 'hipporag_requests_total{lane="qa"} 1' in metrics
+            assert "# TYPE hipporag_requests_total counter" in metrics
+            assert 'hipporag_latency_ms{lane="retrieve",quantile="0.5"}' in metrics
+            for line in metrics.splitlines():  # exposition-format shape
+                assert line.startswith("#") or " " in line, line
+
             code, body = _post(base + "/index", {"docs": ["not", ""]})
             assert code == 400 and "docs" in body["error"]
             code, body = _post(
