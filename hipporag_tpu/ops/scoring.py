@@ -88,10 +88,26 @@ def score_and_topk(
 
 
 # Above this [B, N] score-matrix footprint the streamed Pallas path is
-# used: XLA's direct matmul+top_k is faster while the matrix fits in HBM
-# (measured on v5e), but its materialization dominates memory at corpus
-# scale. 2 GB leaves ample headroom next to the embedding matrices.
-_PALLAS_SCORE_BYTES = 2 << 30
+# used: XLA's direct matmul+top_k is faster while the matrix fits in HBM,
+# but its materialization dominates memory at corpus scale. Measured on
+# v5e (r4 bench, f32 scores): XLA wins at 0.12 GiB (14.1 vs 33.8 ms) and
+# still at 2.44 GiB (88.3 vs 97.9 ms); Pallas wins at 4.88 GiB (85 vs
+# 131 ms) and is the only survivor where XLA OOMs. 3 GiB sits between the
+# measured points with HBM headroom next to the embedding matrices.
+_PALLAS_SCORE_BYTES = 3 << 30
+
+
+def pallas_topk_route(b: int, n: int, backend: str | None = None) -> bool:
+    """Pure routing decision for :func:`fact_topk` (host logic, no device).
+
+    True -> the streamed Pallas two-pass kernel; False -> XLA matmul+top_k.
+    Pinned by tests/test_pallas.py against the measured v5e size grid so a
+    threshold regression can't silently route the 2.4x-slower Pallas path
+    at small sizes (or OOM XLA at capacity sizes).
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu" and b * n * 4 > _PALLAS_SCORE_BYTES
 
 
 def fact_topk(
@@ -113,9 +129,7 @@ def fact_topk(
     b = queries.shape[0]
     n = keys.shape[0]
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu" and b * n * 4 > _PALLAS_SCORE_BYTES
-        )
+        use_pallas = pallas_topk_route(b, n)
     if use_pallas:
         from .fused_topk import fused_score_topk
 

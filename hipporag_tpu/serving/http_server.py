@@ -56,6 +56,24 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 — stdlib naming
         self._dispatch(b"")
 
+    def do_HEAD(self) -> None:  # noqa: N802 — stdlib naming
+        # HTTP/1.1: HEAD responses carry headers only. Run the GET-shaped
+        # dispatch to get the real status + Content-Length, then suppress
+        # the body so keep-alive clients/proxy health probes stay in sync.
+        code, payload = dispatch(
+            self.service, "GET", self.path, b"", self.request_timeout_s
+        )
+        if isinstance(payload, str):
+            body = payload.encode("utf-8")
+            ctype = "text/plain; version=0.0.4; charset=utf-8"
+        else:
+            body = json.dumps(payload).encode("utf-8")
+            ctype = "application/json"
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+
     def do_POST(self) -> None:  # noqa: N802 — stdlib naming
         # Body-size guard BEFORE buffering (dispatch re-checks length):
         # a /retrieve must not make the handler read a 64 MiB body.
@@ -77,7 +95,6 @@ class _Handler(BaseHTTPRequestHandler):
     do_PUT = do_POST  # noqa: N815 — stdlib naming
     do_DELETE = do_POST  # noqa: N815
     do_PATCH = do_POST  # noqa: N815
-    do_HEAD = do_POST  # noqa: N815
 
 
 def make_server(

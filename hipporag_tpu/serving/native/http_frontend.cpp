@@ -39,6 +39,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -76,6 +77,11 @@ struct Conn {
   bool keep_alive = true;
   bool close_after_write = false; // protocol error or Connection: close
   bool want_write = false;        // EPOLLOUT armed
+  // Bytes the current half-parsed request is entitled to buffer (headers +
+  // declared body on a large-cap path). 0 = no such request: the read loop
+  // then caps c.in at the SMALL body limit, so a client can't pin
+  // max_body_ bytes per connection by streaming while busy or headerless.
+  size_t expected_total = 0;
 };
 
 struct PendingResponse {
@@ -395,7 +401,13 @@ class Frontend {
       if (n > 0) {
         if (c.close_after_write) continue;  // discard post-error bytes
         c.in.append(buf, (size_t)n);
-        if (c.in.size() > max_body_ + kMaxHeaderBytes) {
+        // Before headers complete (or while a response is owed), a client
+        // is only entitled to small-body + header bytes; a half-received
+        // large-path request raises the cap to exactly its declared total.
+        size_t cap = std::max(c.expected_total,
+                              max_small_body_ + kMaxHeaderBytes) +
+                     kMaxHeaderBytes;
+        if (c.in.size() > cap) {
           return protocol_error(c, 413, "{\"error\": \"body too large\"}");
         }
         continue;
@@ -495,8 +507,10 @@ class Frontend {
       size_t total = hdr_end + 4 + (size_t)content_length;
       if (c.in.size() < total) {
         c.in.reserve(total);
+        c.expected_total = total;  // entitle the read loop to buffer it
         return true;  // need more bytes
       }
+      c.expected_total = 0;
       auto req = std::make_unique<Request>();
       req->id = next_request_id_.fetch_add(1);
       req->conn_serial = c.serial;

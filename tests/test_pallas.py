@@ -77,3 +77,27 @@ def test_fact_topk_dispatcher_cpu_fallback():
     )
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
+
+
+def test_pallas_topk_routing_measured_grid():
+    """Pin the fact_topk dispatcher against the v5e-measured size grid
+    (r4 bench, f32 [B, N] scores): XLA wins at 0.12 GiB (14.1 vs 33.8 ms)
+    and 2.44 GiB (88.3 vs 97.9 ms); Pallas wins at 4.88 GiB (85 vs 131 ms)
+    and at sizes where XLA OOMs. A routing regression toward the Pallas
+    path at small sizes costs 2.4x; toward XLA at capacity sizes, OOM."""
+    from hipporag_tpu.ops.scoring import pallas_topk_route
+
+    gib = 1 << 30
+
+    def route_at(score_bytes):
+        # bench grid shape: B=256 queries, N sized to hit the target bytes
+        b = 256
+        n = score_bytes // (b * 4)
+        return pallas_topk_route(b, n, backend="tpu")
+
+    assert route_at(int(0.12 * gib)) is False  # XLA measured 2.4x faster
+    assert route_at(int(2.44 * gib)) is False  # XLA still wins here
+    assert route_at(int(4.88 * gib)) is True  # Pallas measured 85 vs 131 ms
+    assert route_at(10 * gib) is True  # XLA OOMs outright; Pallas only
+    # never Pallas off-TPU: interpret mode is test-only, orders slower
+    assert pallas_topk_route(256, 10 * gib // 1024, backend="cpu") is False

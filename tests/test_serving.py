@@ -638,6 +638,106 @@ def test_native_http_protocol_errors_and_counters():
         server.server_close()
 
 
+def test_native_http_busy_connection_buffer_cap():
+    """While a response is in flight, a client streaming extra bytes is
+    capped at the SMALL body limit (~1 MiB), not max_body_ (64 MiB) — one
+    connection must not pin tens of MiB of event-loop memory (review
+    finding: per-path caps only applied at header-parse time)."""
+    import socket
+
+    release = threading.Event()
+
+    class Slow:
+        def retrieve(self, query, top_k=None, timeout=None):
+            from hipporag_tpu.utils.misc import QuerySolution
+
+            release.wait(timeout=30)
+            return QuerySolution(
+                question=query, docs=["d"], doc_scores=np.array([1.0])
+            )
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("native", Slow())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"query": "q"}).encode()
+        req = (
+            b"POST /retrieve HTTP/1.1\r\nContent-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        s = socket.create_connection(("127.0.0.1", port), timeout=15)
+        s.sendall(req)  # dispatched -> connection busy on the slow service
+        # Flood while busy. The fix caps c.in at ~1.06 MiB; pre-fix the
+        # loop would buffer all 4 MiB (up to 64 MiB) without complaint.
+        flood = b"x" * (4 << 20)
+        try:
+            s.sendall(flood)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server may 413+close before we finish writing
+        release.set()
+        s.settimeout(15)
+        chunks = b""
+        try:
+            while len(chunks) < 1 << 16:
+                b = s.recv(4096)
+                if not b:
+                    break
+                chunks += b
+        except (ConnectionResetError, socket.timeout):
+            pass
+        s.close()
+        # first response may be the slow retrieve's 200; the flood itself
+        # must have drawn a 413 and a close — never a silent 64 MiB buffer
+        assert b"413" in chunks, chunks[:200]
+        assert server.counters()["protocol_errors"] >= 1
+    finally:
+        release.set()
+        server.shutdown()
+        server.server_close()
+
+
+def test_stdlib_head_returns_headers_only():
+    """HEAD must send status + Content-Length but no body (HTTP/1.1);
+    a body on HEAD desyncs keep-alive clients and health probes."""
+    import http.client
+
+    class Stub:
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("stdlib", Stub())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("HEAD", "/health")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        clen = int(resp.getheader("Content-Length"))
+        assert clen > 0  # advertises the GET body size…
+        assert resp.read() == b""  # …but sends no body
+        # keep-alive stays in sync: a GET on the same connection works
+        conn.request("GET", "/health")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_native_http_keep_alive_sequential_requests():
     """One connection, several requests: the native loop parses the next
     request only after the previous response is written (no pipelining
