@@ -1,0 +1,133 @@
+"""Graph-vs-dense retrieval quality on REAL-pipeline extraction output
+(VERDICT r4 missing #2 / next-round #2).
+
+The synthetic 2wiki harness (:mod:`.twiki`) measures quality with mock
+OpenIE injected directly into the indexer. This module instead builds the
+graph through the FULL production provider path — ``CacheOpenAILLM`` with
+real prompt templates, real wire format, real JSON parse/repair — replayed
+from the committed reference-format fixture
+(``tests/fixtures/replay_2wiki_quality_cache.sqlite``, regenerate with
+``python scripts/make_replay_fixture.py quality``), over real
+2WikiMultihopQA passages. Graph and dense (DPR) retrieval then run on the
+SAME index and are compared with paired error bars
+(:func:`..evaluation.stats.paired_retrieval_stats`).
+
+Reference eval protocol this mirrors: HippoRAG.py:413-499 (Recall@k on
+retrieve output, dense baseline via the same embedder).
+
+Everything is deterministic: a replay miss against the dead loopback
+endpoint raises instead of silently degrading, so the pinned recall values
+in tests/test_replay_quality.py reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+from ..utils.logging import get_logger
+from .twiki import doc_text, load_corpus, synthesize_multihop_queries
+
+logger = get_logger(__name__)
+
+# The EXACT config the recording and every replay share — prompts (and so
+# cache keys) depend on the doc chunks and the filter candidates, which
+# depend on these. Retrieval calibration matches the r3-swept harness
+# values (twiki.run_2wiki_eval) so the two quality sections are comparable.
+QUALITY_CONFIG_KWARGS = dict(
+    llm_name="gpt-4o-mini",
+    # dead loopback: any non-replayed request fails fast instead of
+    # going out (zero-egress guarantee for the pinned numbers)
+    llm_base_url="http://127.0.0.1:9",
+    embedding_model_name="hashing",
+    embedding_dim=1024,
+    dataset="2wikimultihopqa",
+    retrieval_top_k=20,
+    linking_top_k=3,
+    passage_node_weight=0.1,
+    embedding_batch_size=256,
+)
+QUALITY_DOCS = 1000  # yields 168 synthesizable 2-hop query pairs
+QUALITY_CORPUS = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
+
+
+def load_quality_slice(
+    corpus_path: str = QUALITY_CORPUS, n_docs: int = QUALITY_DOCS
+) -> Tuple[List[str], List[str], List[List[str]]]:
+    """(docs, questions, gold_docs) for the quality slice."""
+    corpus = load_corpus(corpus_path)[:n_docs]
+    synth = synthesize_multihop_queries(corpus, max_queries=10**9)
+    questions = [q for q, _, _ in synth]
+    gold_docs = [g for _, g, _ in synth]
+    return [doc_text(c) for c in corpus], questions, gold_docs
+
+
+def run_replay_quality_eval(
+    fixture_path: str,
+    save_dir: str,
+    corpus_path: str = QUALITY_CORPUS,
+    n_docs: int = QUALITY_DOCS,
+    transport=None,
+    record_handler=None,
+) -> Dict:
+    """Index the quality slice through the real provider pipeline and
+    report graph vs dense Recall@{1,2,5,10,20} with paired stats.
+
+    With ``transport`` set (recording mode, used by
+    scripts/make_replay_fixture.py) the LLM client talks to that transport
+    instead of the replay cache; otherwise every LLM response comes from
+    ``fixture_path`` and a miss raises.
+    """
+    from ..config import BaseConfig
+    from ..hipporag import HippoRAG
+    from .stats import paired_retrieval_stats
+
+    docs, questions, gold_docs = load_quality_slice(corpus_path, n_docs)
+    if not questions:
+        raise ValueError("no synthesizable queries in the quality slice")
+
+    cfg_kw = dict(QUALITY_CONFIG_KWARGS, save_dir=save_dir)
+    if transport is None:
+        cfg_kw["llm_replay_cache_path"] = fixture_path
+    rag = HippoRAG(global_config=BaseConfig(**cfg_kw))
+    if transport is not None:
+        from ..llm.openai_llm import OpenAIChatClient
+
+        rag.llm.client.close()
+        rag.llm.client = OpenAIChatClient(
+            base_url=cfg_kw["llm_base_url"], transport=transport
+        )
+
+    t0 = time.time()
+    rag.index(docs)
+    index_s = time.time() - t0
+    info = rag.get_graph_info()
+
+    t0 = time.time()
+    results, recall = rag.retrieve(questions, gold_docs=gold_docs)
+    retrieve_s = time.time() - t0
+    dense_results, dense_recall = rag.retrieve_dpr(
+        questions, gold_docs=gold_docs
+    )
+
+    stats = paired_retrieval_stats(
+        gold_docs,
+        [r.docs for r in results],
+        [r.docs for r in dense_results],
+        k_list=(2, 5, 20),
+    )
+    out = {
+        "corpus_docs": len(docs),
+        "num_queries": len(questions),
+        "graph_nodes": info["num_total_nodes"],
+        "graph_edges": info["num_total_triples"],
+        "index_s": round(index_s, 1),
+        "retrieve_s": round(retrieve_s, 1),
+        "recall": {k: recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)},
+        "dense_recall": {
+            k: dense_recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)
+        },
+        "stats": stats,
+    }
+    logger.info("replay quality eval: %s", out)
+    return out

@@ -393,6 +393,60 @@ def build_ircot_fixture():
     print(f"pin these: IRCOT EM={em2} F1={f12} thoughts={counts2}")
 
 
+# ---------------------------------------------------------------------
+# Fourth fixture: retrieval QUALITY at real-corpus scale (VERDICT r4 #2).
+# 1000 real 2wiki passages, 168 synthesized 2-hop queries, indexed through
+# the REAL provider pipeline; graph vs dense Recall@k measured on the
+# resulting graph (evaluation/replay_quality.py). Recording answers the
+# structural prompts (OpenIE NER/triples, recognition-memory filter) with
+# the deterministic MockLLM responders — no QA pass, retrieval only.
+# ---------------------------------------------------------------------
+QUALITY_FIXTURE_PATH = os.path.join(
+    HERE, "tests", "fixtures", "replay_2wiki_quality_cache.sqlite"
+)
+
+
+def build_quality_fixture():
+    import tempfile
+
+    import httpx
+
+    from hipporag_tpu import BaseConfig
+    from hipporag_tpu.evaluation.replay_quality import (
+        QUALITY_CONFIG_KWARGS,
+        run_replay_quality_eval,
+    )
+    from hipporag_tpu.llm.mock import MockLLM
+
+    cfg = BaseConfig(save_dir="unused", **QUALITY_CONFIG_KWARGS)
+    records = []
+    # no QA prompts in this pipeline -> empty gold map; every structural
+    # prompt falls through to the MockLLM responders
+    handler = make_handler(records, {}, MockLLM(cfg))
+    rec = run_replay_quality_eval(
+        fixture_path=None,
+        save_dir=tempfile.mkdtemp(),
+        transport=httpx.MockTransport(handler),
+    )
+    n = write_fixture(records, cfg, QUALITY_FIXTURE_PATH)
+    print(f"recorded {n} responses -> {QUALITY_FIXTURE_PATH}")
+    print(f"quality recording run: recall={rec['recall']} "
+          f"dense={rec['dense_recall']}")
+
+    rep = run_replay_quality_eval(
+        fixture_path=QUALITY_FIXTURE_PATH, save_dir=tempfile.mkdtemp()
+    )
+    print(f"quality replay-only run: recall={rep['recall']} "
+          f"dense={rep['dense_recall']}")
+    assert (rec["recall"], rec["dense_recall"]) == (
+        rep["recall"], rep["dense_recall"],
+    ), "quality replay did not reproduce"
+    print("pin these in tests/test_replay_quality.py:")
+    print(f"  recall={rep['recall']}")
+    print(f"  dense ={rep['dense_recall']}")
+    print(f"  stats r5: {rep['stats'][5]}")
+
+
 def main():
     import tempfile
 
@@ -400,6 +454,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # selective rebuild: `make_replay_fixture.py quality` builds only the
+    # (largest) quality fixture
+    if len(sys.argv) > 1 and sys.argv[1] == "quality":
+        build_quality_fixture()
+        return
 
     from hipporag_tpu import BaseConfig
     from hipporag_tpu.datasets import load_dataset
@@ -435,6 +495,7 @@ def main():
 
     if os.path.exists(TWIKI_CORPUS):
         build_twiki_fixture()
+        build_quality_fixture()
     else:
         print(f"2wiki corpus missing at {TWIKI_CORPUS}; skipped that fixture")
 
