@@ -79,6 +79,9 @@ _COMPACT_KEYS = [
     "realgraph_recall@5_graph", "realgraph_recall@5_dense",
     "realgraph_r5_mcnemar_p", "realgraph_r2_mcnemar_p",
     "realgraph_queries",
+    # second dataset schema (hotpotqa supporting_facts loader branch)
+    "hotpot_recall@5_graph", "hotpot_recall@5_dense",
+    "hotpot_r5_mcnemar_p", "hotpot_queries",
     # scale + serving + encoder + kernels
     "big_graph_batch_ms", "b2x_batch_ms",
     "single_query_e2e_ms", "single_query_device_ms",
@@ -1238,6 +1241,57 @@ def main():
             import shutil
 
             shutil.rmtree(locals().get("twiki_tmp", "/nonexistent"),
+                          ignore_errors=True)
+
+    # ------------- second dataset schema: hotpotqa supporting_facts -------------
+    # Same graph-vs-dense protocol through datasets.py's hotpotqa loader
+    # branch (gold docs rebuilt from context sentence lists), with a
+    # bridge + comparison question mix — guards score semantics against
+    # overfit to the 2wiki dataset shape (VERDICT r4 #4).
+    if os.environ.get("BENCH_HOTPOT", "1") == "0":
+        sections["hotpot_quality"] = "skipped (BENCH_HOTPOT=0)"
+    elif not os.path.exists(twiki_corpus):
+        sections["hotpot_quality"] = "skipped (corpus file missing)"
+    elif not over_deadline("hotpot_quality"):
+        try:
+            import tempfile
+
+            from hipporag_tpu.evaluation.hotpot_synth import run_hotpot_eval
+
+            hp_tmp = tempfile.mkdtemp()
+            hp = run_hotpot_eval(
+                twiki_corpus,
+                save_dir=hp_tmp,
+                n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
+                n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
+            )
+            extra["hotpot_docs"] = hp["corpus_docs"]
+            extra["hotpot_queries"] = hp["num_queries"]
+            for kk in (2, 5, 20):
+                extra[f"hotpot_recall@{kk}_graph"] = hp["recall"][kk]
+                extra[f"hotpot_recall@{kk}_dense"] = hp["dense_recall"][kk]
+            for kk, st in hp["stats"].items():
+                extra[f"hotpot_r{kk}_mcnemar_p"] = st["mcnemar_p"]
+                extra[f"hotpot_r{kk}_delta"] = st["delta"]
+                extra[f"hotpot_r{kk}_delta_ci95"] = st["ci95"]
+                extra[f"hotpot_r{kk}_significant"] = st["significant"]
+            extra["hotpot_by_type"] = hp["by_type"]
+            sections["hotpot_quality"] = "ok"
+            log(
+                f"hotpot-schema quality ({hp['corpus_docs']} docs, "
+                f"{hp['num_queries']} queries): "
+                f"R@2 graph {hp['recall'][2]} vs dense {hp['dense_recall'][2]}; "
+                f"R@5 graph {hp['recall'][5]} vs dense {hp['dense_recall'][5]}; "
+                f"R@20 graph {hp['recall'][20]} vs dense {hp['dense_recall'][20]}; "
+                f"by_type {hp['by_type']}; stats {hp['stats']}"
+            )
+        except Exception as e:  # noqa: BLE001
+            sections["hotpot_quality"] = f"skipped ({e})"
+            log(f"hotpot_quality section skipped: {e}")
+        finally:
+            import shutil
+
+            shutil.rmtree(locals().get("hp_tmp", "/nonexistent"),
                           ignore_errors=True)
 
     # ------------- quality on REAL extraction output (replay) -------------
