@@ -68,7 +68,6 @@ def run_replay_quality_eval(
     corpus_path: str = QUALITY_CORPUS,
     n_docs: int = QUALITY_DOCS,
     transport=None,
-    record_handler=None,
 ) -> Dict:
     """Index the quality slice through the real provider pipeline and
     report graph vs dense Recall@{1,2,5,10,20} with paired stats.

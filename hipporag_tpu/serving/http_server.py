@@ -32,7 +32,7 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt: str, *args: Any) -> None:  # noqa: A003
         logger.debug("http %s", fmt % args)
 
-    def _send(self, code: int, payload) -> None:
+    def _send(self, code: int, payload, head_only: bool = False) -> None:
         # a str payload is pre-rendered text (Prometheus /metrics);
         # everything else on this server speaks JSON
         if isinstance(payload, str):
@@ -45,7 +45,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        self.wfile.write(body)
+        if not head_only:
+            self.wfile.write(body)
 
     def _dispatch(self, body: bytes) -> None:
         code, payload = dispatch(
@@ -63,16 +64,7 @@ class _Handler(BaseHTTPRequestHandler):
         code, payload = dispatch(
             self.service, "GET", self.path, b"", self.request_timeout_s
         )
-        if isinstance(payload, str):
-            body = payload.encode("utf-8")
-            ctype = "text/plain; version=0.0.4; charset=utf-8"
-        else:
-            body = json.dumps(payload).encode("utf-8")
-            ctype = "application/json"
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
+        self._send(code, payload, head_only=True)
 
     def do_POST(self) -> None:  # noqa: N802 — stdlib naming
         # Body-size guard BEFORE buffering (dispatch re-checks length):

@@ -408,7 +408,22 @@ class Frontend {
                               max_small_body_ + kMaxHeaderBytes) +
                      kMaxHeaderBytes;
         if (c.in.size() > cap) {
-          return protocol_error(c, 413, "{\"error\": \"body too large\"}");
+          // A fast client can deliver headers + a multi-MiB large-path
+          // body without the loop ever hitting EAGAIN — entitlement
+          // (c.expected_total) is normally established by parse_requests
+          // AFTER the drain. Parse now so a legitimate /index upload is
+          // never mistaken for a flood; while a response is owed (busy)
+          // the small cap stands — that is the attack window.
+          if (!c.busy && c.expected_total == 0) {
+            if (!parse_requests(c)) return false;
+            if (c.close_after_write) return true;  // error response owed
+            cap = std::max(c.expected_total,
+                           max_small_body_ + kMaxHeaderBytes) +
+                  kMaxHeaderBytes;
+          }
+          if (c.in.size() > cap) {
+            return protocol_error(c, 413, "{\"error\": \"body too large\"}");
+          }
         }
         continue;
       }

@@ -34,7 +34,8 @@ TUNNEL_MBPS = 30.0  # axon bulk transfer
 TUNNEL_RTT_MS = 30.0
 
 
-def frontier_fractions(N, E, batch, seeds_per_query, iters, seed=0):
+def frontier_fractions(N, E, batch, seeds_per_query, iters, seed=1):
+    # seed=1 matches the bench's reset-vector RNG (bench.py rng seed 1)
     import time
 
     import scipy.sparse as sp
@@ -51,7 +52,7 @@ def frontier_fractions(N, E, batch, seeds_per_query, iters, seed=0):
     indeg = np.asarray(A.sum(axis=1)).ravel()
     total_entries = float(indeg.sum())
 
-    rng = np.random.default_rng(1)  # the bench's seed protocol
+    rng = np.random.default_rng(seed)
     qseeds = rng.integers(0, N, size=(batch, seeds_per_query))
     active = np.zeros(N, bool)
     active[qseeds.ravel()] = True

@@ -703,10 +703,68 @@ def test_native_http_busy_connection_buffer_cap():
         server.server_close()
 
 
+def test_native_http_large_index_body_accepted():
+    """Regression (review finding on the busy-cap fix): a legitimate
+    multi-MiB /index body sent in ONE fast burst must NOT trip the
+    small-body flood cap — a fast client can land headers + body without
+    the event loop ever hitting EAGAIN, so entitlement must be
+    established by parsing, not only after the read drain."""
+    import http.client
+
+    class Counter:
+        def __init__(self):
+            self.docs = []
+
+        def index(self, docs, timeout=None):
+            self.docs.extend(docs)
+            return {"ok": True, "docs": len(docs)}
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    svc = Counter()
+    server = _make_frontend("native", svc)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # ~8 MiB body: far over the ~1 MiB small cap, far under the
+        # 64 MiB /index cap
+        big_doc = "x" * (8 << 20)
+        body = json.dumps({"docs": [big_doc]})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/index", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200 and out == {"ok": True, "docs": 1}, out
+        assert svc.docs and len(svc.docs[0]) == (8 << 20)
+        assert server.counters()["protocol_errors"] == 0
+        # the same size on a SMALL-cap path must still 413
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        try:
+            conn2.request("POST", "/retrieve", body,
+                          {"Content-Type": "application/json"})
+            resp2 = conn2.getresponse()
+            assert resp2.status == 413, resp2.status
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server may 413+close before the client finishes writing
+        conn.close()
+        conn2.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_stdlib_head_returns_headers_only():
     """HEAD must send status + Content-Length but no body (HTTP/1.1);
-    a body on HEAD desyncs keep-alive clients and health probes."""
-    import http.client
+    a body on HEAD desyncs keep-alive clients and health probes. Read the
+    RAW socket: http.client never reads a body for HEAD, so it would mask
+    exactly the bug this pins (do_HEAD used to alias do_POST)."""
+    import socket
 
     class Stub:
         def health(self):
@@ -720,19 +778,26 @@ def test_stdlib_head_returns_headers_only():
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
-        conn.request("HEAD", "/health")
-        resp = conn.getresponse()
-        assert resp.status == 200
-        clen = int(resp.getheader("Content-Length"))
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(b"HEAD /health HTTP/1.1\r\nHost: x\r\n"
+                  b"Connection: close\r\n\r\n")
+        raw = b""
+        while True:
+            b_ = s.recv(4096)
+            if not b_:
+                break
+            raw += b_
+        s.close()
+        head, _, after = raw.partition(b"\r\n\r\n")
+        assert head.startswith(b"HTTP/1.0 200") or head.startswith(
+            b"HTTP/1.1 200"
+        ), raw[:80]
+        clen = int(
+            [ln for ln in head.split(b"\r\n")
+             if ln.lower().startswith(b"content-length:")][0].split(b":")[1]
+        )
         assert clen > 0  # advertises the GET body size…
-        assert resp.read() == b""  # …but sends no body
-        # keep-alive stays in sync: a GET on the same connection works
-        conn.request("GET", "/health")
-        resp = conn.getresponse()
-        assert resp.status == 200
-        assert json.loads(resp.read())["status"] == "ok"
-        conn.close()
+        assert after == b""  # …but the wire carries NO body bytes
     finally:
         server.shutdown()
         server.server_close()
