@@ -684,6 +684,54 @@ def test_transformers_embedder_executes(tmp_path, tiny_hf_model_dir):
     assert emb.embedding_dim == 32
 
 
+def test_contriever_embedder_executes(tmp_path, tiny_hf_model_dir):
+    """Contriever conventions EXECUTED against the tiny local model:
+    mask-weighted mean pooling over last_hidden_state (pinned against a
+    manual torch derivation, ref Contriever.py:15-18), instructions
+    ignored (Contriever is instruction-free), factory routing by name."""
+    import shutil
+
+    import torch
+
+    from hipporag_tpu.embedding import get_embedding_model
+    from hipporag_tpu.embedding.contriever import (
+        ContrieverEmbeddingModel,
+        mean_pooling,
+    )
+
+    # the factory routes on the substring; give the checkpoint such a path
+    model_dir = str(tmp_path / "facebook-contriever-tiny")
+    shutil.copytree(tiny_hf_model_dir, model_dir)
+    cfg = BaseConfig(
+        embedding_model_name=model_dir,
+        save_dir=str(tmp_path),
+        embedding_return_as_normalized=False,
+    )
+    emb = get_embedding_model(cfg)
+    assert isinstance(emb, ContrieverEmbeddingModel)
+
+    out = emb.batch_encode(["alpha beta gamma", "delta"])
+    assert out.shape == (2, 32) and out.dtype == np.float32
+    # instruction-free: the same text under an instruction encodes
+    # identically (format_with_instruction returns the text unchanged)
+    out_instr = emb.batch_encode(
+        ["alpha beta gamma", "delta"], instruction="Find the passage"
+    )
+    np.testing.assert_array_equal(out, out_instr)
+
+    # pooling parity vs a manual derivation on the same model
+    inputs = emb._tokenizer(
+        ["alpha beta gamma", "delta"], padding=True, return_tensors="pt"
+    )
+    with torch.no_grad():
+        hidden = emb._model(**inputs).last_hidden_state
+    mask = inputs["attention_mask"]
+    want = (hidden * mask[..., None]).sum(1) / mask.sum(1)[..., None]
+    got = mean_pooling(hidden, mask)
+    np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(out, want.numpy(), rtol=1e-5)
+
+
 def test_transformers_offline_batch_executes(tmp_path, tiny_hf_model_dir):
     """The offline batch engine's left-padded batched generate + per-row
     token accounting run against the tiny local model (the vLLM variant
