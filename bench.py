@@ -1253,6 +1253,10 @@ def main():
         sections["hotpot_quality"] = "skipped (BENCH_HOTPOT=0)"
     elif not os.path.exists(twiki_corpus):
         sections["hotpot_quality"] = "skipped (corpus file missing)"
+    elif degraded:
+        # device solves over a degraded tunnel can hang for minutes per
+        # batch and over_deadline only checks at section START
+        sections["hotpot_quality"] = "skipped (degraded link)"
     elif not over_deadline("hotpot_quality"):
         try:
             import tempfile
@@ -1308,6 +1312,8 @@ def main():
         sections["replay_quality"] = "skipped (BENCH_REPLAY_QUALITY=0)"
     elif not (os.path.exists(_rq_fixture) and os.path.exists(twiki_corpus)):
         sections["replay_quality"] = "skipped (fixture or corpus missing)"
+    elif degraded:
+        sections["replay_quality"] = "skipped (degraded link)"
     elif not over_deadline("replay_quality"):
         try:
             import tempfile
