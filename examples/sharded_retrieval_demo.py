@@ -13,7 +13,12 @@ to simulate 8 devices. Run: python examples/sharded_retrieval_demo.py
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _shared  # noqa: F401 — repo path + HIPPO_PLATFORM override (this
+# was the one example that imported jax directly, so on a box whose site
+# config force-registers its own backend it silently ran on the tunneled
+# TPU — and hung for the length of a degraded-link episode)
 
 import jax
 import jax.numpy as jnp
