@@ -22,13 +22,20 @@ from ..storage.kv_cache import SqliteKVCache, hash_key
 
 
 def l2_normalize(x: np.ndarray, axis: int = -1, eps: float = 1e-12) -> np.ndarray:
-    # single-pass einsum for the ubiquitous 2D row-normalize: 4.3x faster
-    # than np.linalg.norm on this host (0.028 vs 0.121 s at 56k x 1024 —
-    # norm was ~11 s of a 35 s 3000-doc index profile, scripts/
-    # index_profile.py r5); the general path keeps norm() semantics
-    if x.ndim == 2 and axis in (-1, 1):
-        sq = np.einsum("ij,ij->i", x, x, optimize=True)
-        norm = np.sqrt(sq, dtype=x.dtype if x.dtype.kind == "f" else None)[:, None]
+    # single-pass einsum for the ubiquitous last-axis normalize: 4.3x
+    # faster than np.linalg.norm on this host (0.028 vs 0.121 s at
+    # 56k x 1024 — norm was ~11 s of a 35 s 3000-doc index profile,
+    # scripts/index_profile.py r5). einsum's sequential accumulation is
+    # NOT bit-identical to norm()'s pairwise add.reduce (~1e-6 relative
+    # on f32), so the fast path covers EVERY axis=-1 shape — the same
+    # rows normalize the same whether they arrive 2D or N-D
+    # (parity-pinned in tests/test_foundation.py); only axis!=-1
+    # falls back to norm().
+    if axis == -1 or axis == x.ndim - 1:
+        sq = np.einsum("...i,...i->...", x, x, optimize=True)
+        norm = np.sqrt(sq, dtype=x.dtype if x.dtype.kind == "f" else None)[
+            ..., None
+        ]
     else:
         norm = np.linalg.norm(x, axis=axis, keepdims=True)
     return x / np.maximum(norm, eps)

@@ -205,18 +205,22 @@ def run_hotpot_eval(
     )
 
     # per-question-type recall (bridge must win on graph; comparison must
-    # not lose) — doc-level hits at k=5
-    from .stats import doc_level_hits
+    # not lose) at k=5. per_query_recall is one value PER QUERY, so the
+    # question-type index selects the right rows; doc_level_hits would be
+    # one value per (query, gold doc) PAIR — 2n entries — and indexing it
+    # with query indices scrambles the split (regression-pinned in
+    # tests/test_hotpot_harness.py).
+    from .stats import per_query_recall
 
-    hits_g = doc_level_hits(gold_docs, [r.docs for r in results], 5)
-    hits_d = doc_level_hits(gold_docs, [r.docs for r in dense_results], 5)
+    rec_g = per_query_recall(gold_docs, [r.docs for r in results], 5)
+    rec_d = per_query_recall(gold_docs, [r.docs for r in dense_results], 5)
     by_type: Dict[str, Dict[str, float]] = {}
     for t in ("bridge", "comparison"):
         idx = [i for i, tt in enumerate(types) if tt == t]
         if idx:
             by_type[t] = {
-                "graph_r5": round(sum(hits_g[i] for i in idx) / len(idx), 4),
-                "dense_r5": round(sum(hits_d[i] for i in idx) / len(idx), 4),
+                "graph_r5": round(float(rec_g[idx].mean()), 4),
+                "dense_r5": round(float(rec_d[idx].mean()), 4),
                 "n": len(idx),
             }
 

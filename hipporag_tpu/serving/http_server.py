@@ -61,6 +61,18 @@ class _Handler(BaseHTTPRequestHandler):
         # HTTP/1.1: HEAD responses carry headers only. Run the GET-shaped
         # dispatch to get the real status + Content-Length, then suppress
         # the body so keep-alive clients/proxy health probes stay in sync.
+        # A HEAD request may itself declare a body (unusual but legal) —
+        # drain it, or its bytes are parsed as the next request line.
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._send(400, {"error": "invalid Content-Length"})
+            return
+        if length > body_limit(self.path):
+            self._send(413, {"error": "body too large"})
+            return
+        if length > 0:
+            self.rfile.read(length)
         code, payload = dispatch(
             self.service, "GET", self.path, b"", self.request_timeout_s
         )

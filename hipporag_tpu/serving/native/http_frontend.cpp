@@ -82,6 +82,7 @@ struct Conn {
   // then caps c.in at the SMALL body limit, so a client can't pin
   // max_body_ bytes per connection by streaming while busy or headerless.
   size_t expected_total = 0;
+  bool head_request = false;  // in-flight request used the HEAD method
 };
 
 struct PendingResponse {
@@ -106,10 +107,15 @@ const char* reason_for(int status) {
   }
 }
 
+// head_only: RFC 9110 §9.3.2 — a response to HEAD carries the same
+// headers a GET would (including Content-Length of the body it is NOT
+// sending) but MUST NOT include a body; writing one desyncs keep-alive
+// clients (they parse the stale body bytes as the next status line).
 std::string build_response(int status, const char* body, size_t body_len,
-                           bool keep_alive, int ctype = 0) {
+                           bool keep_alive, int ctype = 0,
+                           bool head_only = false) {
   std::string r;
-  r.reserve(body_len + 192);
+  r.reserve((head_only ? 0 : body_len) + 192);
   char head[224];
   // ctype 1 is the Prometheus exposition content type (/metrics);
   // everything else on this server speaks JSON.
@@ -124,7 +130,7 @@ std::string build_response(int status, const char* body, size_t body_len,
                    status, reason_for(status), ct, body_len,
                    keep_alive ? "keep-alive" : "close");
   r.append(head, (size_t)n);
-  if (body_len) r.append(body, body_len);
+  if (body_len && !head_only) r.append(body, body_len);
   return r;
 }
 
@@ -413,8 +419,12 @@ class Frontend {
           // (c.expected_total) is normally established by parse_requests
           // AFTER the drain. Parse now so a legitimate /index upload is
           // never mistaken for a flood; while a response is owed (busy)
-          // the small cap stands — that is the attack window.
-          if (!c.busy && c.expected_total == 0) {
+          // the small cap stands — that is the attack window. Parsing also
+          // when expected_total != 0 lets a completed large body be
+          // consumed mid-burst, so keep-alive bytes PIPELINED behind it
+          // are judged against the busy small-cap instead of 413ing the
+          // whole connection.
+          if (!c.busy) {
             if (!parse_requests(c)) return false;
             if (c.close_after_write) return true;  // error response owed
             cap = std::max(c.expected_total,
@@ -497,8 +507,15 @@ class Frontend {
           } else if (key == "transfer-encoding") {
             chunked = true;
           } else if (key == "expect" && iequals(val, "100-continue")) {
-            c.out += "HTTP/1.1 100 Continue\r\n\r\n";
-            if (!pump_write(c)) return false;  // peer died mid-handshake
+            // Send the interim response ONCE per request: while a declared
+            // body is still streaming in, every read event re-scans these
+            // buffered headers (expected_total != 0 marks that re-scan), and
+            // a strict client accepts at most one 1xx before the final
+            // response.
+            if (c.expected_total == 0) {
+              c.out += "HTTP/1.1 100 Continue\r\n\r\n";
+              if (!pump_write(c)) return false;  // peer died mid-handshake
+            }
           }
         }
         pos = eol + 2;
@@ -534,6 +551,7 @@ class Frontend {
       req->body = c.in.substr(hdr_end + 4, (size_t)content_length);
       c.in.erase(0, total);
       c.keep_alive = keep_alive;
+      c.head_request = req->method == "HEAD";
       c.busy = true;
       parsed_.fetch_add(1);
       {
@@ -560,8 +578,9 @@ class Frontend {
       Conn& c = it->second;
       bool ka = c.keep_alive && !stopping_.load();
       c.out += build_response(pr.status, pr.body.data(), pr.body.size(), ka,
-                              pr.ctype);
+                              pr.ctype, /*head_only=*/c.head_request);
       if (!ka) c.close_after_write = true;
+      c.head_request = false;
       c.busy = false;
       if (!pump_write(c)) {
         close_conn(pr.conn_serial);

@@ -192,8 +192,12 @@ class NativeHTTPServer:
             )
             ctype = 0  # application/json
             try:
+                # HEAD runs the GET-shaped dispatch for the real status and
+                # Content-Length (same as the stdlib front-end's do_HEAD);
+                # the C++ loop suppresses the body bytes on the wire.
                 status, payload = dispatch(
-                    self._service, m, p, body, self._request_timeout_s
+                    self._service, "GET" if m == "HEAD" else m, p, body,
+                    self._request_timeout_s,
                 )
                 if isinstance(payload, str):  # pre-rendered text (/metrics)
                     wire = payload.encode("utf-8")

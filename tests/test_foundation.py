@@ -318,6 +318,32 @@ def test_parquet_store_loads_legacy_list_layout(tmp_path):
     np.testing.assert_allclose(store2.get_embedding("h1"), embs[0])
 
 
+def test_l2_normalize_parity():
+    """The einsum fast path must (a) match a float64 reference within f32
+    tolerance and (b) be SHAPE-CONSISTENT: the same rows normalize
+    identically whether they arrive 2D or stacked N-D (the fast path
+    covers every axis=-1 shape, so no caller straddles two accumulation
+    orders)."""
+    from hipporag_tpu.embedding.base import l2_normalize
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((64, 1024)).astype(np.float32)
+    got = l2_normalize(x)
+    ref = (x.astype(np.float64) / np.linalg.norm(x.astype(np.float64), axis=-1, keepdims=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    # rows are unit-norm
+    np.testing.assert_allclose(np.einsum("ij,ij->i", got, got), 1.0, atol=1e-5)
+    # 2D vs 3D consistency must be EXACT (same code path, same accumulation)
+    got3 = l2_normalize(x.reshape(8, 8, 1024)).reshape(64, 1024)
+    np.testing.assert_array_equal(got, got3)
+    # axis != -1 fallback still normalizes correctly
+    gota = l2_normalize(x, axis=0)
+    np.testing.assert_allclose(np.linalg.norm(gota, axis=0), 1.0, atol=1e-5)
+    # zero rows stay finite (eps floor)
+    z = l2_normalize(np.zeros((3, 8), dtype=np.float32))
+    assert np.isfinite(z).all() and (z == 0).all()
+
+
 def test_mock_embedder_similarity():
     model = MockEmbeddingModel(BaseConfig(embedding_dim=64))
     v = model.batch_encode(["Erik Hort was born in Montebello", "Montebello is in Rockland County", "bananas are yellow"])

@@ -75,6 +75,16 @@ def test_hotpot_graph_vs_dense(tmp_path):
     assert res["num_queries"] == 50
     assert res["recall"][5] >= res["dense_recall"][5]
     bt = res["by_type"]
+    # regression pin for the by_type indexing bug: the split must be over
+    # QUERIES (per_query_recall), so the n-weighted average of the two
+    # types must reconstruct the overall Recall@5 exactly (every query has
+    # 2 gold docs, so pooled recall == mean per-query recall). The old
+    # doc_level_hits indexing scrambled the split and broke this identity.
+    n_total = sum(v["n"] for v in bt.values())
+    weighted = sum(v["graph_r5"] * v["n"] for v in bt.values()) / n_total
+    assert abs(weighted - res["recall"][5]) < 5e-4, (weighted, res["recall"][5])
+    weighted_d = sum(v["dense_r5"] * v["n"] for v in bt.values()) / n_total
+    assert abs(weighted_d - res["dense_recall"][5]) < 5e-4
     assert bt["bridge"]["graph_r5"] >= bt["bridge"]["dense_r5"]
     # comparison questions are dense-friendly; graph may tie but not drop
     # more than one query's worth below dense

@@ -912,6 +912,181 @@ def test_native_http_keep_alive_sequential_requests():
         server.server_close()
 
 
+def test_native_http_head_returns_headers_only():
+    """The NATIVE transport (the production default) must also answer HEAD
+    with headers only — the stdlib fix alone left the preferred transport
+    writing a body that desyncs keep-alive clients. Pipelines a GET behind
+    the HEAD on the same connection: if any body bytes leaked, the GET
+    response would not start at the expected offset."""
+    import socket
+
+    class Stub:
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("native", Stub())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(
+            b"HEAD /health HTTP/1.1\r\nHost: x\r\n\r\n"
+            b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        )
+        raw = b""
+        while True:
+            b_ = s.recv(4096)
+            if not b_:
+                break
+            raw += b_
+        s.close()
+        head1, _, rest = raw.partition(b"\r\n\r\n")
+        assert head1.startswith(b"HTTP/1.1 200"), raw[:80]
+        clen = int(
+            [ln for ln in head1.split(b"\r\n")
+             if ln.lower().startswith(b"content-length:")][0].split(b":")[1]
+        )
+        assert clen > 0  # advertises the GET body size…
+        # …but the next wire bytes are the SECOND response's status line,
+        # not the suppressed HEAD body
+        assert rest.startswith(b"HTTP/1.1 200"), rest[:80]
+        assert b'"status": "ok"' in rest  # the GET body does arrive
+        assert server.counters()["protocol_errors"] == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_native_http_expect_100_continue_once():
+    """Expect: 100-continue draws exactly ONE interim response even when
+    the declared body streams in over many read events (each event
+    re-scans the buffered headers; pre-fix every re-scan appended another
+    '100 Continue')."""
+    import socket
+
+    class Echo:
+        def retrieve(self, query, top_k=None, timeout=None):
+            from hipporag_tpu.utils.misc import QuerySolution
+
+            return QuerySolution(question=query, docs=["d"],
+                                 doc_scores=np.array([1.0]))
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    server = _make_frontend("native", Echo())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"query": "q" * 2000}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(
+            b"POST /retrieve HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Expect: 100-continue\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"Connection: close\r\n\r\n"
+        )
+        time.sleep(0.1)  # let the headers land as their own read event
+        third = len(body) // 3
+        for chunk in (body[:third], body[third : 2 * third], body[2 * third :]):
+            s.sendall(chunk)
+            time.sleep(0.05)  # separate read events while body incomplete
+        raw = b""
+        s.settimeout(15)
+        while True:
+            try:
+                b_ = s.recv(4096)
+            except socket.timeout:
+                break
+            if not b_:
+                break
+            raw += b_
+        s.close()
+        assert raw.count(b"HTTP/1.1 100 Continue") == 1, raw[:200]
+        assert b"HTTP/1.1 200" in raw, raw[:200]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_native_http_pipelined_request_behind_large_body():
+    """A keep-alive client may pipeline a second in-limit request (body
+    >16 KiB) in the same burst as a multi-MiB /index upload. Pre-fix the
+    read-loop cap judged those pipelined bytes against the large body's
+    exact entitlement (+16 KiB slack) and 413'd the whole connection;
+    now the completed large request is consumed mid-burst and the
+    pipelined bytes fall under the busy small-cap."""
+    import socket
+
+    class Svc:
+        def __init__(self):
+            self.docs = []
+
+        def index(self, docs, timeout=None):
+            self.docs.extend(docs)
+            return {"ok": True, "docs": len(docs)}
+
+        def retrieve(self, query, top_k=None, timeout=None):
+            from hipporag_tpu.utils.misc import QuerySolution
+
+            return QuerySolution(question=query, docs=["d"],
+                                 doc_scores=np.array([1.0]))
+
+        def health(self):
+            return {"status": "ok"}
+
+        def stats(self):
+            return {}
+
+    svc = Svc()
+    server = _make_frontend("native", svc)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        index_body = json.dumps({"docs": ["x" * (2 << 20)]}).encode()
+        retrieve_body = json.dumps({"query": "y" * (64 << 10)}).encode()
+        burst = (
+            b"POST /index HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(index_body)).encode() + b"\r\n\r\n"
+            + index_body
+            + b"POST /retrieve HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(retrieve_body)).encode() + b"\r\n"
+            b"Connection: close\r\n\r\n" + retrieve_body
+        )
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(burst)
+        raw = b""
+        s.settimeout(30)
+        while True:
+            try:
+                b_ = s.recv(65536)
+            except socket.timeout:
+                break
+            if not b_:
+                break
+            raw += b_
+        s.close()
+        assert raw.count(b"HTTP/1.1 200") == 2, raw[:300]
+        assert b"413" not in raw, raw[:300]
+        assert svc.docs and len(svc.docs[0]) == (2 << 20)
+        assert server.counters()["protocol_errors"] == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 @pytest.mark.parametrize("frontend", ["stdlib", "native"])
 def test_http_contract_identical_across_frontends(frontend):
     """Divergences found in review, now pinned: oversize body -> 413 on
