@@ -154,6 +154,32 @@ def write_detail_sidecar(snapshot, extra, sections, reason=None) -> None:
         log(f"could not write BENCH_DETAIL.json: {e}")
 
 
+def put_quality_fields(extra, prefix, res, ks=(2, 5, 20)):
+    """Shared detail-field plumbing for the graph-vs-dense quality
+    sections (2wiki / hotpot / realgraph) — one place so a new stats
+    field reaches every section's keys."""
+    extra[f"{prefix}_docs"] = res["corpus_docs"]
+    extra[f"{prefix}_queries"] = res["num_queries"]
+    for kk in ks:
+        extra[f"{prefix}_recall@{kk}_graph"] = res["recall"][kk]
+        extra[f"{prefix}_recall@{kk}_dense"] = res["dense_recall"][kk]
+    for kk, st in res["stats"].items():
+        extra[f"{prefix}_r{kk}_mcnemar_p"] = st["mcnemar_p"]
+        extra[f"{prefix}_r{kk}_delta"] = st["delta"]
+        extra[f"{prefix}_r{kk}_delta_ci95"] = st["ci95"]
+        extra[f"{prefix}_r{kk}_significant"] = st["significant"]
+
+
+def log_quality_line(name, res):
+    log(
+        f"{name} ({res['corpus_docs']} docs, {res['num_queries']} queries): "
+        f"R@2 graph {res['recall'][2]} vs dense {res['dense_recall'][2]}; "
+        f"R@5 graph {res['recall'][5]} vs dense {res['dense_recall'][5]}; "
+        f"R@20 graph {res['recall'][20]} vs dense {res['dense_recall'][20]}; "
+        f"stats {res['stats']}"
+    )
+
+
 def build_synthetic_graph(num_nodes: int, num_edges: int, seed: int = 0):
     """Directed COO entries with a heavy-tailed out-degree distribution."""
     rng = np.random.default_rng(seed)
@@ -1197,21 +1223,13 @@ def main():
                 twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
                 exact_queries=exact_q,
             )
-            extra["2wiki_docs"] = res["corpus_docs"]
-            extra["2wiki_queries"] = res["num_queries"]
+            put_quality_fields(extra, "2wiki", res)
             extra["2wiki_graph_nodes"] = res["graph_nodes"]
             for kk in (2, 5, 20):
-                extra[f"2wiki_recall@{kk}_graph"] = res["recall"][kk]
-                extra[f"2wiki_recall@{kk}_dense"] = res["dense_recall"][kk]
                 extra[f"2wiki_recall@{kk}_twin"] = res["twin_recall"][kk]
             extra["2wiki_rank_agreement"] = res["rank_agreement"]
             extra["2wiki_index_s"] = res["index_s"]
             extra["2wiki_retrieve_s"] = res["retrieve_s"]
-            for kk, st in res["stats"].items():
-                extra[f"2wiki_r{kk}_mcnemar_p"] = st["mcnemar_p"]
-                extra[f"2wiki_r{kk}_delta_ci95"] = st["ci95"]
-                extra[f"2wiki_r{kk}_delta"] = st["delta"]
-                extra[f"2wiki_r{kk}_significant"] = st["significant"]
             if res.get("exact"):
                 extra["exact_rank_agreement"] = res["exact"]["agreement"]
                 extra["exact_max_rank_displacement"] = res["exact"][
@@ -1270,26 +1288,11 @@ def main():
                 n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
                 n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
             )
-            extra["hotpot_docs"] = hp["corpus_docs"]
-            extra["hotpot_queries"] = hp["num_queries"]
-            for kk in (2, 5, 20):
-                extra[f"hotpot_recall@{kk}_graph"] = hp["recall"][kk]
-                extra[f"hotpot_recall@{kk}_dense"] = hp["dense_recall"][kk]
-            for kk, st in hp["stats"].items():
-                extra[f"hotpot_r{kk}_mcnemar_p"] = st["mcnemar_p"]
-                extra[f"hotpot_r{kk}_delta"] = st["delta"]
-                extra[f"hotpot_r{kk}_delta_ci95"] = st["ci95"]
-                extra[f"hotpot_r{kk}_significant"] = st["significant"]
+            put_quality_fields(extra, "hotpot", hp)
             extra["hotpot_by_type"] = hp["by_type"]
             sections["hotpot_quality"] = "ok"
-            log(
-                f"hotpot-schema quality ({hp['corpus_docs']} docs, "
-                f"{hp['num_queries']} queries): "
-                f"R@2 graph {hp['recall'][2]} vs dense {hp['dense_recall'][2]}; "
-                f"R@5 graph {hp['recall'][5]} vs dense {hp['dense_recall'][5]}; "
-                f"R@20 graph {hp['recall'][20]} vs dense {hp['dense_recall'][20]}; "
-                f"by_type {hp['by_type']}; stats {hp['stats']}"
-            )
+            log_quality_line("hotpot-schema quality", hp)
+            log(f"hotpot by_type {hp['by_type']}")
         except Exception as e:  # noqa: BLE001
             sections["hotpot_quality"] = f"skipped ({e})"
             log(f"hotpot_quality section skipped: {e}")
@@ -1327,25 +1330,9 @@ def main():
                 fixture_path=_rq_fixture, save_dir=rq_tmp,
                 corpus_path=twiki_corpus,
             )
-            extra["realgraph_docs"] = rq["corpus_docs"]
-            extra["realgraph_queries"] = rq["num_queries"]
-            for kk in (2, 5, 20):
-                extra[f"realgraph_recall@{kk}_graph"] = rq["recall"][kk]
-                extra[f"realgraph_recall@{kk}_dense"] = rq["dense_recall"][kk]
-            for kk, st in rq["stats"].items():
-                extra[f"realgraph_r{kk}_mcnemar_p"] = st["mcnemar_p"]
-                extra[f"realgraph_r{kk}_delta"] = st["delta"]
-                extra[f"realgraph_r{kk}_delta_ci95"] = st["ci95"]
-                extra[f"realgraph_r{kk}_significant"] = st["significant"]
+            put_quality_fields(extra, "realgraph", rq)
             sections["replay_quality"] = "ok"
-            log(
-                f"replay quality ({rq['corpus_docs']} real docs, "
-                f"{rq['num_queries']} queries, production extraction): "
-                f"R@2 graph {rq['recall'][2]} vs dense {rq['dense_recall'][2]}; "
-                f"R@5 graph {rq['recall'][5]} vs dense {rq['dense_recall'][5]}; "
-                f"R@20 graph {rq['recall'][20]} vs dense {rq['dense_recall'][20]}; "
-                f"stats {rq['stats']}"
-            )
+            log_quality_line("replay quality (production extraction)", rq)
         except Exception as e:  # noqa: BLE001
             sections["replay_quality"] = f"skipped ({e})"
             log(f"replay_quality section skipped: {e}")

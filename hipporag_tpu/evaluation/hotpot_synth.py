@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import time
 from typing import Dict, List, Tuple
 
 from ..utils.logging import get_logger
@@ -150,7 +149,7 @@ def run_hotpot_eval(
     from ..config import BaseConfig
     from ..datasets import load_dataset
     from ..hipporag import HippoRAG
-    from .stats import paired_retrieval_stats
+    from .harness import graph_vs_dense_eval
 
     corpus = load_corpus(corpus_path)
     if n_docs:
@@ -183,26 +182,9 @@ def run_hotpot_eval(
     cfg_kw.update(config_overrides or {})
     rag = HippoRAG(global_config=BaseConfig(**cfg_kw))
 
-    t0 = time.time()
-    rag.index(docs)
-    index_s = time.time() - t0
-    info = rag.get_graph_info()
-
-    warm_n = min(rag.global_config.ppr_batch_size, len(questions))
-    rag.retrieve(questions[:warm_n])
-    t0 = time.time()
-    results, recall = rag.retrieve(questions, gold_docs=gold_docs)
-    retrieve_s = time.time() - t0
-    dense_results, dense_recall = rag.retrieve_dpr(
-        questions, gold_docs=gold_docs
-    )
-
-    stats = paired_retrieval_stats(
-        gold_docs,
-        [r.docs for r in results],
-        [r.docs for r in dense_results],
-        k_list=(2, 5, 20),
-    )
+    out = graph_vs_dense_eval(rag, docs, questions, gold_docs)
+    results = out.pop("results")
+    dense_results = out.pop("dense_results")
 
     # per-question-type recall (bridge must win on graph; comparison must
     # not lose) at k=5. per_query_recall is one value PER QUERY, so the
@@ -224,19 +206,6 @@ def run_hotpot_eval(
                 "n": len(idx),
             }
 
-    out = {
-        "corpus_docs": len(docs),
-        "num_queries": len(questions),
-        "graph_nodes": info["num_total_nodes"],
-        "graph_edges": info["num_total_triples"],
-        "index_s": round(index_s, 1),
-        "retrieve_s": round(retrieve_s, 1),
-        "recall": {k: recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)},
-        "dense_recall": {
-            k: dense_recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)
-        },
-        "stats": stats,
-        "by_type": by_type,
-    }
+    out["by_type"] = by_type
     logger.info("hotpot-schema eval: %s", out)
     return out

@@ -22,7 +22,6 @@ in tests/test_replay_quality.py reproduce bit-for-bit.
 
 from __future__ import annotations
 
-import time
 from typing import Dict, List, Optional, Tuple
 
 from ..utils.logging import get_logger
@@ -79,7 +78,7 @@ def run_replay_quality_eval(
     """
     from ..config import BaseConfig
     from ..hipporag import HippoRAG
-    from .stats import paired_retrieval_stats
+    from .harness import graph_vs_dense_eval
 
     docs, questions, gold_docs = load_quality_slice(corpus_path, n_docs)
     if not questions:
@@ -97,36 +96,8 @@ def run_replay_quality_eval(
             base_url=cfg_kw["llm_base_url"], transport=transport
         )
 
-    t0 = time.time()
-    rag.index(docs)
-    index_s = time.time() - t0
-    info = rag.get_graph_info()
-
-    t0 = time.time()
-    results, recall = rag.retrieve(questions, gold_docs=gold_docs)
-    retrieve_s = time.time() - t0
-    dense_results, dense_recall = rag.retrieve_dpr(
-        questions, gold_docs=gold_docs
-    )
-
-    stats = paired_retrieval_stats(
-        gold_docs,
-        [r.docs for r in results],
-        [r.docs for r in dense_results],
-        k_list=(2, 5, 20),
-    )
-    out = {
-        "corpus_docs": len(docs),
-        "num_queries": len(questions),
-        "graph_nodes": info["num_total_nodes"],
-        "graph_edges": info["num_total_triples"],
-        "index_s": round(index_s, 1),
-        "retrieve_s": round(retrieve_s, 1),
-        "recall": {k: recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)},
-        "dense_recall": {
-            k: dense_recall[f"Recall@{k}"] for k in (1, 2, 5, 10, 20)
-        },
-        "stats": stats,
-    }
+    out = graph_vs_dense_eval(rag, docs, questions, gold_docs)
+    out.pop("results")
+    out.pop("dense_results")
     logger.info("replay quality eval: %s", out)
     return out

@@ -397,34 +397,14 @@ def run_2wiki_eval(
     cfg_kw.update(config_overrides or {})
     rag = HippoRAG(global_config=BaseConfig(**cfg_kw))
 
-    t0 = time.time()
-    rag.index(docs)
-    index_s = time.time() - t0
-    info = rag.get_graph_info()
-    logger.info("2wiki index: %.1fs, %s", index_s, info)
+    # shared index -> warm -> retrieve -> dense -> paired-stats protocol
+    # (paired significance per VERDICT r3 #2 — small deltas must carry
+    # error bars, not narration)
+    from .harness import graph_vs_dense_eval
 
-    # warm the retrieval executables (jit compile + retrieval-object prep)
-    # so retrieve_s reflects steady-state serving, not first-call compiles —
-    # production amortizes those across the persistent compilation cache
-    warm_n = min(rag.global_config.ppr_batch_size, len(questions))
-    rag.retrieve(questions[:warm_n])
-    t0 = time.time()
-    results, recall = rag.retrieve(questions, gold_docs=gold_docs)
-    retrieve_s = time.time() - t0
-
-    dense_results, dense_recall = rag.retrieve_dpr(questions, gold_docs=gold_docs)
-
-    # paired significance: cluster-bootstrap CI on the recall delta plus
-    # exact McNemar over doc-level hits (VERDICT r3 #2 — small deltas must
-    # carry error bars, not narration)
-    from .stats import paired_retrieval_stats
-
-    stats = paired_retrieval_stats(
-        gold_docs,
-        [r.docs for r in results],
-        [r.docs for r in dense_results],
-        k_list=(2, 5, 20),
-    )
+    out = graph_vs_dense_eval(rag, docs, questions, gold_docs)
+    results = out.pop("results")
+    out.pop("dense_results")
 
     nt = twin_queries or len(questions)
     ne = (
@@ -460,16 +440,8 @@ def run_2wiki_eval(
 
     return {
         **({"exact": exact} if exact is not None else {}),
-        "corpus_docs": len(docs),
-        "num_queries": len(questions),
-        "graph_nodes": info["num_total_nodes"],
-        "graph_edges": info["num_total_triples"],
-        "index_s": round(index_s, 1),
-        "retrieve_s": round(retrieve_s, 1),
+        **out,
         "twin_s": round(twin_s, 1),
-        "recall": {kk: recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
-        "dense_recall": {kk: dense_recall[f"Recall@{kk}"] for kk in (1, 2, 5, 10, 20)},
-        "stats": stats,
         "twin_recall": {kk: twin_recall[f"Recall@{kk}"] for kk in (2, 5, top_k)},
         "rank_agreement": round(agreement, 4),
         "twin_queries": nt,
