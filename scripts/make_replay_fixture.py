@@ -407,6 +407,13 @@ QUALITY_FIXTURE_PATH = os.path.join(
 
 
 def build_quality_fixture():
+    """Record BOTH quality slices into one fixture: the 1000-doc slice the
+    pinned test replays (fast) and the 2500-doc slice bench replays for
+    statistical power at R@2. Each doc count needs its own recording pass —
+    the recognition-memory filter prompts embed candidate facts drawn from
+    the WHOLE indexed graph, so their cache keys differ per corpus size
+    (chunk-level NER/triple prompts for the shared first 1000 docs simply
+    dedup by key)."""
     import tempfile
 
     import httpx
@@ -414,6 +421,8 @@ def build_quality_fixture():
     from hipporag_tpu import BaseConfig
     from hipporag_tpu.evaluation.replay_quality import (
         QUALITY_CONFIG_KWARGS,
+        QUALITY_DOCS,
+        QUALITY_DOCS_FULL,
         run_replay_quality_eval,
     )
     from hipporag_tpu.llm.mock import MockLLM
@@ -423,28 +432,35 @@ def build_quality_fixture():
     # no QA prompts in this pipeline -> empty gold map; every structural
     # prompt falls through to the MockLLM responders
     handler = make_handler(records, {}, MockLLM(cfg))
-    rec = run_replay_quality_eval(
-        fixture_path=None,
-        save_dir=tempfile.mkdtemp(),
-        transport=httpx.MockTransport(handler),
-    )
+    recorded = {}
+    for n_docs in (QUALITY_DOCS, QUALITY_DOCS_FULL):
+        recorded[n_docs] = run_replay_quality_eval(
+            fixture_path=None,
+            save_dir=tempfile.mkdtemp(),
+            n_docs=n_docs,
+            transport=httpx.MockTransport(handler),
+        )
     n = write_fixture(records, cfg, QUALITY_FIXTURE_PATH)
     print(f"recorded {n} responses -> {QUALITY_FIXTURE_PATH}")
-    print(f"quality recording run: recall={rec['recall']} "
-          f"dense={rec['dense_recall']}")
 
-    rep = run_replay_quality_eval(
-        fixture_path=QUALITY_FIXTURE_PATH, save_dir=tempfile.mkdtemp()
-    )
-    print(f"quality replay-only run: recall={rep['recall']} "
-          f"dense={rep['dense_recall']}")
-    assert (rec["recall"], rec["dense_recall"]) == (
-        rep["recall"], rep["dense_recall"],
-    ), "quality replay did not reproduce"
-    print("pin these in tests/test_replay_quality.py:")
-    print(f"  recall={rep['recall']}")
-    print(f"  dense ={rep['dense_recall']}")
-    print(f"  stats r5: {rep['stats'][5]}")
+    for n_docs, rec in recorded.items():
+        print(f"quality recording run ({n_docs} docs): recall={rec['recall']} "
+              f"dense={rec['dense_recall']}")
+        rep = run_replay_quality_eval(
+            fixture_path=QUALITY_FIXTURE_PATH, save_dir=tempfile.mkdtemp(),
+            n_docs=n_docs,
+        )
+        print(f"quality replay-only run ({n_docs} docs): "
+              f"recall={rep['recall']} dense={rep['dense_recall']}")
+        assert (rec["recall"], rec["dense_recall"]) == (
+            rep["recall"], rep["dense_recall"],
+        ), f"quality replay did not reproduce at {n_docs} docs"
+        print(f"pins ({n_docs} docs; test pins the {QUALITY_DOCS}-doc slice):")
+        print(f"  recall={rep['recall']}")
+        print(f"  dense ={rep['dense_recall']}")
+        print(f"  stats r2: {rep['stats'][2]}")
+        print(f"  stats r5: {rep['stats'][5]}")
+        print(f"  queries: {rep['num_queries']}")
 
 
 def main():
