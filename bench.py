@@ -782,6 +782,16 @@ def main():
     # disables.
     if os.environ.get("BENCH_E2E", "1") == "0":
         sections["e2e"] = "skipped (BENCH_E2E=0)"
+    elif degraded and not cpu_fallback:
+        # index + 128-query retrieve + serving sweeps are hundreds of
+        # device dispatches; on a degraded tunnel (minutes per roundtrip)
+        # this block would eat the SIGALRM deadline before the quality
+        # sections get their forced-CPU fallback turn. Their perf numbers
+        # would be tunnel noise anyway — skip the whole nested block.
+        for _sec in ("e2e", "incremental_index", "serving_latency",
+                     "serving_concurrent", "serving_http"):
+            sections[_sec] = "skipped (degraded link)"
+        log("e2e/incremental/serving skipped: degraded link")
     elif not over_deadline("e2e"):
         try:
             import tempfile
@@ -1634,6 +1644,12 @@ def main():
     # minutes-slow emulation (tests use interpret=True instead).
     if backend != "tpu":
         sections["fused_topk"] = "skipped (non-tpu backend)"
+    elif degraded:
+        # kernel-vs-XLA ms on a degraded tunnel are sync noise, and the
+        # multi-GiB points regularly need compile-helper retries — not
+        # worth the deadline when the routing is already pinned by
+        # measured-grid tests
+        sections["fused_topk"] = "skipped (degraded link)"
     elif not over_deadline("fused_topk"):
         try:
             from hipporag_tpu.ops.fused_topk import fused_score_topk

@@ -127,3 +127,28 @@ def test_detail_sidecar_holds_everything(bench, tmp_path, monkeypatch):
     assert full["detail"]["sections"] == sections
     for k in extra:
         assert k in full["detail"]
+
+
+def test_quality_subprocess_roundtrip(bench, monkeypatch):
+    """The degraded-link fallback (scripts/bench_quality_section.py) must
+    emit one JSON line whose int-keyed dicts survive the subprocess
+    boundary — bench consumes it via run_quality_subproc."""
+    corpus = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
+    if not os.path.exists(corpus):
+        pytest.skip("2wiki corpus not present")
+    # shrink the section so the pin stays fast (~30s)
+    monkeypatch.setenv("BENCH_2WIKI_QUERIES", "12")
+    monkeypatch.setenv("BENCH_2WIKI_DOCS", "150")
+    monkeypatch.setenv("BENCH_2WIKI_TWIN", "1")
+    monkeypatch.setenv("BENCH_2WIKI_EXACT", "0")
+    res = bench.run_quality_subproc("2wiki", timeout_s=600)
+    assert res["num_queries"] == 12 and res["corpus_docs"] == 150
+    # int keys restored after JSON stringification
+    for k in ("recall", "dense_recall", "stats"):
+        assert all(isinstance(kk, int) for kk in res[k]), res[k].keys()
+    assert set(res["recall"]) == {1, 2, 5, 10, 20}
+    s5 = res["stats"][5]
+    assert {"recall_a", "recall_b", "mcnemar_p", "ci95"} <= set(s5)
+    # unknown section name fails loudly, not silently
+    with pytest.raises(Exception):
+        bench.run_quality_subproc("nope", timeout_s=120)
