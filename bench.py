@@ -114,8 +114,16 @@ def build_compact_line(snapshot, extra, sections, reason=None,
     """
     out = dict(snapshot)
     d: dict = {}
-    d["sections_ok"] = sum(1 for v in sections.values() if v == "ok")
-    bad = {k: str(v)[:48] for k, v in sections.items() if v != "ok"}
+    # annotated successes ("ok (cpu subprocess; degraded link)") count as
+    # ok — the degraded-link fallback exists to SAVE those sections, they
+    # must not be reported as failures on the one line the driver keeps
+    d["sections_ok"] = sum(
+        1 for v in sections.values() if str(v).startswith("ok")
+    )
+    bad = {
+        k: str(v)[:48]
+        for k, v in sections.items() if not str(v).startswith("ok")
+    }
     if bad:
         d["sections_bad"] = bad
     if reason:
@@ -170,6 +178,24 @@ def put_quality_fields(extra, prefix, res, ks=(2, 5, 20)):
         extra[f"{prefix}_r{kk}_significant"] = st["significant"]
 
 
+_QUALITY_CHILDREN: list = []
+
+
+def kill_quality_children() -> None:
+    """Kill any in-flight quality subprocess group. Called from the
+    SIGTERM/SIGALRM hard-kill path: _emit_partial os._exit()s while
+    run_quality_subproc is blocked in communicate(), which would
+    otherwise orphan a full-corpus CPU eval against the co-tenant host
+    for up to its whole timeout."""
+    import signal as _signal
+
+    for p in list(_QUALITY_CHILDREN):
+        try:
+            os.killpg(p.pid, _signal.SIGKILL)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def run_quality_subproc(section, timeout_s=2400):
     """Degraded-tunnel fallback: run a quality section on the forced-CPU
     backend in a fresh process (scripts/bench_quality_section.py) and
@@ -180,17 +206,43 @@ def run_quality_subproc(section, timeout_s=2400):
     real device: TPU-lowering bugs are only visible there.)"""
     import subprocess
 
-    p = subprocess.run(
+    # own session = own process group, so both the timeout path here and
+    # the signal handler's kill_quality_children can killpg the whole tree
+    p = subprocess.Popen(
         [sys.executable,
          os.path.join(HERE, "scripts", "bench_quality_section.py"), section],
-        capture_output=True, text=True, timeout=timeout_s,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
+    _QUALITY_CHILDREN.append(p)
+    try:
+        out, err = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        import signal as _signal
+
+        try:
+            os.killpg(p.pid, _signal.SIGKILL)
+        except Exception:  # noqa: BLE001
+            pass
+        p.wait()
+        raise RuntimeError(
+            f"quality subprocess {section} timed out after {timeout_s:.0f}s"
+        ) from None
+    finally:
+        if p in _QUALITY_CHILDREN:
+            _QUALITY_CHILDREN.remove(p)
     if p.returncode != 0:
         raise RuntimeError(
-            f"quality subprocess {section} rc={p.returncode}: "
-            f"{p.stderr[-400:]}"
+            f"quality subprocess {section} rc={p.returncode}: {err[-400:]}"
         )
-    res = json.loads(p.stdout.strip().splitlines()[-1])
+    if not out.strip():
+        # rc=0 with no output (e.g. killed between fork and the final
+        # print) — keep the stderr tail, it is the only diagnostic
+        raise RuntimeError(
+            f"quality subprocess {section} rc=0 but empty stdout; "
+            f"stderr: {err[-400:]}"
+        )
+    res = json.loads(out.strip().splitlines()[-1])
     for k in ("recall", "dense_recall", "twin_recall", "stats"):
         if k in res:
             res[k] = {int(kk): vv for kk, vv in res[k].items()}
@@ -335,6 +387,7 @@ def main():
     _emitted: list = []
 
     def _emit_partial(signum, frame):
+        kill_quality_children()
         if _emitted:
             os._exit(1)
         _emitted.append(True)
@@ -346,19 +399,32 @@ def main():
 
     signal.signal(signal.SIGTERM, _emit_partial)
     signal.signal(signal.SIGALRM, _emit_partial)
-    signal.alarm(int(float(os.environ.get("BENCH_HARD_KILL_S", 3300))))
+    hard_kill_s = int(float(os.environ.get("BENCH_HARD_KILL_S", 3300)))
+    signal.alarm(hard_kill_s)
     # expose the partial state so the __main__ exception handler can emit
     # the JSON line when an unguarded section (e.g. the headline solve on
     # a mid-run-degraded tunnel) raises instead of hanging
     main._partial = (snapshot, sections, extra, _emitted)
 
-    def over_deadline(section: str) -> bool:
+    def over_deadline(section: str, limit_s: float | None = None) -> bool:
+        # limit_s overrides the soft deadline: the degraded-link quality
+        # sections run right up to the hard-kill alarm (minus the emit
+        # margin) — they are the sections the fallback exists to save
+        limit = deadline_s if limit_s is None else limit_s
         elapsed = time.perf_counter() - bench_start
-        if elapsed > deadline_s:
-            log(f"{section} skipped: {elapsed:.0f}s elapsed > {deadline_s:.0f}s deadline")
+        if elapsed > limit:
+            log(f"{section} skipped: {elapsed:.0f}s elapsed > {limit:.0f}s deadline")
             sections[section] = f"skipped (deadline, {elapsed:.0f}s elapsed)"
             return True
         return False
+
+    def quality_timeout(n_left: int) -> float:
+        """Per-subprocess timeout for the degraded-link quality fallback:
+        split the time remaining to the hard-kill alarm (minus a 120s
+        emit margin) across the quality sections not yet run, so one slow
+        section cannot starve the others of their turn."""
+        remaining = hard_kill_s - (time.perf_counter() - bench_start) - 120
+        return max(300.0, remaining / max(1, n_left))
 
     log(f"graph: {num_nodes} nodes, {num_edges} directed entries; batch={batch}")
     src, dst, w = build_synthetic_graph(num_nodes, num_edges)
@@ -1229,45 +1295,32 @@ def main():
     # deterministic OpenIE stand-in + hashing embedder, plus a NumPy twin of
     # the retrieval math and an exact-solver (float64, tol 1e-12) ranking
     # drift bound (evaluation/twiki.py). BENCH_2WIKI=0 disables.
-    twiki_corpus = os.environ.get(
-        "BENCH_2WIKI_CORPUS",
-        "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json",
-    )
+    from hipporag_tpu.evaluation.bench_sections import corpus_path
+
+    twiki_corpus = corpus_path()
     if os.environ.get("BENCH_2WIKI", "1") == "0":
         sections["2wiki"] = "skipped (BENCH_2WIKI=0)"
     elif not os.path.exists(twiki_corpus):
         sections["2wiki"] = "skipped (corpus file missing)"
-    elif not over_deadline("2wiki"):
+    elif not over_deadline(
+        "2wiki", limit_s=(hard_kill_s - 300) if degraded else None
+    ):
         try:
             import tempfile
 
-            from hipporag_tpu.evaluation.twiki import run_2wiki_eval
+            from hipporag_tpu.evaluation.bench_sections import run_section
 
-            # BENCH_2WIKI_EXACT: unset/"all" = every query, "0" = off
-            # (matching the other BENCH_*=0 disable convention), N = first N
-            exact_env = os.environ.get("BENCH_2WIKI_EXACT", "all")
-            exact_q = (
-                None if exact_env == "0"
-                else 0 if exact_env == "all" else int(exact_env)
-            )
-            twiki_tmp = tempfile.mkdtemp()
-            # default 0 = every synthesizable query (1206 on the full
-            # corpus) — maximum paired statistical power (VERDICT r3 #2)
             if degraded:
                 # device solves over a degraded tunnel can hang for
                 # minutes per batch — run on the forced-CPU backend in a
-                # subprocess instead of dropping the section
-                res = run_quality_subproc("2wiki")
-            else:
-                res = run_2wiki_eval(
-                    twiki_corpus,
-                    save_dir=twiki_tmp,
-                    n_queries=int(os.environ.get("BENCH_2WIKI_QUERIES", 0)),
-                    n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
-                    top_k=20,
-                    twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
-                    exact_queries=exact_q,
+                # subprocess instead of dropping the section (same knob
+                # resolution via bench_sections.run_section)
+                res = run_quality_subproc(
+                    "2wiki", timeout_s=quality_timeout(3)
                 )
+            else:
+                twiki_tmp = tempfile.mkdtemp()
+                res = run_section("2wiki", save_dir=twiki_tmp)
             put_quality_fields(extra, "2wiki", res)
             extra["2wiki_graph_nodes"] = res["graph_nodes"]
             for kk in (2, 5, 20):
@@ -1318,24 +1371,23 @@ def main():
         sections["hotpot_quality"] = "skipped (BENCH_HOTPOT=0)"
     elif not os.path.exists(twiki_corpus):
         sections["hotpot_quality"] = "skipped (corpus file missing)"
-    elif not over_deadline("hotpot_quality"):
+    elif not over_deadline(
+        "hotpot_quality", limit_s=(hard_kill_s - 300) if degraded else None
+    ):
         try:
             import tempfile
 
-            from hipporag_tpu.evaluation.hotpot_synth import run_hotpot_eval
+            from hipporag_tpu.evaluation.bench_sections import run_section
 
-            hp_tmp = tempfile.mkdtemp()
             if degraded:
                 # device solves over a degraded tunnel can hang for
                 # minutes per batch — forced-CPU subprocess instead
-                hp = run_quality_subproc("hotpot")
-            else:
-                hp = run_hotpot_eval(
-                    twiki_corpus,
-                    save_dir=hp_tmp,
-                    n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
-                    n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
+                hp = run_quality_subproc(
+                    "hotpot", timeout_s=quality_timeout(2)
                 )
+            else:
+                hp_tmp = tempfile.mkdtemp()
+                hp = run_section("hotpot", save_dir=hp_tmp)
             put_quality_fields(extra, "hotpot", hp)
             extra["hotpot_by_type"] = hp["by_type"]
             sections["hotpot_quality"] = (
@@ -1365,30 +1417,25 @@ def main():
         sections["replay_quality"] = "skipped (BENCH_REPLAY_QUALITY=0)"
     elif not (os.path.exists(_rq_fixture) and os.path.exists(twiki_corpus)):
         sections["replay_quality"] = "skipped (fixture or corpus missing)"
-    elif not over_deadline("replay_quality"):
+    elif not over_deadline(
+        "replay_quality", limit_s=(hard_kill_s - 300) if degraded else None
+    ):
         try:
             import tempfile
 
-            from hipporag_tpu.evaluation.replay_quality import (
-                QUALITY_DOCS_FULL,
-                run_replay_quality_eval,
-            )
+            from hipporag_tpu.evaluation.bench_sections import run_section
 
-            rq_tmp = tempfile.mkdtemp()
             # bench replays the FULL recorded slice (2500 docs, 473
             # queries) for statistical power at R@2; the pinned test
-            # replays the 1000-doc slice. Only these two doc counts are
-            # in the fixture — the filter prompts' cache keys depend on
-            # the whole indexed graph, so other sizes would replay-miss.
+            # replays the 1000-doc slice (doc-count notes in
+            # bench_sections.run_section).
             if degraded:
-                rq = run_quality_subproc("replay")
-            else:
-                rq = run_replay_quality_eval(
-                    fixture_path=_rq_fixture, save_dir=rq_tmp,
-                    corpus_path=twiki_corpus,
-                    n_docs=int(os.environ.get("BENCH_REPLAY_DOCS",
-                                              QUALITY_DOCS_FULL)),
+                rq = run_quality_subproc(
+                    "replay", timeout_s=quality_timeout(1)
                 )
+            else:
+                rq_tmp = tempfile.mkdtemp()
+                rq = run_section("replay", save_dir=rq_tmp)
             put_quality_fields(extra, "realgraph", rq)
             sections["replay_quality"] = (
                 "ok (cpu subprocess; degraded link)" if degraded else "ok"

@@ -10,6 +10,10 @@ visible there; see the r4 int32-bitcast lesson in CLAUDE.md) — this
 script exists so BENCH_r{N}.json never loses the quality story to a bad
 tunnel day.
 
+The BENCH_* knob resolution lives in
+hipporag_tpu/evaluation/bench_sections.py, shared with bench.py's
+in-process path, so healthy and degraded runs cannot drift apart.
+
 Usage: python scripts/bench_quality_section.py {2wiki|hotpot|replay}
 Env knobs: the same BENCH_* variables bench.py documents per section.
 """
@@ -22,8 +26,6 @@ import tempfile
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
-
-DEFAULT_CORPUS = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
 
 
 def _jsonable(o):
@@ -44,54 +46,11 @@ def main() -> None:
     # config update (not env vars) is what actually wins before first use
     jax.config.update("jax_platforms", "cpu")
 
-    corpus = os.environ.get("BENCH_2WIKI_CORPUS", DEFAULT_CORPUS)
+    from hipporag_tpu.evaluation.bench_sections import run_section
+
     out_dir = tempfile.mkdtemp()
     try:
-        if section == "2wiki":
-            from hipporag_tpu.evaluation.twiki import run_2wiki_eval
-
-            exact_env = os.environ.get("BENCH_2WIKI_EXACT", "all")
-            exact_q = (
-                None if exact_env == "0"
-                else 0 if exact_env == "all" else int(exact_env)
-            )
-            res = run_2wiki_eval(
-                corpus,
-                save_dir=out_dir,
-                n_queries=int(os.environ.get("BENCH_2WIKI_QUERIES", 0)),
-                n_docs=int(os.environ.get("BENCH_2WIKI_DOCS", 0)) or None,
-                top_k=20,
-                twin_queries=int(os.environ.get("BENCH_2WIKI_TWIN", 128)),
-                exact_queries=exact_q,
-            )
-        elif section == "hotpot":
-            from hipporag_tpu.evaluation.hotpot_synth import run_hotpot_eval
-
-            res = run_hotpot_eval(
-                corpus,
-                save_dir=out_dir,
-                n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
-                n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
-            )
-        elif section == "replay":
-            from hipporag_tpu.evaluation.replay_quality import (
-                QUALITY_DOCS_FULL,
-                run_replay_quality_eval,
-            )
-
-            res = run_replay_quality_eval(
-                fixture_path=os.path.join(
-                    HERE, "tests", "fixtures",
-                    "replay_2wiki_quality_cache.sqlite",
-                ),
-                save_dir=out_dir,
-                corpus_path=corpus,
-                n_docs=int(
-                    os.environ.get("BENCH_REPLAY_DOCS", QUALITY_DOCS_FULL)
-                ),
-            )
-        else:
-            raise SystemExit(f"unknown section: {section!r}")
+        res = run_section(section, save_dir=out_dir, repo_root=HERE)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

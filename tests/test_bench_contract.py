@@ -129,6 +129,41 @@ def test_detail_sidecar_holds_everything(bench, tmp_path, monkeypatch):
         assert k in full["detail"]
 
 
+def test_annotated_ok_counts_as_ok(bench):
+    """Degraded-run quality sections succeed with an annotated status
+    ('ok (cpu subprocess; degraded link)'); the compact line must count
+    them as ok, not list them under sections_bad."""
+    snapshot, extra, sections, _ = _worst_case(bench)
+    sections["2wiki"] = "ok (cpu subprocess; degraded link)"
+    line = bench.build_compact_line(snapshot, extra, sections)
+    d = json.loads(line)["detail"]
+    assert d["sections_ok"] == 25
+    assert "2wiki" not in d.get("sections_bad", {})
+
+
+def test_quality_subprocess_timeout_kills_child(bench):
+    """A quality subprocess that outlives its budget is killed (process
+    group) and surfaces as a RuntimeError, not an orphaned full-corpus
+    eval pinning the host CPU."""
+    import subprocess
+    import time
+
+    corpus = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
+    if not os.path.exists(corpus):
+        pytest.skip("2wiki corpus not present")
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        bench.run_quality_subproc("2wiki", timeout_s=2)
+    assert time.monotonic() - t0 < 30  # killpg + wait, not a full eval
+    assert bench._QUALITY_CHILDREN == []
+    # no surviving child of this process still runs the section script
+    out = subprocess.run(
+        ["ps", "-o", "args=", "--ppid", str(os.getpid())],
+        capture_output=True, text=True,
+    ).stdout
+    assert "bench_quality_section" not in out
+
+
 def test_quality_subprocess_roundtrip(bench, monkeypatch):
     """The degraded-link fallback (scripts/bench_quality_section.py) must
     emit one JSON line whose int-keyed dicts survive the subprocess
