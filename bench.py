@@ -721,7 +721,11 @@ def main():
     )
 
     # ---------------- COO segment-sum variant ----------------
-    if not over_deadline("coo_variant"):
+    if degraded and not cpu_fallback:
+        # perf noise on a sick tunnel, and each warmup/timed asarray costs
+        # a multi-minute roundtrip that the quality fallbacks need
+        sections["coo_variant"] = "skipped (degraded link)"
+    elif not over_deadline("coo_variant"):
         try:
             out_coo = batched_ppr(
                 graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
@@ -1316,7 +1320,7 @@ def main():
                 # subprocess instead of dropping the section (same knob
                 # resolution via bench_sections.run_section)
                 res = run_quality_subproc(
-                    "2wiki", timeout_s=quality_timeout(3)
+                    "2wiki", timeout_s=quality_timeout(4)
                 )
             else:
                 twiki_tmp = tempfile.mkdtemp()
@@ -1383,7 +1387,7 @@ def main():
                 # device solves over a degraded tunnel can hang for
                 # minutes per batch — forced-CPU subprocess instead
                 hp = run_quality_subproc(
-                    "hotpot", timeout_s=quality_timeout(2)
+                    "hotpot", timeout_s=quality_timeout(3)
                 )
             else:
                 hp_tmp = tempfile.mkdtemp()
@@ -1431,7 +1435,7 @@ def main():
             # bench_sections.run_section).
             if degraded:
                 rq = run_quality_subproc(
-                    "replay", timeout_s=quality_timeout(1)
+                    "replay", timeout_s=quality_timeout(2)
                 )
             else:
                 rq_tmp = tempfile.mkdtemp()
@@ -1455,86 +1459,63 @@ def main():
     # where dense retrieval lacks a bridge to the second document.
     if os.environ.get("BENCH_QUALITY", "1") == "0":
         sections["multihop_quality"] = "skipped (BENCH_QUALITY=0)"
-    elif not over_deadline("multihop_quality"):
+    elif not over_deadline(
+        "multihop_quality", limit_s=(hard_kill_s - 300) if degraded else None
+    ):
         try:
             import tempfile
 
-            from hipporag_tpu import BaseConfig, HippoRAG, StandardRAG
+            from hipporag_tpu.evaluation.bench_sections import run_section
 
-            n_chains = 12
-            qdocs, qqs, qgold = [], [], []
-            for i in range(n_chains):
-                a, bb, c = f"Alpha{i}", f"Bridge{i}", f"Omega{i}"
-                d1, d2_ = f"{a} is linked to {bb}.", f"{bb} is linked to {c}."
-                qdocs += [d1, d2_]
-                qqs.append(f"What does {a} eventually reach?")
-                qgold.append([d1, d2_])
-            qcfg = dict(llm_name="mock", embedding_model_name="mock",
-                        ppr_batch_size=16, jax_compilation_cache_dir=None)
-            mh_dirs = [tempfile.mkdtemp(), tempfile.mkdtemp()]
-            dense = StandardRAG(global_config=BaseConfig(save_dir=mh_dirs[0], **qcfg))
-            dense.index(qdocs)
-            _, dense_overall = dense.retrieve(qqs, gold_docs=qgold)
-            g = HippoRAG(global_config=BaseConfig(save_dir=mh_dirs[1], **qcfg))
-            g.index(qdocs)
-            _, graph_overall = g.retrieve(qqs, gold_docs=qgold)
-            extra["multihop_recall2_graph"] = graph_overall["Recall@2"]
-            extra["multihop_recall2_dense"] = dense_overall["Recall@2"]
-            # the 2-hop measurement is complete here; the 3-hop add-on
-            # below gets its own status key so its failure can never
-            # report these already-landed numbers as skipped
-            sections["multihop_quality"] = "ok"
-            log(
-                f"multi-hop Recall@2: graph {graph_overall['Recall@2']} "
-                f"vs dense {dense_overall['Recall@2']}"
-            )
-
-            # 3-hop (MuSiQue-style) composition: the deep document carries
-            # only ~damping^2 of the seed mass; fraction of chains whose
-            # third-hop doc surfaces in the top 5 of the 36-doc corpus
-            qdocs3, qqs3, qdeep = [], [], []
-            for i in range(n_chains):
-                a, bb, c, dd = (
-                    f"Alpha{i}", f"Bridge{i}", f"Middle{i}", f"Omega{i}"
+            if degraded:
+                # tiny corpus but dozens of device dispatches across four
+                # engines — forced-CPU subprocess on a degraded tunnel,
+                # like the other quality sections
+                mh = run_quality_subproc(
+                    "multihop", timeout_s=quality_timeout(1)
                 )
-                chain = [
-                    f"{a} is linked to {bb}.",
-                    f"{bb} is linked to {c}.",
-                    f"{c} is linked to {dd}.",
-                ]
-                qdocs3 += chain
-                qqs3.append(f"What does {a} eventually reach?")
-                qdeep.append(chain[2])
-            mh_dirs += [tempfile.mkdtemp(), tempfile.mkdtemp()]
-            dense3 = StandardRAG(global_config=BaseConfig(save_dir=mh_dirs[2], **qcfg))
-            dense3.index(qdocs3)
-            dres3 = dense3.retrieve(qqs3)
-            g3 = HippoRAG(global_config=BaseConfig(save_dir=mh_dirs[3], **qcfg))
-            g3.index(qdocs3)
-            gres3 = g3.retrieve(qqs3)
-            deep_g = sum(w in r.docs[:5] for w, r in zip(qdeep, gres3))
-            deep_d = sum(w in r.docs[:5] for w, r in zip(qdeep, dres3))
-            extra["multihop3_deep_top5_graph"] = round(deep_g / n_chains, 4)
-            extra["multihop3_deep_top5_dense"] = round(deep_d / n_chains, 4)
-            sections["multihop3"] = "ok"
+            else:
+                mh_tmp = tempfile.mkdtemp()
+                mh = run_section("multihop", save_dir=mh_tmp)
+            extra["multihop_recall2_graph"] = mh["multihop_recall2_graph"]
+            extra["multihop_recall2_dense"] = mh["multihop_recall2_dense"]
+            sections["multihop_quality"] = (
+                "ok (cpu subprocess; degraded link)" if degraded else "ok"
+            )
             log(
-                f"3-hop deep-doc top-5: graph {deep_g}/{n_chains} "
-                f"vs dense {deep_d}/{n_chains}"
+                f"multi-hop Recall@2: graph {mh['multihop_recall2_graph']} "
+                f"vs dense {mh['multihop_recall2_dense']}"
             )
+            # the 3-hop (MuSiQue-style) add-on is best-effort inside
+            # run_multihop_eval; its failure must never report the
+            # already-landed 2-hop numbers as skipped
+            if "multihop3_deep_top5_graph" in mh:
+                extra["multihop3_deep_top5_graph"] = mh[
+                    "multihop3_deep_top5_graph"
+                ]
+                extra["multihop3_deep_top5_dense"] = mh[
+                    "multihop3_deep_top5_dense"
+                ]
+                sections["multihop3"] = (
+                    "ok (cpu subprocess; degraded link)" if degraded else "ok"
+                )
+                log(
+                    f"3-hop deep-doc top-5: graph "
+                    f"{mh['multihop3_deep_top5_graph']} vs dense "
+                    f"{mh['multihop3_deep_top5_dense']}"
+                )
+            else:
+                sections["multihop3"] = (
+                    f"skipped ({mh.get('multihop3_error', 'missing')})"
+                )
         except Exception as e:  # noqa: BLE001
-            # distinguish a 2-hop failure (multihop_quality still unset)
-            # from a 3-hop-only failure
-            key = (
-                "multihop3" if sections.get("multihop_quality") == "ok"
-                else "multihop_quality"
-            )
-            sections[key] = f"skipped ({e})"
+            sections["multihop_quality"] = f"skipped ({e})"
             log(f"quality section skipped: {e}")
         finally:
             import shutil
 
-            for d in locals().get("mh_dirs", []):
-                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(locals().get("mh_tmp", "/nonexistent"),
+                          ignore_errors=True)
 
     # ---------------- JAX encoder throughput (MXU) ----------------
     # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing

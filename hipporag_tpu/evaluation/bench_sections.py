@@ -12,7 +12,7 @@ silently measure different configurations.
 import os
 
 DEFAULT_CORPUS = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
-SECTIONS = ("2wiki", "hotpot", "replay")
+SECTIONS = ("2wiki", "hotpot", "replay", "multihop")
 
 # repo root (this file lives at <repo>/hipporag_tpu/evaluation/)
 _REPO_ROOT = os.path.dirname(
@@ -62,6 +62,11 @@ def run_section(section: str, save_dir: str, repo_root: str = _REPO_ROOT):
             n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
             n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
         )
+    if section == "multihop":
+        from .multihop import run_multihop_eval
+
+        # no BENCH_* knobs: the chain corpus is tiny and fixed
+        return run_multihop_eval(save_dir=save_dir)
     if section == "replay":
         from .replay_quality import (
             QUALITY_DOCS_FULL,

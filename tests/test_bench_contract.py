@@ -187,3 +187,24 @@ def test_quality_subprocess_roundtrip(bench, monkeypatch):
     # unknown section name fails loudly, not silently
     with pytest.raises(Exception):
         bench.run_quality_subproc("nope", timeout_s=120)
+
+
+def test_quality_subprocess_multihop_roundtrip(bench):
+    """The multihop section (2-hop + 3-hop chains, mock providers) runs
+    through the same degraded-link subprocess path as the dataset quality
+    sections: flat JSON-serializable fields, graph beats dense on the
+    bridge chains, and the 3-hop add-on lands (or records its error
+    without discarding the 2-hop numbers)."""
+    res = bench.run_quality_subproc("multihop", timeout_s=900)
+    assert {"multihop_recall2_graph", "multihop_recall2_dense"} <= set(res)
+    # the chain corpus is the capability claim in miniature: dense cannot
+    # reach the second hop (no lexical bridge), the graph walks to it
+    assert res["multihop_recall2_graph"] > res["multihop_recall2_dense"]
+    assert (
+        "multihop3_deep_top5_graph" in res or "multihop3_error" in res
+    ), res
+    if "multihop3_deep_top5_graph" in res:
+        assert (
+            res["multihop3_deep_top5_graph"]
+            > res["multihop3_deep_top5_dense"]
+        )
