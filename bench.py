@@ -82,6 +82,9 @@ _COMPACT_KEYS = [
     # second dataset schema (hotpotqa supporting_facts loader branch)
     "hotpot_recall@5_graph", "hotpot_recall@5_dense",
     "hotpot_r5_mcnemar_p", "hotpot_queries",
+    # third dataset schema (musique paragraphs branch w/ distractors)
+    "musique_recall@5_graph", "musique_recall@5_dense",
+    "musique_r5_mcnemar_p", "musique_queries",
     # scale + serving + encoder + kernels
     "big_graph_batch_ms", "b2x_batch_ms",
     "single_query_e2e_ms", "single_query_device_ms",
@@ -197,10 +200,11 @@ def kill_quality_children() -> None:
 
 
 def run_quality_subproc(section, timeout_s=2400):
-    """Degraded-tunnel fallback: run a quality section on the forced-CPU
-    backend in a fresh process (scripts/bench_quality_section.py) and
-    return its result dict. Quality numbers are backend-independent, so a
-    dead device link downgrades WHERE they run, not WHETHER they run —
+    """Degraded-tunnel fallback: run a quality section (2wiki / hotpot /
+    musique / replay / multihop) on the forced-CPU backend in a fresh
+    process (scripts/bench_quality_section.py) and return its result
+    dict. Quality numbers are backend-independent, so a dead device link
+    downgrades WHERE they run, not WHETHER they run —
     BENCH_r{N}.json must never lose the quality story to a bad tunnel day.
     (When the link is healthy the sections still run in-process on the
     real device: TPU-lowering bugs are only visible there.)"""
@@ -1320,7 +1324,7 @@ def main():
                 # subprocess instead of dropping the section (same knob
                 # resolution via bench_sections.run_section)
                 res = run_quality_subproc(
-                    "2wiki", timeout_s=quality_timeout(4)
+                    "2wiki", timeout_s=quality_timeout(5)
                 )
             else:
                 twiki_tmp = tempfile.mkdtemp()
@@ -1387,7 +1391,7 @@ def main():
                 # device solves over a degraded tunnel can hang for
                 # minutes per batch — forced-CPU subprocess instead
                 hp = run_quality_subproc(
-                    "hotpot", timeout_s=quality_timeout(3)
+                    "hotpot", timeout_s=quality_timeout(4)
                 )
             else:
                 hp_tmp = tempfile.mkdtemp()
@@ -1406,6 +1410,46 @@ def main():
             import shutil
 
             shutil.rmtree(locals().get("hp_tmp", "/nonexistent"),
+                          ignore_errors=True)
+
+    # ------------- third dataset schema: musique paragraphs -------------
+    # Graph-vs-dense through datasets.py's `paragraphs` loader branch:
+    # each sample carries 20 paragraphs, only the is_supporting pair is
+    # gold — the distractor filter is the behavior under test, and the
+    # contexts-schema branch is cross-checked against it in-harness
+    # (evaluation/musique_synth.py). Completes quality coverage of all
+    # three retrieval gold-doc schemas (reference main.py:17-53).
+    if os.environ.get("BENCH_MUSIQUE", "1") == "0":
+        sections["musique_quality"] = "skipped (BENCH_MUSIQUE=0)"
+    elif not os.path.exists(twiki_corpus):
+        sections["musique_quality"] = "skipped (corpus file missing)"
+    elif not over_deadline(
+        "musique_quality", limit_s=(hard_kill_s - 300) if degraded else None
+    ):
+        try:
+            import tempfile
+
+            from hipporag_tpu.evaluation.bench_sections import run_section
+
+            if degraded:
+                mq = run_quality_subproc(
+                    "musique", timeout_s=quality_timeout(3)
+                )
+            else:
+                mq_tmp = tempfile.mkdtemp()
+                mq = run_section("musique", save_dir=mq_tmp)
+            put_quality_fields(extra, "musique", mq)
+            sections["musique_quality"] = (
+                "ok (cpu subprocess; degraded link)" if degraded else "ok"
+            )
+            log_quality_line("musique-schema quality", mq)
+        except Exception as e:  # noqa: BLE001
+            sections["musique_quality"] = f"skipped ({e})"
+            log(f"musique_quality section skipped: {e}")
+        finally:
+            import shutil
+
+            shutil.rmtree(locals().get("mq_tmp", "/nonexistent"),
                           ignore_errors=True)
 
     # ------------- quality on REAL extraction output (replay) -------------

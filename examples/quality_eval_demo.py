@@ -1,4 +1,4 @@
-"""Quality-evaluation demo: the three graph-vs-dense harnesses.
+"""Quality-evaluation demo: the four graph-vs-dense harnesses.
 
 Runs (fully offline, deterministic):
 
@@ -7,7 +7,10 @@ Runs (fully offline, deterministic):
 2. the hotpotqa-SCHEMA harness — same corpus, but the dataset flows
    through disk files and ``datasets.load_dataset``'s supporting_facts
    branch, with a bridge + comparison question mix;
-3. the REAL-extraction replay harness — the full production provider
+3. the musique-SCHEMA harness — the ``paragraphs`` loader branch with 18
+   is_supporting=false distractors per sample, cross-checked against the
+   ``contexts`` branch;
+4. the REAL-extraction replay harness — the full production provider
    path (CacheOpenAILLM, real prompts, JSON parse/repair) replayed from
    the committed fixture over 1000 real passages — when the fixture and
    corpus are present.
@@ -61,6 +64,11 @@ def main():
     show("hotpotqa-schema harness",
          run_hotpot_eval(CORPUS, save_dir=tempfile.mkdtemp(), n_docs=300))
 
+    from hipporag_tpu.evaluation.musique_synth import run_musique_eval
+
+    show("musique-schema harness (paragraphs + distractors)",
+         run_musique_eval(CORPUS, save_dir=tempfile.mkdtemp(), n_docs=300))
+
     if os.path.exists(FIXTURE):
         from hipporag_tpu.evaluation.replay_quality import (
             run_replay_quality_eval,
@@ -71,7 +79,7 @@ def main():
                                      save_dir=tempfile.mkdtemp(),
                                      corpus_path=CORPUS))
     else:
-        print(f"\nreplay fixture missing at {FIXTURE}; skipped harness 3")
+        print(f"\nreplay fixture missing at {FIXTURE}; skipped harness 4")
 
 
 if __name__ == "__main__":

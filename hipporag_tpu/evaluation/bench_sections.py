@@ -12,7 +12,7 @@ silently measure different configurations.
 import os
 
 DEFAULT_CORPUS = "/root/reference/reproduce/dataset/2wikimultihopqa_corpus.json"
-SECTIONS = ("2wiki", "hotpot", "replay", "multihop")
+SECTIONS = ("2wiki", "hotpot", "musique", "replay", "multihop")
 
 # repo root (this file lives at <repo>/hipporag_tpu/evaluation/)
 _REPO_ROOT = os.path.dirname(
@@ -61,6 +61,15 @@ def run_section(section: str, save_dir: str, repo_root: str = _REPO_ROOT):
             save_dir=save_dir,
             n_docs=int(os.environ.get("BENCH_HOTPOT_DOCS", 2000)),
             n_queries=int(os.environ.get("BENCH_HOTPOT_QUERIES", 0)),
+        )
+    if section == "musique":
+        from .musique_synth import run_musique_eval
+
+        return run_musique_eval(
+            corpus,
+            save_dir=save_dir,
+            n_docs=int(os.environ.get("BENCH_MUSIQUE_DOCS", 2000)),
+            n_queries=int(os.environ.get("BENCH_MUSIQUE_QUERIES", 0)),
         )
     if section == "multihop":
         from .multihop import run_multihop_eval

@@ -14,7 +14,7 @@ The BENCH_* knob resolution lives in
 hipporag_tpu/evaluation/bench_sections.py, shared with bench.py's
 in-process path, so healthy and degraded runs cannot drift apart.
 
-Usage: python scripts/bench_quality_section.py {2wiki|hotpot|replay|multihop}
+Usage: python scripts/bench_quality_section.py {2wiki|hotpot|musique|replay|multihop}
 Env knobs: the same BENCH_* variables bench.py documents per section.
 """
 
