@@ -335,6 +335,39 @@ def probe_device_health() -> float:
         return float("inf")
 
 
+def time_chained(run, warm_out, sync, base_reps, probe_s,
+                 sync_frac=0.02, max_extra_s=90.0):
+    """Time `run(prev_out)` repetitions with ONE end-of-window host sync,
+    chained through a data dependency. Returns (sec_per_rep, reps_used).
+
+    Why not a per-rep sync: every host sync over the axon tunnel costs a
+    full RTT (the probe time). Why not plain back-to-back dispatches (the
+    pre-r5 protocol): the one end sync still leaves RTT/reps inside the
+    per-rep figure — ~6% at reps=3 on a HEALTHY 25ms tunnel, and on a
+    mid-band tunnel (probe 0.1-5s, below the degraded threshold) it
+    swamps the measurement entirely. So reps are raised above
+    `base_reps` until the sync is <= `sync_frac` of the window —
+    estimated from one RTT-corrected solo rep, bounded by `max_extra_s`
+    of added device time — and `run` must thread its previous output
+    into the next input (callers fold in a jitted `x + 0.0*prev`), which
+    serializes executions so hundreds of queued outputs never coexist in
+    HBM. The chain add's cost is included in the figure (conservative:
+    ~0.3% at headline scale, never flattering).
+    """
+    t0 = time.perf_counter()
+    out = run(warm_out)
+    sync(out)
+    t_single = time.perf_counter() - t0
+    est_body = max(1e-3, t_single - max(0.0, probe_s))
+    need = int(np.ceil(max(0.0, probe_s) / (sync_frac * est_body)))
+    reps = max(base_reps, min(need, base_reps + int(max_extra_s / est_body)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(out)
+    sync(out)
+    return (time.perf_counter() - t0) / reps, reps
+
+
 class CompileCounter(logging.Filter):
     """Counts XLA compilations via jax_log_compiles log records — the
     incremental-indexing section uses it to PROVE capacity padding reuses
@@ -591,6 +624,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_PLATFORM") and not cpu_fallback:
+        # test hook: run the FULL section set (incl. the tpu-gated
+        # large_batch/big_graph/e2e perf paths that BENCH_FORCE_CPU=1
+        # skips) on a named backend — used with BENCH_SKIP_INIT_PROBE=1
+        # to smoke every timing path off-TPU. Not a fallback: sections
+        # report ok and sizes stay as requested.
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     if cpu_fallback:
         # accelerator backend is hung/unreachable after retry: fall back
         # to CPU before any in-process jax use so the run still produces
@@ -682,15 +723,28 @@ def main():
     )
     log(f"{dev_label}-vs-CPU max abs err over {n_cpu} queries: {max_err:.3e}")
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = batched_ppr_ell(
-            ell, reset_dev, damping=damping, max_iters=max_iters, tol=tol
+    # chain: same numeric input as reset_dev, but data-dependent on the
+    # previous output so timed executions serialize (see time_chained)
+    chain = jax.jit(lambda r, p: r + 0.0 * p)
+    np.asarray(chain(reset_dev, out)[0, 0])  # warm the chain executable
+
+    def run_headline(prev):
+        return batched_ppr_ell(
+            ell, chain(reset_dev, prev), damping=damping,
+            max_iters=max_iters, tol=tol,
         )
-    np.asarray(out[0, 0])  # host sync (block_until_ready is unreliable on tunneled backends)
-    dev_time = (time.perf_counter() - t0) / reps
+
+    # host sync by transfer: block_until_ready is unreliable on tunneled
+    # backends
+    dev_time, used_reps = time_chained(
+        run_headline, out, lambda o: np.asarray(o[0, 0]), reps, probe
+    )
+    extra["headline_reps"] = used_reps
     dev_qps = batch / dev_time
-    log(f"{dev_label} ELL: {dev_time*1e3:.1f}ms per {batch}-query batch -> {dev_qps:.1f} q/s")
+    log(
+        f"{dev_label} ELL: {dev_time*1e3:.1f}ms per {batch}-query batch "
+        f"({used_reps} chained reps) -> {dev_qps:.1f} q/s"
+    )
     sections["headline_ppr"] = "ok"
     snapshot.update(
         value=round(dev_qps, 2), vs_baseline=round(dev_qps / cpu_qps, 2)
@@ -735,14 +789,15 @@ def main():
                 graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
             )
             np.asarray(out_coo[0, 0])
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out_coo = batched_ppr(
-                    graph, reset_dev, damping=damping, max_iters=max_iters, tol=tol
-                )
-            np.asarray(out_coo[0, 0])
-            t_coo = (time.perf_counter() - t0) / reps
+            t_coo, coo_reps = time_chained(
+                lambda prev: batched_ppr(
+                    graph, chain(reset_dev, prev), damping=damping,
+                    max_iters=max_iters, tol=tol,
+                ),
+                out_coo, lambda o: np.asarray(o[0, 0]), reps, probe,
+            )
             extra["coo_batch_ms"] = round(t_coo * 1e3, 2)
+            extra["coo_reps"] = coo_reps
             sections["coo_variant"] = "ok"
             log(f"{dev_label} COO segment-sum: {t_coo*1e3:.1f}ms per batch")
         except Exception as e:  # noqa: BLE001
@@ -770,16 +825,16 @@ def main():
                 ell, reset2_dev, damping=damping, max_iters=max_iters, tol=tol
             )
             np.asarray(out2[0, 0])
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out2 = batched_ppr_ell(
-                    ell, reset2_dev, damping=damping, max_iters=max_iters,
-                    tol=tol,
-                )
-            np.asarray(out2[0, 0])
-            t_b2 = (time.perf_counter() - t0) / reps
+            t_b2, b2_reps = time_chained(
+                lambda prev: batched_ppr_ell(
+                    ell, chain(reset2_dev, prev), damping=damping,
+                    max_iters=max_iters, tol=tol,
+                ),
+                out2, lambda o: np.asarray(o[0, 0]), reps, probe,
+            )
             extra["b2x_batch"] = b2
             extra["b2x_batch_ms"] = round(t_b2 * 1e3, 2)
+            extra["b2x_reps"] = b2_reps
             sections["large_batch"] = "ok"
             log(
                 f"{dev_label} ELL B={b2}: {t_b2*1e3:.1f}ms per batch -> "
@@ -822,13 +877,15 @@ def main():
                 max_iters=max_iters, tol=tol,
             )
             np.asarray(outb[0, 0])  # compile + warmup
-            t0 = time.perf_counter()
-            outb = batched_ppr_ell(
-                big_ell, big_reset_dev, damping=damping,
-                max_iters=max_iters, tol=tol,
+            t_big, big_reps = time_chained(
+                lambda prev: batched_ppr_ell(
+                    big_ell, chain(big_reset_dev, prev), damping=damping,
+                    max_iters=max_iters, tol=tol,
+                ),
+                outb, lambda o: np.asarray(o[0, 0]), 1, probe,
+                max_extra_s=60.0,
             )
-            np.asarray(outb[0, 0])
-            t_big = time.perf_counter() - t0
+            extra["big_graph_reps"] = big_reps
             from hipporag_tpu.ops.pagerank import bucket_reduce_plan
 
             extra["big_graph_nodes"] = big_nodes
