@@ -358,9 +358,21 @@ def time_chained(run, warm_out, sync, base_reps, probe_s,
     out = run(warm_out)
     sync(out)
     t_single = time.perf_counter() - t0
-    est_body = max(1e-3, t_single - max(0.0, probe_s))
-    need = int(np.ceil(max(0.0, probe_s) / (sync_frac * est_body)))
-    reps = max(base_reps, min(need, base_reps + int(max_extra_s / est_body)))
+    # RTT can't exceed the sync-inclusive solo rep: clamping the probe
+    # here guards both a stale/inflated probe (a transient stall would
+    # otherwise floor est_body at 1e-3 and blow the rep cap to ~90k reps
+    # of real device work) and probe failure (inf would overflow the
+    # int() below)
+    rtt = min(max(float(probe_s), 0.0), t_single) if np.isfinite(probe_s) else t_single
+    est_body = max(1e-3, t_single - rtt)
+    need = int(np.ceil(rtt / (sync_frac * est_body)))
+    # bound ADDED wall time by max_extra_s using t_single (a chained rep
+    # costs <= the solo rep), not est_body, so a mis-estimated body can
+    # never grant more than max_extra_s of extra device work
+    reps = max(
+        base_reps,
+        min(need, base_reps + int(max_extra_s / max(t_single, 1e-3))),
+    )
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run(out)
@@ -438,19 +450,24 @@ def main():
     signal.signal(signal.SIGALRM, _emit_partial)
     hard_kill_s = int(float(os.environ.get("BENCH_HARD_KILL_S", 3300)))
     signal.alarm(hard_kill_s)
+    # the alarm counts from HERE — the section deadline clock
+    # (bench_start) is restarted after the backend decision, so any
+    # time-to-alarm arithmetic must anchor to this timestamp, not
+    # bench_start, or the budget is overestimated by the graph build +
+    # CPU baseline + probe retries that run in between
+    alarm_armed_at = time.perf_counter()
     # expose the partial state so the __main__ exception handler can emit
     # the JSON line when an unguarded section (e.g. the headline solve on
     # a mid-run-degraded tunnel) raises instead of hanging
     main._partial = (snapshot, sections, extra, _emitted)
 
-    def over_deadline(section: str, limit_s: float | None = None) -> bool:
-        # limit_s overrides the soft deadline: the degraded-link quality
-        # sections run right up to the hard-kill alarm (minus the emit
-        # margin) — they are the sections the fallback exists to save
-        limit = deadline_s if limit_s is None else limit_s
+    def over_deadline(section: str) -> bool:
+        # soft section deadline for the perf sections; the quality
+        # sections use quality_over_deadline (alarm-anchored on a
+        # degraded link) instead
         elapsed = time.perf_counter() - bench_start
-        if elapsed > limit:
-            log(f"{section} skipped: {elapsed:.0f}s elapsed > {limit:.0f}s deadline")
+        if elapsed > deadline_s:
+            log(f"{section} skipped: {elapsed:.0f}s elapsed > {deadline_s:.0f}s deadline")
             sections[section] = f"skipped (deadline, {elapsed:.0f}s elapsed)"
             return True
         return False
@@ -460,7 +477,7 @@ def main():
         split the time remaining to the hard-kill alarm (minus a 120s
         emit margin) across the quality sections not yet run, so one slow
         section cannot starve the others of their turn."""
-        remaining = hard_kill_s - (time.perf_counter() - bench_start) - 120
+        remaining = hard_kill_s - (time.perf_counter() - alarm_armed_at) - 120
         return max(300.0, remaining / max(1, n_left))
 
     log(f"graph: {num_nodes} nodes, {num_edges} directed entries; batch={batch}")
@@ -658,6 +675,57 @@ def main():
     )
     reps = 1 if (degraded or backend != "tpu") else 3
     extra["reps"] = reps
+
+    # ---- shared mechanics for the five graph-vs-dense quality sections ----
+    # (2wiki / hotpot / musique / replay / multihop): one status string,
+    # one deadline rule, one run-or-subprocess choice — adding the next
+    # dataset schema must not mean hand-syncing five copies (ADVICE-style
+    # dedup; the n_left countdown that splits the alarm budget lives here
+    # so the per-section counts can't drift from the section list).
+    quality_ok_status = (
+        "ok (cpu subprocess; degraded link)" if degraded else "ok"
+    )
+    _quality_left = [5]
+
+    def quality_over_deadline(section: str) -> bool:
+        # healthy link: the soft section deadline. Degraded link: these
+        # sections are what the CPU fallback exists to save — run them
+        # right up to the hard-kill alarm minus a 300s margin, anchored
+        # to when the alarm was ARMED (bench_start restarts later, so
+        # anchoring there would overestimate the margin by the graph
+        # build + CPU baseline + probe retries).
+        if not degraded:
+            return over_deadline(section)
+        elapsed = time.perf_counter() - alarm_armed_at
+        limit = hard_kill_s - 300
+        if elapsed > limit:
+            log(
+                f"{section} skipped: {elapsed:.0f}s since alarm armed > "
+                f"{limit:.0f}s margin"
+            )
+            sections[section] = f"skipped (deadline, {elapsed:.0f}s elapsed)"
+            return True
+        return False
+
+    def run_quality(name: str) -> dict:
+        """Run quality section `name` in-process (healthy link) or via
+        the forced-CPU subprocess (degraded link) — both resolve knobs
+        through bench_sections.run_section, so the two paths cannot
+        measure different configurations."""
+        import shutil
+        import tempfile
+
+        from hipporag_tpu.evaluation.bench_sections import run_section
+
+        n_left = _quality_left[0]
+        _quality_left[0] = max(1, n_left - 1)
+        if degraded:
+            return run_quality_subproc(name, timeout_s=quality_timeout(n_left))
+        tmp = tempfile.mkdtemp()
+        try:
+            return run_section(name, save_dir=tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     if cpu_fallback and "BENCH_BATCH" not in os.environ:
         # CPU fallback keeps the GRAPH at headline scale (so vs_baseline
         # stays scale-comparable) but shrinks the batch: the full 128-lane
@@ -1367,25 +1435,12 @@ def main():
         sections["2wiki"] = "skipped (BENCH_2WIKI=0)"
     elif not os.path.exists(twiki_corpus):
         sections["2wiki"] = "skipped (corpus file missing)"
-    elif not over_deadline(
-        "2wiki", limit_s=(hard_kill_s - 300) if degraded else None
-    ):
+    elif not quality_over_deadline("2wiki"):
         try:
-            import tempfile
-
-            from hipporag_tpu.evaluation.bench_sections import run_section
-
-            if degraded:
-                # device solves over a degraded tunnel can hang for
-                # minutes per batch — run on the forced-CPU backend in a
-                # subprocess instead of dropping the section (same knob
-                # resolution via bench_sections.run_section)
-                res = run_quality_subproc(
-                    "2wiki", timeout_s=quality_timeout(5)
-                )
-            else:
-                twiki_tmp = tempfile.mkdtemp()
-                res = run_section("2wiki", save_dir=twiki_tmp)
+            # device solves over a degraded tunnel can hang for minutes
+            # per batch — run_quality falls back to the forced-CPU
+            # subprocess (same knob resolution either way)
+            res = run_quality("2wiki")
             put_quality_fields(extra, "2wiki", res)
             extra["2wiki_graph_nodes"] = res["graph_nodes"]
             for kk in (2, 5, 20):
@@ -1403,9 +1458,7 @@ def main():
                 extra["exact_queries_with_displacement"] = res["exact"][
                     "queries_with_displacement"
                 ]
-            sections["2wiki"] = (
-                "ok (cpu subprocess; degraded link)" if degraded else "ok"
-            )
+            sections["2wiki"] = quality_ok_status
             log(
                 f"2wiki ({res['corpus_docs']} docs, {res['num_queries']} queries): "
                 f"Recall@2 graph {res['recall'][2]} vs dense {res['dense_recall'][2]}; "
@@ -1421,11 +1474,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             sections["2wiki"] = f"skipped ({e})"
             log(f"2wiki section skipped: {e}")
-        finally:
-            import shutil
-
-            shutil.rmtree(locals().get("twiki_tmp", "/nonexistent"),
-                          ignore_errors=True)
 
     # ------------- second dataset schema: hotpotqa supporting_facts -------------
     # Same graph-vs-dense protocol through datasets.py's hotpotqa loader
@@ -1436,38 +1484,17 @@ def main():
         sections["hotpot_quality"] = "skipped (BENCH_HOTPOT=0)"
     elif not os.path.exists(twiki_corpus):
         sections["hotpot_quality"] = "skipped (corpus file missing)"
-    elif not over_deadline(
-        "hotpot_quality", limit_s=(hard_kill_s - 300) if degraded else None
-    ):
+    elif not quality_over_deadline("hotpot_quality"):
         try:
-            import tempfile
-
-            from hipporag_tpu.evaluation.bench_sections import run_section
-
-            if degraded:
-                # device solves over a degraded tunnel can hang for
-                # minutes per batch — forced-CPU subprocess instead
-                hp = run_quality_subproc(
-                    "hotpot", timeout_s=quality_timeout(4)
-                )
-            else:
-                hp_tmp = tempfile.mkdtemp()
-                hp = run_section("hotpot", save_dir=hp_tmp)
+            hp = run_quality("hotpot")
             put_quality_fields(extra, "hotpot", hp)
             extra["hotpot_by_type"] = hp["by_type"]
-            sections["hotpot_quality"] = (
-                "ok (cpu subprocess; degraded link)" if degraded else "ok"
-            )
+            sections["hotpot_quality"] = quality_ok_status
             log_quality_line("hotpot-schema quality", hp)
             log(f"hotpot by_type {hp['by_type']}")
         except Exception as e:  # noqa: BLE001
             sections["hotpot_quality"] = f"skipped ({e})"
             log(f"hotpot_quality section skipped: {e}")
-        finally:
-            import shutil
-
-            shutil.rmtree(locals().get("hp_tmp", "/nonexistent"),
-                          ignore_errors=True)
 
     # ------------- third dataset schema: musique paragraphs -------------
     # Graph-vs-dense through datasets.py's `paragraphs` loader branch:
@@ -1480,34 +1507,15 @@ def main():
         sections["musique_quality"] = "skipped (BENCH_MUSIQUE=0)"
     elif not os.path.exists(twiki_corpus):
         sections["musique_quality"] = "skipped (corpus file missing)"
-    elif not over_deadline(
-        "musique_quality", limit_s=(hard_kill_s - 300) if degraded else None
-    ):
+    elif not quality_over_deadline("musique_quality"):
         try:
-            import tempfile
-
-            from hipporag_tpu.evaluation.bench_sections import run_section
-
-            if degraded:
-                mq = run_quality_subproc(
-                    "musique", timeout_s=quality_timeout(3)
-                )
-            else:
-                mq_tmp = tempfile.mkdtemp()
-                mq = run_section("musique", save_dir=mq_tmp)
+            mq = run_quality("musique")
             put_quality_fields(extra, "musique", mq)
-            sections["musique_quality"] = (
-                "ok (cpu subprocess; degraded link)" if degraded else "ok"
-            )
+            sections["musique_quality"] = quality_ok_status
             log_quality_line("musique-schema quality", mq)
         except Exception as e:  # noqa: BLE001
             sections["musique_quality"] = f"skipped ({e})"
             log(f"musique_quality section skipped: {e}")
-        finally:
-            import shutil
-
-            shutil.rmtree(locals().get("mq_tmp", "/nonexistent"),
-                          ignore_errors=True)
 
     # ------------- quality on REAL extraction output (replay) -------------
     # Graph vs dense Recall@k where the graph was built through the FULL
@@ -1522,67 +1530,34 @@ def main():
         sections["replay_quality"] = "skipped (BENCH_REPLAY_QUALITY=0)"
     elif not (os.path.exists(_rq_fixture) and os.path.exists(twiki_corpus)):
         sections["replay_quality"] = "skipped (fixture or corpus missing)"
-    elif not over_deadline(
-        "replay_quality", limit_s=(hard_kill_s - 300) if degraded else None
-    ):
+    elif not quality_over_deadline("replay_quality"):
         try:
-            import tempfile
-
-            from hipporag_tpu.evaluation.bench_sections import run_section
-
             # bench replays the FULL recorded slice (2500 docs, 473
             # queries) for statistical power at R@2; the pinned test
             # replays the 1000-doc slice (doc-count notes in
             # bench_sections.run_section).
-            if degraded:
-                rq = run_quality_subproc(
-                    "replay", timeout_s=quality_timeout(2)
-                )
-            else:
-                rq_tmp = tempfile.mkdtemp()
-                rq = run_section("replay", save_dir=rq_tmp)
+            rq = run_quality("replay")
             put_quality_fields(extra, "realgraph", rq)
-            sections["replay_quality"] = (
-                "ok (cpu subprocess; degraded link)" if degraded else "ok"
-            )
+            sections["replay_quality"] = quality_ok_status
             log_quality_line("replay quality (production extraction)", rq)
         except Exception as e:  # noqa: BLE001
             sections["replay_quality"] = f"skipped ({e})"
             log(f"replay_quality section skipped: {e}")
-        finally:
-            import shutil
-
-            shutil.rmtree(locals().get("rq_tmp", "/nonexistent"),
-                          ignore_errors=True)
 
     # ---------------- multi-hop quality: graph vs dense ----------------
     # The central HippoRAG capability claim, measured: 2-hop questions
     # where dense retrieval lacks a bridge to the second document.
     if os.environ.get("BENCH_QUALITY", "1") == "0":
         sections["multihop_quality"] = "skipped (BENCH_QUALITY=0)"
-    elif not over_deadline(
-        "multihop_quality", limit_s=(hard_kill_s - 300) if degraded else None
-    ):
+    elif not quality_over_deadline("multihop_quality"):
         try:
-            import tempfile
-
-            from hipporag_tpu.evaluation.bench_sections import run_section
-
-            if degraded:
-                # tiny corpus but dozens of device dispatches across four
-                # engines — forced-CPU subprocess on a degraded tunnel,
-                # like the other quality sections
-                mh = run_quality_subproc(
-                    "multihop", timeout_s=quality_timeout(1)
-                )
-            else:
-                mh_tmp = tempfile.mkdtemp()
-                mh = run_section("multihop", save_dir=mh_tmp)
+            # tiny corpus but dozens of device dispatches across four
+            # engines — run_quality routes to the forced-CPU subprocess
+            # on a degraded tunnel, like the other quality sections
+            mh = run_quality("multihop")
             extra["multihop_recall2_graph"] = mh["multihop_recall2_graph"]
             extra["multihop_recall2_dense"] = mh["multihop_recall2_dense"]
-            sections["multihop_quality"] = (
-                "ok (cpu subprocess; degraded link)" if degraded else "ok"
-            )
+            sections["multihop_quality"] = quality_ok_status
             log(
                 f"multi-hop Recall@2: graph {mh['multihop_recall2_graph']} "
                 f"vs dense {mh['multihop_recall2_dense']}"
@@ -1597,9 +1572,7 @@ def main():
                 extra["multihop3_deep_top5_dense"] = mh[
                     "multihop3_deep_top5_dense"
                 ]
-                sections["multihop3"] = (
-                    "ok (cpu subprocess; degraded link)" if degraded else "ok"
-                )
+                sections["multihop3"] = quality_ok_status
                 log(
                     f"3-hop deep-doc top-5: graph "
                     f"{mh['multihop3_deep_top5_graph']} vs dense "
@@ -1612,11 +1585,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             sections["multihop_quality"] = f"skipped ({e})"
             log(f"quality section skipped: {e}")
-        finally:
-            import shutil
-
-            shutil.rmtree(locals().get("mh_tmp", "/nonexistent"),
-                          ignore_errors=True)
 
     # ---------------- JAX encoder throughput (MXU) ----------------
     # BERT-base-sized random-weight encoder, bf16 on the MXU: the indexing

@@ -74,10 +74,13 @@ def synthesize_musique_samples(
         # per-query offset, skipping the supporting titles
         distractors: List[Dict[str, str]] = []
         pos = (qi * 7919 + 13) % n
-        while (
-            len(distractors) < PARAGRAPHS_PER_SAMPLE - 2 and
-            len(distractors) < n - 2
-        ):
+        # one full corpus cycle bounds the scan: candidates are deduped
+        # by TITLE, so a corpus with duplicate titles can have fewer
+        # than n-2 usable distractors — an unbounded while on the count
+        # alone would spin forever skipping already-taken titles
+        for _ in range(n):
+            if len(distractors) >= PARAGRAPHS_PER_SAMPLE - 2:
+                break
             cand = corpus[pos % n]
             pos += 1
             if cand["title"] in (a_item["title"], bridge):

@@ -208,3 +208,51 @@ def test_quality_subprocess_multihop_roundtrip(bench):
             res["multihop3_deep_top5_graph"]
             > res["multihop3_deep_top5_dense"]
         )
+
+
+def test_time_chained_bounds_added_work_on_stale_probe(bench):
+    """A stale/inflated probe (mid-band tunnel jitter) must not explode
+    the rep count: the added device time is bounded by max_extra_s using
+    the measured solo rep, even when probe_s >= t_single floors the
+    body estimate (the pre-fix arithmetic granted base+90,000 reps)."""
+    import time as _t
+
+    calls = []
+
+    def run(prev):
+        calls.append(prev)
+        _t.sleep(0.01)
+        return prev + 1
+
+    # probe claims 10s RTT but the whole solo rep takes ~10ms: the old
+    # est_body floor of 1e-3 would cap at base + int(0.05/0.001) = 53
+    _, reps = bench.time_chained(
+        run, 0, lambda o: None, 3, probe_s=10.0, max_extra_s=0.05
+    )
+    # cap must use t_single (~0.01s): base 3 + int(0.05/0.01) = 8
+    assert reps <= 3 + 5 + 2  # small slack for timer jitter on t_single
+    # the chain actually threads outputs: warm rep + timed reps
+    assert calls == list(range(reps + 1))
+
+
+def test_time_chained_survives_inf_probe(bench):
+    """probe_device_health returns inf on any probe exception; the rep
+    arithmetic must clamp it (RTT cannot exceed the measured solo rep),
+    not overflow int()."""
+    _, reps = bench.time_chained(
+        lambda prev: prev, 0, lambda o: None, 2,
+        probe_s=float("inf"), max_extra_s=0.05,
+    )
+    assert reps >= 2
+
+
+def test_time_chained_healthy_link_keeps_base_reps(bench):
+    """When the RTT is negligible next to the body, no extra reps are
+    added — the window stays at base_reps."""
+    import time as _t
+
+    _, reps = bench.time_chained(
+        lambda prev: (_t.sleep(0.02), prev)[1], 0, lambda o: None, 3,
+        probe_s=1e-4, max_extra_s=60.0,
+    )
+    assert reps == 3
