@@ -358,26 +358,52 @@ def time_chained(run, warm_out, sync, base_reps, probe_s,
     out = run(warm_out)
     sync(out)
     t_single = time.perf_counter() - t0
-    # RTT can't exceed the sync-inclusive solo rep: clamping the probe
-    # here guards both a stale/inflated probe (a transient stall would
-    # otherwise floor est_body at 1e-3 and blow the rep cap to ~90k reps
-    # of real device work) and probe failure (inf would overflow the
-    # int() below)
-    rtt = min(max(float(probe_s), 0.0), t_single) if np.isfinite(probe_s) else t_single
-    est_body = max(1e-3, t_single - rtt)
-    need = int(np.ceil(rtt / (sync_frac * est_body)))
-    # bound ADDED wall time by max_extra_s using t_single (a chained rep
-    # costs <= the solo rep), not est_body, so a mis-estimated body can
-    # never grant more than max_extra_s of extra device work
-    reps = max(
-        base_reps,
-        min(need, base_reps + int(max_extra_s / max(t_single, 1e-3))),
+    # The probe is only a HINT (it can be stale either way on a jittery
+    # tunnel); clamp it to the sync-inclusive solo rep, which the real
+    # RTT cannot exceed. inf (probe exception) degrades to the solo rep.
+    rtt_hint = (
+        min(max(float(probe_s), 0.0), t_single)
+        if np.isfinite(probe_s) else t_single
     )
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(out)
-    sync(out)
-    return (time.perf_counter() - t0) / reps, reps
+    # Geometric chained windows with measured-body differencing: each
+    # window pays ONE end sync; from two windows of different rep counts
+    # the per-rep body is (w2-w1)/(r2-r1) — the RTT cancels, so the
+    # estimate works even when the RTT dwarfs the body (a sick tunnel,
+    # where the probe-based estimate is unusable). Growth is capped at
+    # 4x per window (one noisy body estimate can only overshoot ~4x the
+    # last MEASURED window) and the budget is re-checked between windows
+    # with measured numbers, so total added time is ~max_extra_s (worst
+    # case +4x the last window on a garbage estimate). The returned
+    # figure is always an actual measured window / its reps — body plus
+    # its residual end-sync share (<= sync_frac when converged) and the
+    # chain add: conservative, never extrapolated.
+    spent = 0.0
+    reps = max(1, base_reps)
+    prev = None  # (reps, window) of the previous window
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(out)
+        sync(out)
+        w = time.perf_counter() - t0
+        spent += w
+        per_rep, used = w / reps, reps
+        if prev is not None and reps > prev[0]:
+            body = max((w - prev[1]) / (reps - prev[0]), 1e-4)
+            rtt = max(w - reps * body, 0.0)
+        else:
+            rtt = min(rtt_hint, w)
+            body = max(per_rep - rtt / reps, 1e-4)
+        prev = (reps, w)
+        if rtt <= sync_frac * w:
+            break  # end-sync amortized below sync_frac: figure is honest
+        need = int(np.ceil(rtt / (sync_frac * max(body, 1e-4))))
+        nxt = min(need, reps * 4)
+        est_next = nxt * body + rtt
+        if nxt <= reps or spent + est_next > max_extra_s:
+            break  # budget exhausted: report the best window we have
+        reps = nxt
+    return per_rep, used
 
 
 class CompileCounter(logging.Filter):
@@ -804,8 +830,14 @@ def main():
 
     # host sync by transfer: block_until_ready is unreliable on tunneled
     # backends
+    # a degraded-but-alive tunnel gets a bigger amortization budget: the
+    # headline is the only device-timed section that still runs there
+    # (coo/b2x/big_graph skip), and without enough chained reps the
+    # figure would be RTT, not the solver (30s probe / 0.14s body needs
+    # ~2000 reps for 5%; 240s buys ~50% error instead of 7000%)
     dev_time, used_reps = time_chained(
-        run_headline, out, lambda o: np.asarray(o[0, 0]), reps, probe
+        run_headline, out, lambda o: np.asarray(o[0, 0]), reps, probe,
+        max_extra_s=240.0 if degraded else 90.0,
     )
     extra["headline_reps"] = used_reps
     dev_qps = batch / dev_time

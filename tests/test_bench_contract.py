@@ -212,9 +212,10 @@ def test_quality_subprocess_multihop_roundtrip(bench):
 
 def test_time_chained_bounds_added_work_on_stale_probe(bench):
     """A stale/inflated probe (mid-band tunnel jitter) must not explode
-    the rep count: the added device time is bounded by max_extra_s using
-    the measured solo rep, even when probe_s >= t_single floors the
-    body estimate (the pre-fix arithmetic granted base+90,000 reps)."""
+    the window: the probe is clamped to the measured solo rep, growth is
+    budget-checked with MEASURED numbers between windows, and each step
+    grows at most 4x (the pre-fix arithmetic granted base+90,000 reps
+    when probe_s >= t_single floored the body estimate)."""
     import time as _t
 
     calls = []
@@ -224,26 +225,24 @@ def test_time_chained_bounds_added_work_on_stale_probe(bench):
         _t.sleep(0.01)
         return prev + 1
 
-    # probe claims 10s RTT but the whole solo rep takes ~10ms: the old
-    # est_body floor of 1e-3 would cap at base + int(0.05/0.001) = 53
+    # probe claims 10s RTT but the whole solo rep takes ~10ms
     _, reps = bench.time_chained(
         run, 0, lambda o: None, 3, probe_s=10.0, max_extra_s=0.05
     )
-    # cap must use t_single (~0.01s): base 3 + int(0.05/0.01) = 8
-    assert reps <= 3 + 5 + 2  # small slack for timer jitter on t_single
-    # the chain actually threads outputs: warm rep + timed reps
-    assert calls == list(range(reps + 1))
+    assert reps == 3  # the 4x-grown window (~0.13s) exceeds the budget
+    # the chain threads outputs: warm rep + one base window
+    assert calls == list(range(4))
 
 
 def test_time_chained_survives_inf_probe(bench):
-    """probe_device_health returns inf on any probe exception; the rep
-    arithmetic must clamp it (RTT cannot exceed the measured solo rep),
-    not overflow int()."""
+    """probe_device_health returns inf on any probe exception; the
+    window arithmetic must clamp it (RTT cannot exceed the measured solo
+    rep), not overflow int()."""
     _, reps = bench.time_chained(
         lambda prev: prev, 0, lambda o: None, 2,
         probe_s=float("inf"), max_extra_s=0.05,
     )
-    assert reps >= 2
+    assert reps == 2
 
 
 def test_time_chained_healthy_link_keeps_base_reps(bench):
@@ -256,3 +255,25 @@ def test_time_chained_healthy_link_keeps_base_reps(bench):
         probe_s=1e-4, max_extra_s=60.0,
     )
     assert reps == 3
+
+
+def test_time_chained_amortizes_dominant_rtt(bench):
+    """Sick-tunnel regime (RTT >> body): the measured-body differencing
+    (RTT cancels between two windows of different rep counts) must grow
+    the window until the end-sync share is small, so the per-rep figure
+    approaches the body instead of the RTT. Here RTT is 50x the body; a
+    naive single-rep measurement would read 51 ms/rep."""
+    import time as _t
+
+    def run(prev):
+        _t.sleep(0.001)
+        return prev
+
+    per_rep, reps = bench.time_chained(
+        run, 0, lambda o: _t.sleep(0.05), 1, probe_s=0.05,
+        max_extra_s=2.0,
+    )
+    assert reps >= 64  # grew well past the base window
+    # body ~1ms (plus sleep() overhead); the 50ms sync must be amortized
+    # to a small fraction — generous 5 ms bound vs the naive 51 ms
+    assert per_rep < 0.005, per_rep
