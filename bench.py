@@ -1012,13 +1012,20 @@ def main():
     # host sync by transfer: block_until_ready is unreliable on tunneled
     # backends
     # a degraded-but-alive tunnel gets a bigger amortization budget: the
-    # headline is the only device-timed section that still runs there
-    # (coo/b2x/big_graph skip), and without enough chained reps the
-    # figure would be RTT, not the solver (30s probe / 0.14s body needs
-    # ~2000 reps for 5%; 240s buys ~50% error instead of 7000%)
+    # quality story is already banked (run_quality_block ran first) and
+    # every other device-timed section skips there, so the headline can
+    # spend most of the time left to the alarm growing chained windows —
+    # without enough reps the figure would be RTT, not the solver (a
+    # 162s-RTT episode needs ~1000 chained reps to read within ~2x of
+    # the true per-batch time; a single window would read ~1000x off)
+    if degraded:
+        _left = hard_kill_s - (time.perf_counter() - alarm_armed_at)
+        headline_budget = max(60.0, _left - 300.0)
+    else:
+        headline_budget = 90.0
     dev_time, used_reps = time_chained(
         run_headline, out, lambda o: np.asarray(o[0, 0]), reps, probe,
-        max_extra_s=240.0 if degraded else 90.0,
+        max_extra_s=headline_budget,
     )
     extra["headline_reps"] = used_reps
     dev_qps = batch / dev_time
